@@ -1,0 +1,191 @@
+"""Box math in pure JAX: overlaps, distance/delta coding, clipping.
+
+Semantics match the reference implementations:
+- IoU/GIoU/IoF: ``/root/reference/mmdet/core/bbox/iou_calculators/iou2d_calculator.py:66-260``
+- distance2bbox / bbox2distance: ``mmdet/core/bbox/transforms.py``
+- delta coding: ``mmdet/core/bbox/coder/delta_xywh_bbox_coder.py:87-271``
+
+All functions are shape-polymorphic pure jnp — everything jit/vmap-cleanly and
+with static shapes (padding boxes with zeros gives 0 area and 0 overlap, so
+masked rows are harmless).
+
+Boxes are ``(x1, y1, x2, y2)`` float arrays, corner-exclusive like mmdet with
+``coordinate_offset=0`` (area = (x2-x1)*(y2-y1)).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS = 1e-6
+
+
+def bbox_area(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Area of (..., 4) boxes."""
+    w = jnp.maximum(boxes[..., 2] - boxes[..., 0], 0.0)
+    h = jnp.maximum(boxes[..., 3] - boxes[..., 1], 0.0)
+    return w * h
+
+
+def bbox_overlaps(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                  mode: str = "iou", is_aligned: bool = False,
+                  eps: float = EPS) -> jnp.ndarray:
+    """Pairwise (or aligned) overlaps.
+
+    Args:
+      boxes1: (..., M, 4); boxes2: (..., N, 4) (or (..., M, 4) when aligned).
+      mode: 'iou' | 'iof' (intersection over first-box area) | 'giou'.
+
+    Returns (..., M, N) (or (..., M) aligned).
+    """
+    assert mode in ("iou", "iof", "giou"), mode
+    area1 = bbox_area(boxes1)
+    area2 = bbox_area(boxes2)
+
+    if is_aligned:
+        lt = jnp.maximum(boxes1[..., :2], boxes2[..., :2])
+        rb = jnp.minimum(boxes1[..., 2:], boxes2[..., 2:])
+        wh = jnp.maximum(rb - lt, 0.0)
+        overlap = wh[..., 0] * wh[..., 1]
+        if mode == "iof":
+            union = area1
+        else:
+            union = area1 + area2 - overlap
+        if mode == "giou":
+            enc_lt = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+            enc_rb = jnp.maximum(boxes1[..., 2:], boxes2[..., 2:])
+    else:
+        lt = jnp.maximum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+        rb = jnp.minimum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+        wh = jnp.maximum(rb - lt, 0.0)
+        overlap = wh[..., 0] * wh[..., 1]
+        if mode == "iof":
+            union = area1[..., :, None] + jnp.zeros_like(area2[..., None, :])
+        else:
+            union = area1[..., :, None] + area2[..., None, :] - overlap
+        if mode == "giou":
+            enc_lt = jnp.minimum(boxes1[..., :, None, :2], boxes2[..., None, :, :2])
+            enc_rb = jnp.maximum(boxes1[..., :, None, 2:], boxes2[..., None, :, 2:])
+
+    union = jnp.maximum(union, eps)
+    ious = overlap / union
+    if mode in ("iou", "iof"):
+        return ious
+    enc_wh = jnp.maximum(enc_rb - enc_lt, 0.0)
+    enc_area = jnp.maximum(enc_wh[..., 0] * enc_wh[..., 1], eps)
+    return ious - (enc_area - union) / enc_area
+
+
+def distance2bbox(points: jnp.ndarray, distances: jnp.ndarray,
+                  max_shape: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Decode (l, t, r, b) distances at (x, y) points into boxes."""
+    x1 = points[..., 0] - distances[..., 0]
+    y1 = points[..., 1] - distances[..., 1]
+    x2 = points[..., 0] + distances[..., 2]
+    y2 = points[..., 1] + distances[..., 3]
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+    if max_shape is not None:
+        boxes = clip_boxes(boxes, max_shape)
+    return boxes
+
+
+def bbox2distance(points: jnp.ndarray, bbox: jnp.ndarray,
+                  max_dis: float | None = None, eps: float = 0.1) -> jnp.ndarray:
+    """Encode boxes as (l, t, r, b) distances from points."""
+    left = points[..., 0] - bbox[..., 0]
+    top = points[..., 1] - bbox[..., 1]
+    right = bbox[..., 2] - points[..., 0]
+    bottom = bbox[..., 3] - points[..., 1]
+    d = jnp.stack([left, top, right, bottom], axis=-1)
+    if max_dis is not None:
+        d = jnp.clip(d, 0, max_dis - eps)
+    return d
+
+
+def clip_boxes(boxes: jnp.ndarray, max_shape: tuple[int, int]) -> jnp.ndarray:
+    """Clip boxes to image (H, W)."""
+    h, w = max_shape[0], max_shape[1]
+    x1 = jnp.clip(boxes[..., 0], 0, w)
+    y1 = jnp.clip(boxes[..., 1], 0, h)
+    x2 = jnp.clip(boxes[..., 2], 0, w)
+    y2 = jnp.clip(boxes[..., 3], 0, h)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def bbox2delta(proposals: jnp.ndarray, gt: jnp.ndarray,
+               means=(0.0, 0.0, 0.0, 0.0),
+               stds=(1.0, 1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """Encode gt boxes relative to proposals as (dx, dy, dw, dh) deltas."""
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    pw = proposals[..., 2] - proposals[..., 0]
+    ph = proposals[..., 3] - proposals[..., 1]
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0]
+    gh = gt[..., 3] - gt[..., 1]
+    dx = (gx - px) / jnp.maximum(pw, EPS)
+    dy = (gy - py) / jnp.maximum(ph, EPS)
+    dw = jnp.log(jnp.maximum(gw, EPS) / jnp.maximum(pw, EPS))
+    dh = jnp.log(jnp.maximum(gh, EPS) / jnp.maximum(ph, EPS))
+    deltas = jnp.stack([dx, dy, dw, dh], axis=-1)
+    means = jnp.asarray(means, deltas.dtype)
+    stds = jnp.asarray(stds, deltas.dtype)
+    return (deltas - means) / stds
+
+
+def delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
+               means=(0.0, 0.0, 0.0, 0.0),
+               stds=(1.0, 1.0, 1.0, 1.0),
+               max_shape: tuple[int, int] | None = None,
+               wh_ratio_clip: float = 16.0 / 1000.0) -> jnp.ndarray:
+    """Decode (dx, dy, dw, dh) deltas on rois into boxes."""
+    means = jnp.asarray(means, deltas.dtype)
+    stds = jnp.asarray(stds, deltas.dtype)
+    d = deltas * stds + means
+    dx, dy, dw, dh = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
+    max_ratio = jnp.abs(jnp.log(wh_ratio_clip))
+    dw = jnp.clip(dw, -max_ratio, max_ratio)
+    dh = jnp.clip(dh, -max_ratio, max_ratio)
+    px = (rois[..., 0] + rois[..., 2]) * 0.5
+    py = (rois[..., 1] + rois[..., 3]) * 0.5
+    pw = rois[..., 2] - rois[..., 0]
+    ph = rois[..., 3] - rois[..., 1]
+    gx = px + pw * dx
+    gy = py + ph * dy
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    boxes = jnp.stack(
+        [gx - gw * 0.5, gy - gh * 0.5, gx + gw * 0.5, gy + gh * 0.5], axis=-1)
+    if max_shape is not None:
+        boxes = clip_boxes(boxes, max_shape)
+    return boxes
+
+
+def bbox_center(boxes: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack(
+        [(boxes[..., 0] + boxes[..., 2]) * 0.5,
+         (boxes[..., 1] + boxes[..., 3]) * 0.5], axis=-1)
+
+
+def bbox_rescale(boxes: jnp.ndarray, scale_factor) -> jnp.ndarray:
+    """Scale boxes by per-coordinate scale factor (sx, sy, sx, sy) or scalar."""
+    scale = jnp.asarray(scale_factor, boxes.dtype)
+    if scale.ndim == 1 and scale.shape[-1] == 4:
+        return boxes * scale
+    return boxes * scale
+
+
+def bbox_flip(boxes: jnp.ndarray, img_shape: tuple[int, int],
+              direction: str = "horizontal") -> jnp.ndarray:
+    """Flip boxes inside an image of (H, W)."""
+    h, w = img_shape
+    if direction == "horizontal":
+        x1 = w - boxes[..., 2]
+        x2 = w - boxes[..., 0]
+        return jnp.stack([x1, boxes[..., 1], x2, boxes[..., 3]], axis=-1)
+    elif direction == "vertical":
+        y1 = h - boxes[..., 3]
+        y2 = h - boxes[..., 1]
+        return jnp.stack([boxes[..., 0], y1, boxes[..., 2], y2], axis=-1)
+    raise ValueError(direction)
