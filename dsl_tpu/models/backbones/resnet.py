@@ -1,0 +1,131 @@
+"""ResNet backbone (caffe / pytorch styles), flax NHWC.
+
+Functional parity with ``/root/reference/mmdet/models/backbones/resnet.py``
+for the configurations the DSL configs use: depth 50, out_indices (0,1,2,3),
+``style='caffe'`` (stride on the 1x1 conv) or ``'pytorch'`` (stride on the
+3x3), frozen stem+stage-1 (``frozen_stages=1``) and ``norm_eval=True``.
+
+Freezing is not expressed here (a flax module has no parameter state); the
+optimizer applies a zero-update mask over the frozen parameter subtree — see
+``dsl_tpu/train/optim.py``. Norm-eval is inherent: BN layers are
+FrozenBatchNorm (see layers.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsl_tpu.registry import BACKBONES
+from dsl_tpu.models.layers import (
+    FrozenBatchNorm, conv1x1, conv3x3, make_norm, max_pool_3x3_s2)
+
+ARCH_SETTINGS = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    style: str = "pytorch"
+    norm_cfg: dict | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = conv3x3(self.planes, self.stride, name="conv1")(x)
+        out = make_norm(self.norm_cfg, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv3x3(self.planes, 1, self.dilation, name="conv2")(out)
+        out = make_norm(self.norm_cfg, name="bn2")(out)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            identity = conv1x1(self.planes, self.stride, name="downsample_conv")(x)
+            identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    style: str = "pytorch"
+    norm_cfg: dict | None = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        # caffe: stride on conv1 (1x1); pytorch: stride on conv2 (3x3)
+        s1 = self.stride if self.style == "caffe" else 1
+        s2 = 1 if self.style == "caffe" else self.stride
+        out_ch = self.planes * self.expansion
+
+        identity = x
+        out = conv1x1(self.planes, s1, name="conv1")(x)
+        out = make_norm(self.norm_cfg, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv3x3(self.planes, s2, self.dilation, name="conv2")(out)
+        out = make_norm(self.norm_cfg, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv1x1(out_ch, 1, name="conv3")(out)
+        out = make_norm(self.norm_cfg, name="bn3")(out)
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = conv1x1(out_ch, self.stride, name="downsample_conv")(x)
+            identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+@BACKBONES.register
+class ResNet(nn.Module):
+    """mmdet-parity ResNet. Returns features of the stages in out_indices.
+
+    Note ``frozen_stages``/``norm_eval`` are carried as metadata for the
+    optimizer mask and checkpoint import; they don't alter the forward.
+    """
+
+    depth: int = 50
+    num_stages: int = 4
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    style: str = "pytorch"
+    frozen_stages: int = -1
+    norm_eval: bool = True
+    norm_cfg: dict | None = None
+    pretrained: str | None = None
+    stem_channels: int = 64
+    base_channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        block_name, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
+
+        x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2),
+                    padding=((3, 3), (3, 3)), use_bias=False,
+                    kernel_init=nn.initializers.he_normal(), name="conv1")(x)
+        x = make_norm(self.norm_cfg, name="bn1")(x)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+
+        outs = []
+        for i in range(self.num_stages):
+            planes = self.base_channels * 2 ** i
+            for j in range(stage_blocks[i]):
+                x = block_cls(
+                    planes=planes,
+                    stride=self.strides[i] if j == 0 else 1,
+                    dilation=self.dilations[i],
+                    style=self.style,
+                    norm_cfg=self.norm_cfg,
+                    name=f"layer{i + 1}_{j}")(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

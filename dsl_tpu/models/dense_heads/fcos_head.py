@@ -1,0 +1,328 @@
+"""FCOS head with the three DSL loss extensions, flax + functional losses.
+
+Structure parity with
+``/root/reference/mmdet/models/dense_heads/fcos_head.py:15-726`` and
+``anchor_free_head.py:15-339``: 4-conv GN(32) cls/reg towers, 3x3 predictors,
+per-level learnable Scale on the bbox branch, centerness on the reg tower,
+``norm_on_bbox`` (relu'd stride-normalized regression in training, ×stride at
+inference).
+
+The DSL additions live in :func:`fcos_loss` as *dense masked arithmetic*
+instead of index gathers:
+  (a) ignore-region cls-weight masking   (reference ``loss`` :208-215,297-304)
+  (b) per-source (labeled/unlabeled) loss weighting            (:217-234)
+  (c) scale-invariant soft consistency ``loss_sisoft``         (:312-333)
+
+The module is pure; batch-level loss weighting arrives via the batch dict
+(``source_weight`` per image) rather than positional batch-half conventions —
+the data layer sets weight 1 for labeled and ``loss_weight`` for unlabeled
+images, reproducing the reference's first-half/second-half split without
+baking batch layout into the loss.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsl_tpu.registry import HEADS
+from dsl_tpu.models.layers import Scale, bias_init_with_prob, normal_init
+from dsl_tpu.core.points import MlvlPointGenerator
+from dsl_tpu.core import losses as L
+from dsl_tpu.core.targets import (
+    INF, centerness_target, expand_point_metadata, fcos_targets, ignore_weight)
+from dsl_tpu.core.boxes import distance2bbox
+from dsl_tpu.core.nms import multiclass_nms
+
+DEFAULT_REGRESS_RANGES = ((-1, 64), (64, 128), (128, 256), (256, 512),
+                          (512, INF))
+
+
+@HEADS.register
+class FCOSHead(nn.Module):
+    num_classes: int = 80
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    regress_ranges: Sequence = DEFAULT_REGRESS_RANGES
+    center_sampling: bool = True
+    center_sample_radius: float = 1.5
+    norm_on_bbox: bool = True
+    centerness_on_reg: bool = True
+    dcn_on_last_conv: bool = False   # accepted for config parity (always False)
+    conv_bias: bool | str = True
+    # DSL knobs
+    loss_weight: float = 1.0         # unlabeled-source weight
+    soft_weight: float = 0.0         # si-soft consistency weight
+    soft_warm_up: int = 0
+    loss_cls: dict | None = None
+    loss_bbox: dict | None = None
+    loss_centerness: dict | None = None
+    norm_cfg: dict | None = None
+
+    @nn.compact
+    def __call__(self, feats, training: bool = False):
+        """feats: tuple of 5 NHWC FPN levels.
+
+        Returns (cls_scores, bbox_preds, centernesses): per-level NHWC with
+        C = num_classes / 4 / 1. bbox_preds are stride-normalized in training
+        mode and in image pixels in inference mode (norm_on_bbox semantics).
+        """
+        use_bias = (self.conv_bias if isinstance(self.conv_bias, bool)
+                    else self.norm_cfg is None)
+        gn = lambda name: nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+
+        cls_convs = [
+            (nn.Conv(self.feat_channels, (3, 3), padding=((1, 1), (1, 1)),
+                     use_bias=use_bias, kernel_init=normal_init(0.01),
+                     name=f"cls_conv{i}"), gn(f"cls_gn{i}"))
+            for i in range(self.stacked_convs)
+        ]
+        reg_convs = [
+            (nn.Conv(self.feat_channels, (3, 3), padding=((1, 1), (1, 1)),
+                     use_bias=use_bias, kernel_init=normal_init(0.01),
+                     name=f"reg_conv{i}"), gn(f"reg_gn{i}"))
+            for i in range(self.stacked_convs)
+        ]
+        conv_cls = nn.Conv(self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
+                           kernel_init=normal_init(0.01),
+                           bias_init=bias_init_with_prob(0.01),
+                           name="conv_cls")
+        conv_reg = nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)),
+                           kernel_init=normal_init(0.01), name="conv_reg")
+        conv_centerness = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
+                                  kernel_init=normal_init(0.01),
+                                  name="conv_centerness")
+        scales = [Scale(name=f"scale{i}") for i in range(len(self.strides))]
+
+        cls_scores, bbox_preds, centernesses = [], [], []
+        for lvl, x in enumerate(feats):
+            cls_feat, reg_feat = x, x
+            for conv, norm in cls_convs:
+                cls_feat = nn.relu(norm(conv(cls_feat)))
+            for conv, norm in reg_convs:
+                reg_feat = nn.relu(norm(conv(reg_feat)))
+            cls_score = conv_cls(cls_feat)
+            bbox_pred = scales[lvl](conv_reg(reg_feat))
+            cent_feat = reg_feat if self.centerness_on_reg else cls_feat
+            centerness = conv_centerness(cent_feat)
+            if self.norm_on_bbox:
+                bbox_pred = nn.relu(bbox_pred)
+                if not training:
+                    bbox_pred = bbox_pred * self.strides[lvl]
+            else:
+                bbox_pred = jnp.exp(bbox_pred)
+            cls_scores.append(cls_score)
+            bbox_preds.append(bbox_pred)
+            centernesses.append(centerness)
+        return tuple(cls_scores), tuple(bbox_preds), tuple(centernesses)
+
+
+# ---------------------------------------------------------------------------
+# Functional loss / decode — consume head outputs + K-padded batch GT.
+# ---------------------------------------------------------------------------
+
+def _flatten_levels(per_level: Sequence[jnp.ndarray], channels: int):
+    """[(B, H, W, C)] -> (B, P, C) concatenated over levels."""
+    flat = [x.reshape(x.shape[0], -1, channels) for x in per_level]
+    return jnp.concatenate(flat, axis=1)
+
+
+def fcos_loss(head_cfg, cls_scores, bbox_preds, centernesses, batch,
+              cur_iter: jnp.ndarray | int = 0,
+              axis_name: str | None = None):
+    """Dense FCOS loss with the DSL extensions.
+
+    Args:
+      head_cfg: the FCOSHead module (static config source).
+      cls_scores/bbox_preds/centernesses: per-level NHWC outputs (training
+        mode: bbox normalized by stride).
+      batch: dict with
+        gt_bboxes (B, K, 4), gt_labels (B, K), gt_valid (B, K),
+        ignore_bboxes (B, Ki, 4), ignore_valid (B, Ki)   [optional]
+        source_weight (B,)  — 1.0 labeled / head.loss_weight unlabeled
+        si_pair: optional dict(full=int, half=int) image indices for si-soft
+      cur_iter: global step, drives the si-soft warmup gate.
+      axis_name: mesh axis for cross-device normalizer psum (reference
+        ``reduce_mean``, ``dist_utils.py:63-69``); None on single device.
+
+    Returns dict of scalar losses.
+    """
+    nc = head_cfg.num_classes
+    featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
+    gen = MlvlPointGenerator(list(head_cfg.strides))
+    points = gen.flat_points(featmap_sizes)
+    stride_arr, range_arr = expand_point_metadata(
+        featmap_sizes, list(head_cfg.strides), list(head_cfg.regress_ranges))
+
+    labels, bbox_targets = fcos_targets(
+        points, range_arr, stride_arr, batch["gt_bboxes"],
+        batch["gt_labels"], batch["gt_valid"], num_classes=nc,
+        center_sampling=head_cfg.center_sampling,
+        center_sample_radius=head_cfg.center_sample_radius,
+        norm_on_bbox=head_cfg.norm_on_bbox)              # (B, P), (B, P, 4)
+
+    flat_cls = _flatten_levels(cls_scores, nc)           # (B, P, C)
+    flat_bbox = _flatten_levels(bbox_preds, 4)           # (B, P, 4)
+    flat_cent = _flatten_levels(centernesses, 1)[..., 0]  # (B, P)
+
+    b, p = labels.shape
+    pos_mask = labels < nc                               # (B, P) bool
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    num_pos = jnp.maximum(_psum(jnp.sum(pos_mask.astype(jnp.float32))), 1.0)
+
+    # --- per-source weights (DSL b: reference :217-234) -------------------
+    src_w = batch.get("source_weight")
+    if src_w is None:
+        src_w = jnp.ones((b,), jnp.float32)
+    src_w_pt = src_w[:, None] * jnp.ones((1, p), jnp.float32)   # (B, P)
+
+    # --- ignore-region cls weights (DSL a: reference :297-304) ------------
+    cls_w = jnp.ones((b, p), jnp.float32)
+    if "ignore_bboxes" in batch and batch["ignore_bboxes"] is not None:
+        ig_labels_in = jnp.full(batch["ignore_bboxes"].shape[:2], nc - 1,
+                                jnp.int32)
+        ig_labels, _ = fcos_targets(
+            points, range_arr, stride_arr, batch["ignore_bboxes"],
+            ig_labels_in, batch["ignore_valid"], num_classes=nc,
+            center_sampling=head_cfg.center_sampling,
+            center_sample_radius=head_cfg.center_sample_radius,
+            norm_on_bbox=head_cfg.norm_on_bbox)
+        cls_w = ignore_weight(labels, ig_labels, nc)
+    cls_w = cls_w * src_w_pt
+
+    # --- classification (focal) -------------------------------------------
+    loss_cls = L.sigmoid_focal_loss(
+        flat_cls, labels, gamma=2.0, alpha=0.25, weight=cls_w,
+        avg_factor=num_pos)
+
+    # --- bbox (GIoU on decoded boxes) + centerness (BCE) ------------------
+    cent_targets = centerness_target(bbox_targets)       # (B, P)
+    pos_f = pos_mask.astype(jnp.float32)
+    centerness_denorm = jnp.maximum(
+        _psum(jnp.sum(cent_targets * pos_f)), 1e-6)
+
+    # decode densely; masked-out points contribute 0 via weight
+    pts = points[None].repeat(b, axis=0)
+    decoded_pred = distance2bbox(pts, flat_bbox)
+    decoded_tgt = distance2bbox(pts, bbox_targets)
+    loss_bbox = L.giou_loss(
+        decoded_pred, decoded_tgt,
+        weight=cent_targets * pos_f * src_w_pt,
+        avg_factor=centerness_denorm)
+
+    loss_centerness = L.binary_cross_entropy(
+        flat_cent, cent_targets, weight=pos_f * src_w_pt, avg_factor=num_pos)
+
+    out = dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
+               loss_centerness=loss_centerness)
+
+    # --- si-soft (DSL c: reference :312-333) ------------------------------
+    # The scale-invariant pair: image `full` at full res and image `half` at
+    # half res; level i of the half-res copy should match level i+1 of the
+    # full-res copy (same receptive scale). L2 between cls logits.
+    si = batch.get("si_pair")
+    if si is not None and head_cfg.soft_weight != 0.0:
+        full_idx, half_idx = si["full"], si["half"]
+        loss_sisoft = 0.0
+        # half-res image's level i-1 covers the same scale as the full-res
+        # image's level i (reference pairs cls_scores[i][B-2] with
+        # cls_scores[i-1][B-1][:, :h, :w]).
+        for i in range(1, len(cls_scores)):
+            h, w = cls_scores[i].shape[1:3]
+            a = cls_scores[i][full_idx]                   # (h, w, C) full-res
+            bb = cls_scores[i - 1][half_idx][:h, :w, :]   # half-res, lvl i-1
+            loss_sisoft = loss_sisoft + jnp.mean((a - bb) ** 2)
+        warm = jnp.where(jnp.asarray(cur_iter) > head_cfg.soft_warm_up,
+                         head_cfg.soft_weight, head_cfg.soft_weight / 1000.0)
+        out["loss_sisoft"] = loss_sisoft * warm
+    return out
+
+
+def fcos_get_bboxes(head_cfg, cls_scores, bbox_preds, centernesses,
+                    img_shapes=None, scale_factors=None,
+                    nms_pre: int = 1000, score_thr: float = 0.05,
+                    iou_threshold: float = 0.6, max_per_img: int = 100,
+                    with_nms: bool = True):
+    """Batched decode + multiclass NMS. Static shapes.
+
+    Parity with ``fcos_head.py:341-553`` (``get_bboxes``/``_get_bboxes``):
+    sigmoid(cls) scores, per-level top ``nms_pre`` candidates ranked by
+    max-class score × centerness, distance2bbox decode (inference-mode preds
+    already carry the stride), concat, then multiclass NMS with centerness-
+    weighted scores.
+
+    Args:
+      img_shapes: (B, 2) float (H, W) of the un-padded image region for box
+        clipping; None skips clipping.
+      scale_factors: (B, 4) to map back to original image scale (rescale).
+
+    Returns dets (B, max_per_img, 5), labels (B, max_per_img),
+    valid (B, max_per_img).
+    """
+    nc = head_cfg.num_classes
+    batch = cls_scores[0].shape[0]
+
+    featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
+    gen = MlvlPointGenerator(list(head_cfg.strides))
+    lvl_points = gen.grid_points(featmap_sizes)
+
+    all_boxes, all_scores, all_cent, all_valid = [], [], [], []
+    for lvl in range(len(cls_scores)):
+        scores = jax.nn.sigmoid(
+            cls_scores[lvl].reshape(batch, -1, nc))       # (B, hw, C)
+        cent = jax.nn.sigmoid(
+            centernesses[lvl].reshape(batch, -1))          # (B, hw)
+        bpred = bbox_preds[lvl].reshape(batch, -1, 4)
+        pts = lvl_points[lvl][None].repeat(batch, axis=0)
+        hw = scores.shape[1]
+        k = min(nms_pre, hw)
+        rank = jnp.max(scores, axis=-1) * cent             # (B, hw)
+        _, top_idx = jax.lax.top_k(rank, k)               # (B, k)
+        take = lambda a: jnp.take_along_axis(
+            a, top_idx.reshape(batch, k, *(1,) * (a.ndim - 2)), axis=1)
+        scores = take(scores)
+        cent = jnp.take_along_axis(cent, top_idx, axis=1)
+        bpred = take(bpred)
+        pts = take(pts)
+        boxes = distance2bbox(pts, bpred)
+        if img_shapes is not None:
+            xlim = img_shapes[:, None, 1:2]
+            ylim = img_shapes[:, None, 0:1]
+            boxes = jnp.concatenate([
+                jnp.clip(boxes[..., 0:1], 0, xlim),
+                jnp.clip(boxes[..., 1:2], 0, ylim),
+                jnp.clip(boxes[..., 2:3], 0, xlim),
+                jnp.clip(boxes[..., 3:4], 0, ylim)], axis=-1)
+        all_boxes.append(boxes)
+        all_scores.append(scores)
+        all_cent.append(cent)
+        all_valid.append(jnp.ones((batch, k), bool))
+
+    boxes = jnp.concatenate(all_boxes, axis=1)             # (B, P, 4)
+    scores = jnp.concatenate(all_scores, axis=1)           # (B, P, C)
+    cent = jnp.concatenate(all_cent, axis=1)               # (B, P)
+    valid = jnp.concatenate(all_valid, axis=1)
+
+    if scale_factors is not None:
+        boxes = boxes / scale_factors[:, None, :]
+
+    if not with_nms:
+        return boxes, scores, cent
+
+    weighted = scores * cent[..., None]
+
+    def _single(bx, sc, vd):
+        return multiclass_nms(bx, sc, score_thr=score_thr,
+                              iou_threshold=iou_threshold,
+                              max_per_img=max_per_img, valid=vd)
+
+    dets, labels, out_valid = jax.vmap(_single)(boxes, weighted, valid)
+    return dets, labels, out_valid

@@ -1,0 +1,113 @@
+"""Single-stage detector composition + functional train/test entry points.
+
+Parity with ``/root/reference/mmdet/models/detectors/single_stage.py:1-165``
+and the ``BaseDetector.train_step`` contract (``base.py:210-260``) — but
+instead of a stateful module with ``forward(return_loss=...)``, the detector
+is a pure flax module (backbone→neck→head) plus pure functions:
+
+  ``detector_loss(detector, variables, batch, ...) -> (total, log_vars)``
+  ``detector_predict(detector, variables, batch, ...) -> (dets, labels, valid)``
+
+``_parse_losses`` reproduces the reference's convention: every ``loss*`` key
+is summed into the total, everything is logged.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsl_tpu.registry import DETECTORS, MODELS, build_from_cfg
+from dsl_tpu.models.dense_heads.fcos_head import (
+    FCOSHead, fcos_get_bboxes, fcos_loss)
+
+
+@DETECTORS.register
+class SingleStageDetector(nn.Module):
+    backbone: nn.Module
+    neck: nn.Module | None
+    bbox_head: nn.Module
+    train_cfg: Any = None
+    test_cfg: Any = None
+
+    def extract_feat(self, images):
+        feats = self.backbone(images)
+        if self.neck is not None:
+            feats = self.neck(feats)
+        return feats
+
+    def __call__(self, images, training: bool = False):
+        feats = self.extract_feat(images)
+        return self.bbox_head(feats, training=training)
+
+
+@DETECTORS.register
+class FCOS(SingleStageDetector):
+    """FCOS = SingleStageDetector with an FCOSHead
+    (``mmdet/models/detectors/fcos.py``)."""
+
+
+def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
+    """Build a detector module tree from a model config dict."""
+    cfg = dict(cfg)
+    det_type = cfg.pop("type")
+    backbone = build_from_cfg(cfg.pop("backbone"), MODELS)
+    neck_cfg = cfg.pop("neck", None)
+    neck = build_from_cfg(neck_cfg, MODELS) if neck_cfg else None
+    head = build_from_cfg(_clean_head_cfg(cfg.pop("bbox_head")), MODELS)
+    det_cls = MODELS.get(det_type)
+    if det_cls is None:
+        raise KeyError(f"unknown detector type {det_type}")
+    return det_cls(backbone=backbone, neck=neck, bbox_head=head,
+                   train_cfg=train_cfg or cfg.pop("train_cfg", None),
+                   test_cfg=test_cfg or cfg.pop("test_cfg", None))
+
+
+def _clean_head_cfg(head_cfg: dict) -> dict:
+    """The loss sub-configs in mmdet head configs select loss *functions*;
+    here the functional loss is fixed (focal/GIoU/BCE per the DSL config), so
+    they are accepted and recorded but not instantiated."""
+    return dict(head_cfg)
+
+
+def _parse_losses(losses: dict) -> tuple[jnp.ndarray, dict]:
+    """Sum every ``loss``-containing key into the total; return log vars
+    (reference ``base.py:175-208``)."""
+    total = jnp.asarray(0.0, jnp.float32)
+    log_vars = {}
+    for k, v in losses.items():
+        v = jnp.asarray(v, jnp.float32)
+        log_vars[k] = v
+        if "loss" in k:
+            total = total + v
+    log_vars["loss"] = total
+    return total, log_vars
+
+
+def detector_loss(detector, variables, batch, cur_iter=0,
+                  axis_name: str | None = None):
+    """Training forward + loss. ``batch['images']`` is NHWC float."""
+    cls_scores, bbox_preds, centernesses = detector.apply(
+        variables, batch["images"], training=True)
+    losses = fcos_loss(detector.bbox_head, cls_scores, bbox_preds,
+                       centernesses, batch, cur_iter=cur_iter,
+                       axis_name=axis_name)
+    return _parse_losses(losses)
+
+
+def detector_predict(detector, variables, images, img_shapes=None,
+                     scale_factors=None, test_cfg: dict | None = None):
+    """Inference forward + decode + NMS (``simple_test`` path, §3.4)."""
+    tc = dict(test_cfg or detector.test_cfg or {})
+    nms_cfg = dict(tc.get("nms", {}) or {})
+    cls_scores, bbox_preds, centernesses = detector.apply(
+        variables, images, training=False)
+    return fcos_get_bboxes(
+        detector.bbox_head, cls_scores, bbox_preds, centernesses,
+        img_shapes=img_shapes, scale_factors=scale_factors,
+        nms_pre=tc.get("nms_pre", 1000),
+        score_thr=tc.get("score_thr", 0.05),
+        iou_threshold=nms_cfg.get("iou_threshold", 0.6),
+        max_per_img=tc.get("max_per_img", 100))

@@ -1,0 +1,108 @@
+"""Shared flax building blocks: convs, norms, scale — NHWC throughout.
+
+NHWC is the TPU-native layout (channels on the 128-lane axis feeding the MXU);
+the reference's NCHW tensors exist only because of cuDNN conventions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+ModuleDef = Any
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that always uses stored statistics (norm_eval=True semantics).
+
+    Matches the reference's detection-time BN behavior: ``norm_eval=True``
+    everywhere (``/root/reference/mmdet/models/backbones/resnet_rla.py:376-385``)
+    so BN is an affine transform using ImageNet running stats. The affine
+    scale/bias remain trainable parameters; mean/var live in the
+    ``batch_stats`` collection and are imported from pretrained checkpoints.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((features,), jnp.float32))
+        inv = jnp.asarray(
+            scale, self.dtype) * jnp.reciprocal(
+            jnp.sqrt(var.value.astype(self.dtype) + self.epsilon))
+        return x * inv + (jnp.asarray(bias, self.dtype)
+                          - mean.value.astype(self.dtype) * inv)
+
+
+def make_norm(norm_cfg: dict | None, name: str | None = None) -> nn.Module:
+    """Build a norm layer from a ``dict(type=...)`` config.
+
+    'BN' maps to FrozenBatchNorm (detection norm_eval semantics); 'GN' to
+    GroupNorm; 'SyncBN' also maps to FrozenBatchNorm — cross-device stat sync
+    is meaningless when stats are frozen, and XLA would handle a training-mode
+    psum-BN inside the jitted step anyway.
+    """
+    norm_cfg = norm_cfg or dict(type="BN")
+    t = norm_cfg.get("type", "BN")
+    if t in ("BN", "SyncBN"):
+        return FrozenBatchNorm(name=name)
+    if t == "GN":
+        return nn.GroupNorm(num_groups=norm_cfg.get("num_groups", 32),
+                            epsilon=1e-5, name=name)
+    raise ValueError(f"unknown norm type {t}")
+
+
+class Scale(nn.Module):
+    """Learnable per-level scalar multiplier (mmcv ``Scale``)."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param("scale",
+                       nn.initializers.constant(self.init_value), ())
+        return x * s
+
+
+def conv3x3(features: int, stride: int = 1, dilation: int = 1,
+            use_bias: bool = False, name: str | None = None,
+            kernel_init=None) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(stride, stride),
+                   padding=((dilation, dilation), (dilation, dilation)),
+                   kernel_dilation=(dilation, dilation), use_bias=use_bias,
+                   kernel_init=kernel_init or nn.initializers.he_normal(),
+                   name=name)
+
+
+def conv1x1(features: int, stride: int = 1, use_bias: bool = False,
+            name: str | None = None, kernel_init=None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(stride, stride), padding="VALID",
+                   use_bias=use_bias,
+                   kernel_init=kernel_init or nn.initializers.he_normal(),
+                   name=name)
+
+
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/2 max pool with pad 1 (torch ``MaxPool2d(3, 2, 1)`` semantics)."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+def normal_init(std: float = 0.01):
+    return nn.initializers.normal(stddev=std)
+
+
+def bias_init_with_prob(prior_prob: float) -> Callable:
+    """Focal-loss classifier bias init: -log((1-p)/p)."""
+    import math
+
+    val = float(-math.log((1 - prior_prob) / prior_prob))
+    return nn.initializers.constant(val)

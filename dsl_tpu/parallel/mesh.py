@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL/DDP stack.
+
+The reference syncs with ``torch.distributed`` (NCCL allreduce in DDP
+backward, ``reduce_mean`` for loss normalizers, barriers around EMA/ckpt —
+SURVEY.md §1, §2.3). Here all of that disappears into XLA: the train step is
+jitted over a ``Mesh`` with the batch sharded on the ``data`` axis and
+parameters replicated; gradient reduction and normalizer sync are collectives
+XLA inserts, barriers are program order.
+
+A ``model`` axis is reserved in the mesh so FSDP-style parameter sharding can
+be layered on later without re-plumbing callers (SURVEY.md §2.3 note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices: Sequence | None = None) -> Mesh:
+    """Create a (data, model) mesh. Defaults to all devices on ``data``."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"need {n_data * n_model} devices, have {len(devices)}")
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over data; everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch pytree with the leading axis split over ``data``."""
+    s = batch_sharding(mesh)
+
+    def _put(x):
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def local_batch_size(mesh: Mesh, global_batch: int) -> int:
+    n = mesh.shape[DATA_AXIS]
+    assert global_batch % n == 0, (global_batch, n)
+    return global_batch // n

@@ -1,0 +1,165 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dsl_tpu.models import (
+    FPN, FCOSHead, ResNet, RLAResNet, build_detector, detector_loss,
+    detector_predict, fcos_loss,
+)
+
+MODEL_CFG = dict(
+    type="FCOS",
+    backbone=dict(type="ResNet", depth=50, out_indices=(0, 1, 2, 3),
+                  frozen_stages=1, style="caffe"),
+    neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048], out_channels=256,
+              start_level=1, add_extra_convs="on_output", num_outs=5,
+              relu_before_extra_convs=True),
+    bbox_head=dict(type="FCOSHead", num_classes=80, in_channels=256,
+                   stacked_convs=4, feat_channels=256,
+                   strides=[8, 16, 32, 64, 128], norm_on_bbox=True,
+                   centerness_on_reg=True, center_sampling=True,
+                   conv_bias=True, loss_weight=3.0, soft_weight=1.0,
+                   soft_warm_up=10),
+    test_cfg=dict(nms_pre=1000, score_thr=0.05,
+                  nms=dict(type="nms", iou_threshold=0.6), max_per_img=100),
+)
+
+
+def _tiny_model_cfg(num_classes=4):
+    cfg = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in MODEL_CFG.items()}
+    cfg["backbone"] = dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3))
+    cfg["neck"] = dict(type="FPN", in_channels=[64, 128, 256, 512],
+                       out_channels=32, start_level=1,
+                       add_extra_convs="on_output", num_outs=5,
+                       relu_before_extra_convs=True)
+    cfg["bbox_head"] = dict(type="FCOSHead", num_classes=num_classes,
+                            in_channels=32, stacked_convs=1, feat_channels=32,
+                            strides=[8, 16, 32, 64, 128], norm_on_bbox=True,
+                            centerness_on_reg=True, center_sampling=True,
+                            loss_weight=3.0, soft_weight=1.0, soft_warm_up=10)
+    return cfg
+
+
+def test_resnet50_feature_shapes():
+    model = ResNet(depth=50, style="caffe")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x)
+    shapes = [f.shape for f in feats]
+    assert shapes == [(1, 16, 16, 256), (1, 8, 8, 512),
+                      (1, 4, 4, 1024), (1, 2, 2, 2048)]
+
+
+def test_rla_resnet_feature_shapes():
+    model = RLAResNet(layers=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    feats = model.apply(variables, x)
+    shapes = [f.shape for f in feats]
+    assert shapes == [(1, 16, 16, 256), (1, 8, 8, 512),
+                      (1, 4, 4, 1024), (1, 2, 2, 2048)]
+    # RLA recurrent convs are shared per stage: one kernel per stage
+    params = variables["params"]
+    assert "recurrent_conv0" in params and "recurrent_conv3" in params
+
+
+def test_fpn_shapes():
+    fpn = FPN(in_channels=(64, 128, 256, 512), out_channels=32, start_level=1,
+              add_extra_convs="on_output", num_outs=5,
+              relu_before_extra_convs=True)
+    feats = [jnp.zeros((2, 32 // (2 ** i), 32 // (2 ** i), c))
+             for i, c in enumerate((64, 128, 256, 512))]
+    variables = fpn.init(jax.random.PRNGKey(0), feats)
+    outs = fpn.apply(variables, feats)
+    assert [o.shape for o in outs] == [
+        (2, 16, 16, 32), (2, 8, 8, 32), (2, 4, 4, 32),
+        (2, 2, 2, 32), (2, 1, 1, 32)]
+
+
+def test_detector_forward_and_loss():
+    cfg = _tiny_model_cfg()
+    det = build_detector(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3))
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    cls_scores, bbox_preds, cents = det.apply(variables, imgs, training=True)
+    assert len(cls_scores) == 5
+    assert cls_scores[0].shape == (2, 8, 8, 4)
+    assert bbox_preds[0].shape == (2, 8, 8, 4)
+    assert cents[0].shape == (2, 8, 8, 1)
+
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]], [[0., 0., 0., 0.]]]),
+        gt_labels=jnp.asarray([[1], [0]], jnp.int32),
+        gt_valid=jnp.asarray([[True], [False]]),
+        ignore_bboxes=jnp.zeros((2, 1, 4)),
+        ignore_valid=jnp.zeros((2, 1), bool),
+        source_weight=jnp.asarray([1.0, 3.0]),
+    )
+    total, log_vars = detector_loss(det, variables, batch)
+    assert np.isfinite(float(total))
+    for k in ("loss_cls", "loss_bbox", "loss_centerness"):
+        assert k in log_vars and np.isfinite(float(log_vars[k]))
+    # grads flow
+    def f(v):
+        return detector_loss(det, v, batch)[0]
+    g = jax.grad(lambda p: f({**variables, "params": p}))(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_detector_loss_empty_gt_finite():
+    cfg = _tiny_model_cfg()
+    det = build_detector(cfg)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.zeros((1, 3, 4)),
+        gt_labels=jnp.zeros((1, 3), jnp.int32),
+        gt_valid=jnp.zeros((1, 3), bool),
+    )
+    total, log_vars = detector_loss(det, variables, batch)
+    assert np.isfinite(float(total))
+    assert float(log_vars["loss_bbox"]) == 0.0  # no positives
+
+
+def test_detector_predict_shapes():
+    cfg = _tiny_model_cfg()
+    det = build_detector(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3))
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    dets, labels, valid = detector_predict(
+        det, variables, imgs,
+        img_shapes=jnp.asarray([[64., 64.], [60., 50.]]),
+        scale_factors=jnp.ones((2, 4)),
+        test_cfg=dict(nms_pre=50, score_thr=0.05,
+                      nms=dict(iou_threshold=0.6), max_per_img=10))
+    assert dets.shape == (2, 10, 5)
+    assert labels.shape == (2, 10)
+    assert valid.shape == (2, 10)
+
+
+def test_si_soft_loss_pairs_levels():
+    cfg = _tiny_model_cfg()
+    det = build_detector(cfg)
+    # batch of 3: [labeled, unlabeled-full, half-res copy] (odd batch, DSL si)
+    imgs = jnp.zeros((3, 64, 64, 3))
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.zeros((3, 2, 4)),
+        gt_labels=jnp.zeros((3, 2), jnp.int32),
+        gt_valid=jnp.zeros((3, 2), bool),
+        si_pair=dict(full=jnp.asarray(1), half=jnp.asarray(2)),
+    )
+    total, log_vars = detector_loss(det, variables, batch, cur_iter=0)
+    assert "loss_sisoft" in log_vars
+    assert np.isfinite(float(log_vars["loss_sisoft"]))
+    # warmup: before soft_warm_up iters the weight is /1000
+    _, lv_warm = detector_loss(det, variables, batch, cur_iter=0)
+    _, lv_late = detector_loss(det, variables, batch, cur_iter=100)
+    assert float(lv_late["loss_sisoft"]) == pytest.approx(
+        float(lv_warm["loss_sisoft"]) * 1000.0, rel=1e-3)
