@@ -1,0 +1,107 @@
+"""Fixed-shape batch building — the TPU replacement for DataContainer collate.
+
+The reference collates variable-sized tensors into DataContainers and pads to
+the batch max (``mmdet/datasets/builder.py`` + mmcv collate;
+``_merge_data2one_batch`` right/bottom pads two sub-batches to a common H/W,
+``builder.py:236-267``). XLA needs *static* shapes, so here every sample is
+placed into a fixed canvas bucket and GT is K-padded with validity masks:
+
+  images       (B, H, W, 3) float32, right/bottom zero-padded
+  gt_bboxes    (B, K, 4)   gt_labels (B, K)   gt_valid (B, K)
+  ignore_bboxes(B, Ki, 4)  ignore_valid (B, Ki)
+  img_shapes   (B, 2)      scale_factors (B, 4)   source_weight (B,)
+
+The scale-invariant extra input (reference
+``semi_epoch_based_runner.py:186-204``: half-res copy of the last image with
+halved gt, zero-padded) becomes one more canvas slot + ``si_pair`` indices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import cv2
+
+DEFAULT_CANVAS = (800, 1344)     # Resize(1333, 800) + pad_to_divisor 32
+DEFAULT_MAX_GT = 100
+DEFAULT_MAX_IGNORE = 60
+
+
+def format_sample(results: dict, canvas_hw=DEFAULT_CANVAS,
+                  max_gt: int = DEFAULT_MAX_GT,
+                  max_ignore: int = DEFAULT_MAX_IGNORE) -> dict:
+    """One pipeline output -> fixed-shape arrays (host numpy)."""
+    img = results["img"]
+    ch, cw = canvas_hw
+    h, w = img.shape[:2]
+    assert h <= ch and w <= cw, f"image {h}x{w} exceeds canvas {ch}x{cw}"
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:h, :w] = img
+
+    def _pad_boxes(boxes, labels, k):
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)[:k]
+        n = len(boxes)
+        out_b = np.zeros((k, 4), np.float32)
+        out_b[:n] = boxes
+        out_v = np.zeros((k,), bool)
+        out_v[:n] = True
+        out_l = np.zeros((k,), np.int32)
+        if labels is not None:
+            labels = np.asarray(labels, np.int32).reshape(-1)[:k]
+            out_l[:n] = labels
+        return out_b, out_l, out_v
+
+    gt_b, gt_l, gt_v = _pad_boxes(
+        results.get("gt_bboxes", np.zeros((0, 4))),
+        results.get("gt_labels", np.zeros((0,))), max_gt)
+    ig_b, _, ig_v = _pad_boxes(
+        results.get("gt_bboxes_ignore", np.zeros((0, 4))), None, max_ignore)
+
+    sf = np.asarray(results.get("scale_factor", np.ones(4)), np.float32)
+    return dict(
+        images=canvas,
+        gt_bboxes=gt_b, gt_labels=gt_l, gt_valid=gt_v,
+        ignore_bboxes=ig_b, ignore_valid=ig_v,
+        img_shapes=np.asarray([h, w], np.float32),
+        scale_factors=sf.reshape(4),
+        meta=results.get("img_metas", {}),
+    )
+
+
+def build_batch(samples: list[dict], source_weights=None,
+                scale_invariant: bool = False) -> dict:
+    """Stack formatted samples; optionally append the half-res SI copy."""
+    if scale_invariant:
+        samples = samples + [_half_res_copy(samples[-1])]
+    batch = {}
+    keys = [k for k in samples[0] if k != "meta"]
+    for k in keys:
+        batch[k] = np.stack([s[k] for s in samples])
+    batch["meta"] = [s.get("meta", {}) for s in samples]
+    b = len(samples)
+    if source_weights is None:
+        sw = np.ones((b,), np.float32)
+    else:
+        sw = np.asarray(list(source_weights), np.float32)
+        if scale_invariant:
+            sw = np.concatenate([sw, sw[-1:]])
+    batch["source_weight"] = sw
+    if scale_invariant:
+        batch["si_pair"] = dict(full=np.int32(b - 2), half=np.int32(b - 1))
+    return batch
+
+
+def _half_res_copy(sample: dict) -> dict:
+    """Half-resolution copy of a formatted sample (same canvas, top-left)."""
+    img = sample["images"]
+    ch, cw = img.shape[:2]
+    h, w = int(sample["img_shapes"][0]), int(sample["img_shapes"][1])
+    small = cv2.resize(img[:h, :w], (max(w // 2, 1), max(h // 2, 1)),
+                       interpolation=cv2.INTER_LINEAR)
+    canvas = np.zeros_like(img)
+    canvas[: small.shape[0], : small.shape[1]] = small
+    out = dict(sample)
+    out["images"] = canvas
+    out["gt_bboxes"] = sample["gt_bboxes"] * 0.5
+    out["img_shapes"] = sample["img_shapes"] * 0.5
+    out["scale_factors"] = sample["scale_factors"] * 0.5
+    return out
