@@ -1,0 +1,91 @@
+"""Test APIs: dataset-wide inference producing eval-ready results.
+
+Parity with ``/root/reference/mmdet/apis/test.py:16-190``
+(single_gpu_test / multi_gpu_test): iterate the dataset through the test
+pipeline, run the jitted predict step in fixed-size batches, return per-image
+``(dets (N, 5), labels (N,))`` numpy results for ``dataset.evaluate``. The
+reference's tmpdir/GPU gather is unnecessary — a single process drives the
+chip(s); multi-chip eval shards the batch over the mesh like training.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from dsl_tpu.data.formatting import DEFAULT_CANVAS
+from dsl_tpu.models.detectors.single_stage import detector_predict
+
+
+def _prep_test_image(dataset, idx, canvas_hw, img_scale=(1333, 800),
+                     img_norm=None):
+    """Run the minimal test preprocessing (resize/normalize/pad-to-canvas)."""
+    import os.path as osp
+
+    info = dataset.data_infos[idx]
+    path = osp.join(dataset.img_prefix, info["filename"]) \
+        if dataset.img_prefix else info["filename"]
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    h, w = img.shape[:2]
+    long_s, short_s = max(img_scale), min(img_scale)
+    factor = min(long_s / max(h, w), short_s / min(h, w))
+    nw, nh = int(w * factor + 0.5), int(h * factor + 0.5)
+    out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    norm = img_norm or dict(mean=(123.675, 116.28, 103.53),
+                            std=(58.395, 57.12, 57.375), to_rgb=True)
+    out = out.astype(np.float32)
+    if norm.get("to_rgb", True):
+        out = out[..., ::-1]
+    out = (out - np.asarray(norm["mean"], np.float32)) / np.asarray(
+        norm["std"], np.float32)
+    ch, cw = canvas_hw
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:min(nh, ch), :min(nw, cw)] = out[:ch, :cw]
+    sf = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
+    return canvas, np.asarray([nh, nw], np.float32), sf
+
+
+def single_device_test(detector, variables, dataset, test_cfg=None,
+                       canvas_hw=DEFAULT_CANVAS, batch_size: int = 8,
+                       img_scale=(1333, 800), img_norm=None,
+                       return_results: bool = False, evaluate: bool = True):
+    """Run inference over a dataset; returns eval metrics (and/or results)."""
+
+    @jax.jit
+    def predict(variables, images, shapes, sfs):
+        return detector_predict(detector, variables, images,
+                                img_shapes=shapes, scale_factors=sfs,
+                                test_cfg=test_cfg)
+
+    n = len(dataset)
+    results = []
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        preps = [_prep_test_image(dataset, i, canvas_hw, img_scale, img_norm)
+                 for i in idxs]
+        imgs = np.stack([p[0] for p in preps])
+        shapes = np.stack([p[1] for p in preps])
+        sfs = np.stack([p[2] for p in preps])
+        if len(idxs) < batch_size:
+            pad = batch_size - len(idxs)
+            imgs = np.concatenate([imgs, np.zeros_like(imgs[:1]).repeat(
+                pad, axis=0)])
+            shapes = np.concatenate([shapes, shapes[:1].repeat(pad, axis=0)])
+            sfs = np.concatenate([sfs, sfs[:1].repeat(pad, axis=0)])
+        dets, labels, valid = predict(variables, jnp.asarray(imgs),
+                                      jnp.asarray(shapes), jnp.asarray(sfs))
+        dets, labels, valid = (np.asarray(dets), np.asarray(labels),
+                               np.asarray(valid))
+        for bi in range(len(idxs)):
+            m = valid[bi]
+            results.append((dets[bi][m], labels[bi][m]))
+    if not evaluate:
+        return results
+    metrics = dataset.evaluate(results, verbose=False)
+    if return_results:
+        return metrics, results
+    return metrics

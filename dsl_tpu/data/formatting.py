@@ -68,25 +68,41 @@ def format_sample(results: dict, canvas_hw=DEFAULT_CANVAS,
 
 
 def build_batch(samples: list[dict], source_weights=None,
-                scale_invariant: bool = False) -> dict:
-    """Stack formatted samples; optionally append the half-res SI copy."""
+                scale_invariant: bool = False, n_shards: int = 1) -> dict:
+    """Stack formatted samples; optionally append half-res SI copies.
+
+    With ``n_shards > 1`` the sample list is treated as ``n_shards``
+    contiguous per-device groups (matching a leading-axis 'data' sharding);
+    each group gets its own SI copy of its last image so every device shard
+    has identical size, and ``si_pair`` carries index *arrays*.
+    """
+    if source_weights is None:
+        sw = [1.0] * len(samples)
+    else:
+        sw = list(source_weights)
+    si_full, si_half = [], []
     if scale_invariant:
-        samples = samples + [_half_res_copy(samples[-1])]
+        assert len(samples) % n_shards == 0
+        per = len(samples) // n_shards
+        new_samples, new_sw = [], []
+        for s in range(n_shards):
+            group = samples[s * per:(s + 1) * per]
+            gw = sw[s * per:(s + 1) * per]
+            base = len(new_samples)
+            new_samples.extend(group + [_half_res_copy(group[-1])])
+            new_sw.extend(gw + [gw[-1]])
+            si_full.append(base + per - 1)
+            si_half.append(base + per)
+        samples, sw = new_samples, new_sw
     batch = {}
     keys = [k for k in samples[0] if k != "meta"]
     for k in keys:
         batch[k] = np.stack([s[k] for s in samples])
     batch["meta"] = [s.get("meta", {}) for s in samples]
-    b = len(samples)
-    if source_weights is None:
-        sw = np.ones((b,), np.float32)
-    else:
-        sw = np.asarray(list(source_weights), np.float32)
-        if scale_invariant:
-            sw = np.concatenate([sw, sw[-1:]])
-    batch["source_weight"] = sw
+    batch["source_weight"] = np.asarray(sw, np.float32)
     if scale_invariant:
-        batch["si_pair"] = dict(full=np.int32(b - 2), half=np.int32(b - 1))
+        batch["si_pair"] = dict(full=np.asarray(si_full, np.int32),
+                                half=np.asarray(si_half, np.int32))
     return batch
 
 

@@ -230,15 +230,17 @@ def fcos_loss(head_cfg, cls_scores, bbox_preds, centernesses, batch,
     # full-res copy (same receptive scale). L2 between cls logits.
     si = batch.get("si_pair")
     if si is not None and head_cfg.soft_weight != 0.0:
-        full_idx, half_idx = si["full"], si["half"]
+        # index arrays (n_si,) — one (full, half) pair per device shard
+        full_idx = jnp.atleast_1d(jnp.asarray(si["full"]))
+        half_idx = jnp.atleast_1d(jnp.asarray(si["half"]))
         loss_sisoft = 0.0
         # half-res image's level i-1 covers the same scale as the full-res
         # image's level i (reference pairs cls_scores[i][B-2] with
         # cls_scores[i-1][B-1][:, :h, :w]).
         for i in range(1, len(cls_scores)):
             h, w = cls_scores[i].shape[1:3]
-            a = cls_scores[i][full_idx]                   # (h, w, C) full-res
-            bb = cls_scores[i - 1][half_idx][:h, :w, :]   # half-res, lvl i-1
+            a = cls_scores[i][full_idx]                 # (n, h, w, C) full-res
+            bb = cls_scores[i - 1][half_idx][:, :h, :w, :]  # half, lvl i-1
             loss_sisoft = loss_sisoft + jnp.mean((a - bb) ** 2)
         warm = jnp.where(jnp.asarray(cur_iter) > head_cfg.soft_warm_up,
                          head_cfg.soft_weight, head_cfg.soft_weight / 1000.0)

@@ -1,0 +1,194 @@
+"""Dynamic pseudo-label refresh: teacher inference → label store update.
+
+The TPU redesign of ``UnlabelPredHook``
+(``/root/reference/mmdet/runner/hooks/unlabel_pred_hook.py:370-563``):
+
+- the teacher is the EMA weight subtree inside TrainState (no second model);
+- inference is one jitted fixed-shape predict step batched over the images
+  being refreshed (vs. the reference's per-image python inference);
+- iteration mode refreshes the unlabeled images that will be consumed
+  ``preload`` steps ahead, using the sampler's deterministic epoch order
+  (replacing the reference's ``runner.ITER`` look-ahead + DataLoader-prefetch
+  offset machinery, ``:455-469,512-562``);
+- epoch mode refreshes the full unlabeled set after each epoch, then
+  recomputes ``adathres.json`` (``:447-453``);
+- optional flip-TTA (``eval_flip``) runs the flipped image too and merges by
+  the store's per-class NMS (parity with ``inference_model`` :194-242).
+"""
+
+from __future__ import annotations
+
+import functools
+import os.path as osp
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from dsl_tpu.models.detectors.single_stage import detector_predict
+from dsl_tpu.train.label_store import LabelStore, compute_adathres
+
+
+class PseudoLabelRefresher:
+    def __init__(self, detector, store: LabelStore, image_root: str,
+                 image_infos: list[dict], test_cfg: dict | None = None,
+                 canvas_hw=(800, 1344), img_scale=(1333, 800),
+                 img_norm=dict(mean=(123.675, 116.28, 103.53),
+                               std=(58.395, 57.12, 57.375), to_rgb=True),
+                 infer_score_thre: float = 0.1, iou: float = 0.6,
+                 fuse_history: bool = False, first_fuse: bool = False,
+                 first_score_thre: float = 0.1, use_ema: bool = True,
+                 eval_flip: bool = False, mode: str = "iteration",
+                 interval: int = 1, start_point: int = 8, preload: int = 6,
+                 refresh_batch: int = 8):
+        self.detector = detector
+        self.store = store
+        self.image_root = image_root
+        self.image_infos = list(image_infos)   # dicts w/ filename,width,height
+        self.test_cfg = test_cfg
+        self.canvas_hw = tuple(canvas_hw)
+        self.img_scale = tuple(img_scale)
+        self.img_norm = img_norm
+        self.infer_score_thre = infer_score_thre
+        self.iou = iou
+        self.fuse_history = fuse_history
+        self.first_fuse = first_fuse
+        self.first_score_thre = first_score_thre
+        self.use_ema = use_ema
+        self.eval_flip = eval_flip
+        self.mode = mode
+        self.interval = interval
+        self.start_point = start_point
+        self.preload = preload
+        self.refresh_batch = refresh_batch
+        self._first_done = False
+        self._predict = None
+
+    # -- jitted predict ----------------------------------------------------
+    def _get_predict(self):
+        if self._predict is None:
+            det, tc = self.detector, self.test_cfg
+
+            @jax.jit
+            def predict(variables, images, img_shapes, scale_factors):
+                return detector_predict(det, variables, images,
+                                        img_shapes=img_shapes,
+                                        scale_factors=scale_factors,
+                                        test_cfg=tc)
+
+            self._predict = predict
+        return self._predict
+
+    # -- host preprocessing (test pipeline: resize/normalize/pad) ----------
+    def _prep(self, filename: str):
+        path = osp.join(self.image_root, filename)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            return None
+        h, w = img.shape[:2]
+        long_s, short_s = max(self.img_scale), min(self.img_scale)
+        factor = min(long_s / max(h, w), short_s / min(h, w))
+        nw, nh = int(w * factor + 0.5), int(h * factor + 0.5)
+        out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        mean = np.asarray(self.img_norm["mean"], np.float32)
+        std = np.asarray(self.img_norm["std"], np.float32)
+        out = out.astype(np.float32)
+        if self.img_norm.get("to_rgb", True):
+            out = out[..., ::-1]
+        out = (out - mean) / std
+        ch, cw = self.canvas_hw
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:nh, :nw] = out[:ch, :cw]
+        sf = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
+        return canvas, np.asarray([nh, nw], np.float32), sf
+
+    # -- core: refresh a list of images ------------------------------------
+    def refresh_images(self, state, filenames: list[str]):
+        """Run teacher inference on ``filenames`` and update the store."""
+        variables = (state.teacher_variables if self.use_ema
+                     else state.student_variables)
+        predict = self._get_predict()
+
+        fuse = self.fuse_history or (self.first_fuse and not self._first_done)
+        first_ignore = not self.fuse_history and not (
+            self.first_fuse and not self._first_done)
+
+        todo = []
+        for name in filenames:
+            prep = self._prep(name)
+            if prep is not None:
+                todo.append((name, *prep))
+        bs = self.refresh_batch
+        for i in range(0, len(todo), bs):
+            chunk = todo[i:i + bs]
+            names = [c[0] for c in chunk]
+            imgs = np.stack([c[1] for c in chunk])
+            shapes = np.stack([c[2] for c in chunk])
+            sfs = np.stack([c[3] for c in chunk])
+            if len(chunk) < bs:  # pad to static batch
+                pad = bs - len(chunk)
+                imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
+                shapes = np.concatenate([shapes, shapes[:pad]])
+                sfs = np.concatenate([sfs, sfs[:pad]])
+            variants = [imgs]
+            if self.eval_flip:
+                variants.append(imgs[:, :, ::-1].copy())
+            all_dets = [[] for _ in names]
+            all_labels = [[] for _ in names]
+            for vi, v in enumerate(variants):
+                dets, labels, valid = predict(
+                    variables, jnp.asarray(v), jnp.asarray(shapes),
+                    jnp.asarray(sfs))
+                dets = np.asarray(dets)
+                labels = np.asarray(labels)
+                valid = np.asarray(valid)
+                for bi, name in enumerate(names):
+                    d = dets[bi][valid[bi]]
+                    l = labels[bi][valid[bi]]
+                    if vi == 1:  # unflip boxes back to original coords
+                        info = next(x for x in self.image_infos
+                                    if x["filename"] == name)
+                        ow = info["width"]
+                        d = d.copy()
+                        d[:, [0, 2]] = ow - d[:, [2, 0]]
+                    all_dets[bi].append(d)
+                    all_labels[bi].append(l)
+            for bi, name in enumerate(names):
+                d = np.concatenate(all_dets[bi]) if all_dets[bi] else \
+                    np.zeros((0, 5), np.float32)
+                l = np.concatenate(all_labels[bi]) if all_labels[bi] else \
+                    np.zeros((0,), np.int64)
+                self.store.update(
+                    name, d[:, :4], d[:, 4], l,
+                    infer_score_thre=(self.first_score_thre
+                                      if not self._first_done
+                                      else self.infer_score_thre),
+                    iou=self.iou, fuse=fuse, first_ignore=False)
+        self._first_done = True
+
+    # -- scheduling --------------------------------------------------------
+    def after_train_iter(self, state, epoch: int, upcoming: list[str],
+                         iter_in_epoch: int, consumed_per_iter: int):
+        """Iteration mode: refresh the unlabeled images ``preload`` iters
+        ahead of the consumer (reference ``:455-469``)."""
+        if self.mode != "iteration" or epoch + 1 < self.start_point:
+            return
+        if self.interval <= 0 or (iter_in_epoch + 1) % self.interval != 0:
+            return
+        pos = (iter_in_epoch + self.preload) * consumed_per_iter
+        names = upcoming[pos: pos + consumed_per_iter]
+        if names:
+            self.refresh_images(state, names)
+
+    def after_train_epoch(self, state, epoch: int, adathres_file: str | None,
+                          adathres_settings: dict | None = None):
+        """Epoch mode: full refresh; both modes: recompute adathres
+        (reference ``:447-453`` + ``adathres`` on rank 0)."""
+        if self.mode == "epoch" and epoch + 1 >= self.start_point:
+            self.refresh_images(
+                state, [i["filename"] for i in self.image_infos])
+        if adathres_file and epoch + 1 >= self.start_point:
+            compute_adathres(
+                self.store, [i["filename"] for i in self.image_infos],
+                adathres_file, **(adathres_settings or {}))

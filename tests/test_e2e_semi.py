@@ -1,0 +1,175 @@
+"""End-to-end semi-supervised training slice on synthetic data (CPU mesh).
+
+The integration test the reference never had (SURVEY.md §4 lesson (f)):
+config -> datasets -> MultiDataLoader -> jitted train step w/ EMA ->
+per-iteration pseudo-label refresh -> adathres -> checkpoint -> eval.
+"""
+
+import json
+import os
+
+import numpy as np
+import cv2
+import pytest
+
+from dsl_tpu.config import Config
+
+
+def _make_data_dir(root, n_label=4, n_unlabel=4, n_val=2, size=(64, 80)):
+    h, w = size
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+
+    def _write_imgs(prefix, n):
+        names = []
+        for i in range(n):
+            name = f"{prefix}{i}.jpg"
+            img = rng.randint(0, 255, (h, w, 3), np.uint8)
+            cv2.rectangle(img, (10, 10), (40, 40), (255, 255, 255), -1)
+            cv2.imwrite(str(img_dir / name), img)
+            names.append(name)
+        return names
+
+    lab = _write_imgs("lab", n_label)
+    unl = _write_imgs("unl", n_unlabel)
+    val = _write_imgs("val", n_val)
+
+    def _coco(names, with_anns=True):
+        return dict(
+            images=[dict(id=i + 1, file_name=n, width=w, height=h)
+                    for i, n in enumerate(names)],
+            categories=[dict(id=1, name="thing"), dict(id=2, name="other")],
+            annotations=[
+                dict(id=i + 1, image_id=i + 1, category_id=1,
+                     bbox=[10, 10, 30, 30], area=900, iscrowd=0)
+                for i in range(len(names))] if with_anns else [])
+
+    (root / "lab.json").write_text(json.dumps(_coco(lab)))
+    (root / "unl.json").write_text(json.dumps(_coco(unl, with_anns=False)))
+    (root / "val.json").write_text(json.dumps(_coco(val)))
+
+    # label store dirs
+    lab_store = root / "annos_label"
+    unl_store = root / "annos_unlabel"
+    lab_store.mkdir()
+    unl_store.mkdir()
+    for n in lab:
+        (lab_store / f"{n}.json").write_text(json.dumps(dict(
+            imageName="full/" + n, targetNum=1, rects=[[10, 10, 40, 40]],
+            tags=["thing"], masks=[])))
+    for n in unl:
+        (unl_store / f"{n}.json").write_text(json.dumps(dict(
+            imageName="full/" + n, targetNum=1, rects=[[10, 10, 40, 40]],
+            tags=["thing"], scores=[0.9], masks=[])))
+    (root / "cat_info.json").write_text(json.dumps(dict(
+        cat2id={"thing": 0, "other": 1, "bg": 2},
+        id2cat={"0": "thing", "1": "other", "2": "bg"})))
+    return dict(lab=lab, unl=unl, val=val)
+
+
+def _make_cfg(root, adathres_path):
+    pipeline = [
+        dict(type="LoadImageFromFile"),
+        dict(type="LoadAnnotations", with_bbox=True),
+        dict(type="Resize", img_scale=(80, 64), keep_ratio=True),
+        dict(type="RandomFlip", flip_ratio=0.5),
+        dict(type="Normalize", mean=[0, 0, 0], std=[255, 255, 255],
+             to_rgb=True),
+        dict(type="Pad", size_divisor=32),
+    ]
+    cfg = Config(dict(
+        model=dict(
+            type="FCOS",
+            backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3),
+                          frozen_stages=1),
+            neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                      out_channels=32, start_level=1,
+                      add_extra_convs="on_output", num_outs=5,
+                      relu_before_extra_convs=True),
+            bbox_head=dict(type="FCOSHead", num_classes=2, in_channels=32,
+                           stacked_convs=1, feat_channels=32,
+                           strides=[8, 16, 32, 64, 128], norm_on_bbox=True,
+                           centerness_on_reg=True, center_sampling=True,
+                           loss_weight=3.0, soft_weight=1.0, soft_warm_up=2),
+            test_cfg=dict(nms_pre=100, score_thr=0.05,
+                          nms=dict(type="nms", iou_threshold=0.6),
+                          max_per_img=10)),
+        canvas_hw=(64, 96),
+        data=dict(
+            samples_per_gpu=2,
+            workers_per_gpu=1,
+            batch_config=dict(ratio=[[1, 1]]),
+            train=dict(type="SemiCOCODataset", ann_file=str(root / "lab.json"),
+                       ann_path=str(root / "annos_label"),
+                       labelmapper=str(root / "cat_info.json"),
+                       img_prefix=str(root / "images"),
+                       classes=("thing", "other"), pipeline=pipeline),
+            unlabel_train=dict(
+                type="SemiCOCODataset", ann_file=str(root / "unl.json"),
+                ann_path=str(root / "annos_unlabel"),
+                labelmapper=str(root / "cat_info.json"),
+                img_prefix=str(root / "images"),
+                classes=("thing", "other"),
+                thres=adathres_path, pipeline=pipeline),
+            unlabel_pred=dict(
+                type="SemiCOCODataset",
+                image_root_path=str(root / "images"),
+                anno_root_path=str(root / "annos_unlabel"),
+                category_info_path=str(root / "cat_info.json"),
+                infer_score_thre=0.1,
+                eval_config={"iou": [0.6]},
+                use_ema=True, eval_flip=False, fuse_history=False,
+                first_fuse=False, first_score_thre=0.1,
+                eval_checkpoint_config=dict(interval=1, mode="iteration"),
+                preload=0, start_point=1),
+            val=dict(type="CocoDataset", ann_file=str(root / "val.json"),
+                     img_prefix=str(root / "images"),
+                     classes=("thing", "other"), pipeline=pipeline),
+        ),
+        optimizer=dict(type="SGD", lr=0.001, momentum=0.9, weight_decay=1e-4,
+                       paramwise_cfg=dict(bias_lr_mult=2.0,
+                                          bias_decay_mult=0.0)),
+        optimizer_config=dict(grad_clip=dict(max_norm=35)),
+        lr_config=dict(policy="step", warmup="linear", warmup_iters=2,
+                       warmup_ratio=1.0 / 3, step=[100]),
+        runner=dict(type="SemiEpochBasedRunner", max_epochs=1),
+        evaluation=dict(interval=1, metric="bbox"),
+        checkpoint_config=dict(interval=1),
+        ema_config=dict(interval=1, mode="iteration", ratio=0.9,
+                        start_point=1),
+        scale_invariant=True,
+        log_config=dict(interval=1),
+    ))
+    return cfg
+
+
+@pytest.mark.slow
+def test_end_to_end_semi_training(tmp_path):
+    _make_data_dir(tmp_path)
+    adathres_path = str(tmp_path / "adathres.json")
+    cfg = _make_cfg(tmp_path, adathres_path)
+    work_dir = str(tmp_path / "work")
+
+    from dsl_tpu.apis.train import train_detector
+
+    # capture the unlabeled store content before training
+    unl_file = tmp_path / "annos_unlabel" / "unl0.jpg.json"
+    before = unl_file.read_text()
+
+    runner = train_detector(cfg, work_dir, max_devices=1)
+
+    # 1 epoch ran, steps advanced
+    assert runner.epoch == 1
+    assert int(np.asarray(runner.state.step)) > 0
+    # EMA teacher diverged from student (both updated)
+    t = runner.state.teacher_params["bbox_head"]["conv_cls"]["kernel"]
+    s = runner.state.params["bbox_head"]["conv_cls"]["kernel"]
+    assert float(np.abs(np.asarray(t) - np.asarray(s)).sum()) > 0
+    # pseudo-labels were refreshed (file rewritten with scores key)
+    refreshed = json.loads(unl_file.read_text())
+    assert "scores" in refreshed
+    # adathres produced
+    assert os.path.exists(adathres_path)
+    # checkpoint written
+    assert os.path.exists(os.path.join(work_dir, "epoch_1.meta.json"))
