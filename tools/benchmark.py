@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Inference FPS benchmark (reference parity:
+``tools/analysis_tools/benchmark.py:51-122`` — CUDA-event bracketing becomes
+a device→host fetch of the chained result, which is what actually
+round-trips through the TPU relay).
+"""
+
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config", nargs="?", default=None)
+    p.add_argument("checkpoint", nargs="?", default=None)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--shape", type=int, nargs=2, default=[800, 1344])
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=5)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsl_tpu.models.detectors.single_stage import (
+        build_detector, detector_predict)
+
+    if args.config:
+        from dsl_tpu.config import Config
+
+        cfg = Config.fromfile(args.config)
+        model_cfg = dict(cfg.model)
+        test_cfg = dict(cfg.model.get("test_cfg", {}) or {})
+    else:
+        sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+        from __graft_entry__ import _flagship_detector
+
+        det = _flagship_detector()
+        model_cfg = None
+        test_cfg = dict(nms_pre=1000, score_thr=0.05,
+                        nms=dict(iou_threshold=0.6), max_per_img=100)
+    if model_cfg is not None:
+        det = build_detector(model_cfg)
+
+    h, w = args.shape
+    b = args.batch_size
+    imgs = jnp.asarray(np.random.rand(b, h, w, 3), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs[:1])
+    shapes = jnp.asarray(np.tile([[h, w]], (b, 1)), jnp.float32)
+    sfs = jnp.ones((b, 4), jnp.float32)
+
+    @jax.jit
+    def predict(v, im):
+        return detector_predict(det, v, im, img_shapes=shapes,
+                                scale_factors=sfs, test_cfg=test_cfg)
+
+    dets, labels, valid = predict(variables, imgs)
+    _ = np.asarray(dets)  # compile + force
+    for _ in range(args.warmup):
+        dets, _, _ = predict(variables, imgs)
+    _ = np.asarray(dets)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        dets, _, _ = predict(variables, imgs)
+    _ = np.asarray(dets)
+    dt = time.perf_counter() - t0
+    fps = b * args.iters / dt
+    print(f"inference: {fps:.2f} img/s ({dt / args.iters * 1000:.2f} "
+          f"ms/iter, batch {b}, {h}x{w})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,20 @@
+#!/usr/bin/env python
+"""Print a fully-resolved config (reference parity: tools/misc/print_config.py)."""
+
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from dsl_tpu.config import Config
+from dsl_tpu.config.config import DictAction
+
+p = argparse.ArgumentParser()
+p.add_argument("config")
+p.add_argument("--cfg-options", nargs="+", action=DictAction)
+args = p.parse_args()
+cfg = Config.fromfile(args.config)
+if args.cfg_options:
+    cfg.merge_from_dict(args.cfg_options)
+print(cfg.pretty_text)
