@@ -1,3 +1,7 @@
 from dsl_tpu.data.datasets.custom import CustomDataset  # noqa: F401
 from dsl_tpu.data.datasets.coco import CocoDataset, COCO_CLASSES  # noqa: F401
 from dsl_tpu.data.datasets.semicoco import SemiCOCODataset  # noqa: F401
+from dsl_tpu.data.datasets.voc import (  # noqa: F401
+    VOCDataset, VOC_CLASSES, XMLDataset)
+from dsl_tpu.data.datasets.semivoc import SemiVOCDataset  # noqa: F401
+from dsl_tpu.data.datasets.voc2coco import Voc2CocoDataset  # noqa: F401
