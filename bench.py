@@ -51,7 +51,7 @@ def main():
         steps_per_epoch=1000, frozen_mask=frozen)
     state = create_train_state(variables, tx)
     step = make_train_step(det, tx, ema_ratio=0.99, ema_interval=1,
-                           ema_start_iter=1)
+                           ema_start_iter=1, compute_dtype=jnp.bfloat16)
     jstep = jax.jit(step, donate_argnums=(0,))
 
     batch = _make_semi_batch(jnp, b=batch_size, size=64)
@@ -76,7 +76,7 @@ def main():
     print(json.dumps({
         "metric": "semi_train_step_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
-        "unit": "img/s/chip @800x1344 bs4 fcos-rla-r50",
+        "unit": "img/s/chip @800x1344 bs4 fcos-rla-r50 bf16",
         "vs_baseline": round(img_per_sec / V100_REF_IMG_PER_SEC, 3),
     }))
 

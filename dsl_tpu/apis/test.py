@@ -37,14 +37,21 @@ def _prep_test_image(dataset, idx, canvas_hw, img_scale=(1333, 800),
     out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
     norm = img_norm or dict(mean=(123.675, 116.28, 103.53),
                             std=(58.395, 57.12, 57.375), to_rgb=True)
-    out = out.astype(np.float32)
-    if norm.get("to_rgb", True):
-        out = out[..., ::-1]
-    out = (out - np.asarray(norm["mean"], np.float32)) / np.asarray(
-        norm["std"], np.float32)
     ch, cw = canvas_hw
-    canvas = np.zeros((ch, cw, 3), np.float32)
-    canvas[:min(nh, ch), :min(nw, cw)] = out[:ch, :cw]
+    from dsl_tpu.native import native_normalize_pad
+
+    canvas = native_normalize_pad(
+        out, np.asarray(norm["mean"], np.float32),
+        np.asarray(norm["std"], np.float32), norm.get("to_rgb", True),
+        (ch, cw))
+    if canvas is None:  # no native toolchain: numpy fallback
+        outf = out.astype(np.float32)
+        if norm.get("to_rgb", True):
+            outf = outf[..., ::-1]
+        outf = (outf - np.asarray(norm["mean"], np.float32)) / np.asarray(
+            norm["std"], np.float32)
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:min(nh, ch), :min(nw, cw)] = outf[:ch, :cw]
     sf = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
     return canvas, np.asarray([nh, nw], np.float32), sf
 

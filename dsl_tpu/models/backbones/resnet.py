@@ -37,6 +37,7 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     style: str = "pytorch"
     norm_cfg: dict | None = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -58,6 +59,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     style: str = "pytorch"
     norm_cfg: dict | None = None
+    dtype: Any = jnp.float32
     expansion: int = 4
 
     @nn.compact

@@ -87,10 +87,16 @@ def _parse_losses(losses: dict) -> tuple[jnp.ndarray, dict]:
 
 
 def detector_loss(detector, variables, batch, cur_iter=0,
-                  axis_name: str | None = None):
-    """Training forward + loss. ``batch['images']`` is NHWC float."""
-    cls_scores, bbox_preds, centernesses = detector.apply(
-        variables, batch["images"], training=True)
+                  axis_name: str | None = None, compute_dtype=None):
+    """Training forward + loss. ``batch['images']`` is NHWC float.
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv forward in bf16 with f32
+    master weights; losses are always f32 (reference ``@force_fp32``)."""
+    from dsl_tpu.utils.precision import outputs_to_f32, to_compute
+
+    fwd_vars, images = to_compute(variables, batch["images"], compute_dtype)
+    outputs = detector.apply(fwd_vars, images, training=True)
+    cls_scores, bbox_preds, centernesses = outputs_to_f32(outputs)
     losses = fcos_loss(detector.bbox_head, cls_scores, bbox_preds,
                        centernesses, batch, cur_iter=cur_iter,
                        axis_name=axis_name)
@@ -98,12 +104,16 @@ def detector_loss(detector, variables, batch, cur_iter=0,
 
 
 def detector_predict(detector, variables, images, img_shapes=None,
-                     scale_factors=None, test_cfg: dict | None = None):
+                     scale_factors=None, test_cfg: dict | None = None,
+                     compute_dtype=None):
     """Inference forward + decode + NMS (``simple_test`` path, §3.4)."""
+    from dsl_tpu.utils.precision import outputs_to_f32, to_compute
+
     tc = dict(test_cfg or detector.test_cfg or {})
     nms_cfg = dict(tc.get("nms", {}) or {})
-    cls_scores, bbox_preds, centernesses = detector.apply(
-        variables, images, training=False)
+    fwd_vars, images = to_compute(variables, images, compute_dtype)
+    outputs = detector.apply(fwd_vars, images, training=False)
+    cls_scores, bbox_preds, centernesses = outputs_to_f32(outputs)
     return fcos_get_bboxes(
         detector.bbox_head, cls_scores, bbox_preds, centernesses,
         img_shapes=img_shapes, scale_factors=scale_factors,

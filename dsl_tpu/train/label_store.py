@@ -28,9 +28,17 @@ import numpy as np
 
 def numpy_nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float,
               score_threshold: float = 0.0) -> np.ndarray:
-    """Greedy hard-NMS on host; returns kept indices in score order."""
+    """Greedy hard-NMS on host; returns kept indices in score order.
+
+    Uses the C++ native op (``dsl_tpu/native``) when built; numpy fallback
+    otherwise — identical greedy semantics either way."""
     if len(boxes) == 0:
         return np.zeros((0,), np.int64)
+    from dsl_tpu.native import native_nms
+
+    kept = native_nms(boxes, scores, iou_threshold, score_threshold)
+    if kept is not None:
+        return kept
     keep_mask = scores >= score_threshold
     idx_map = np.where(keep_mask)[0]
     boxes, scores = boxes[keep_mask], scores[keep_mask]

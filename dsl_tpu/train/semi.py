@@ -93,13 +93,18 @@ class PseudoLabelRefresher:
         out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
         mean = np.asarray(self.img_norm["mean"], np.float32)
         std = np.asarray(self.img_norm["std"], np.float32)
-        out = out.astype(np.float32)
-        if self.img_norm.get("to_rgb", True):
-            out = out[..., ::-1]
-        out = (out - mean) / std
         ch, cw = self.canvas_hw
-        canvas = np.zeros((ch, cw, 3), np.float32)
-        canvas[:nh, :nw] = out[:ch, :cw]
+        from dsl_tpu.native import native_normalize_pad
+
+        canvas = native_normalize_pad(
+            out, mean, std, self.img_norm.get("to_rgb", True), (ch, cw))
+        if canvas is None:  # numpy fallback when g++ is unavailable
+            outf = out.astype(np.float32)
+            if self.img_norm.get("to_rgb", True):
+                outf = outf[..., ::-1]
+            outf = (outf - mean) / std
+            canvas = np.zeros((ch, cw, 3), np.float32)
+            canvas[:nh, :nw] = outf[:ch, :cw]
         sf = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
         return canvas, np.asarray([nh, nw], np.float32), sf
 

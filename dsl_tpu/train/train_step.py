@@ -25,14 +25,18 @@ from dsl_tpu.train.train_state import TrainState, ema_update
 
 def make_train_step(detector, tx, ema_ratio: float = 0.99,
                     ema_interval: int = 1, ema_start_iter: int = 0,
-                    donate: bool = True) -> Callable:
-    """Build ``train_step(state, batch) -> (state, metrics)`` (un-jitted)."""
+                    donate: bool = True, compute_dtype=None) -> Callable:
+    """Build ``train_step(state, batch) -> (state, metrics)`` (un-jitted).
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision (bf16 forward,
+    f32 master weights / loss / optimizer)."""
 
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             total, log_vars = detector_loss(
-                detector, variables, batch, cur_iter=state.step)
+                detector, variables, batch, cur_iter=state.step,
+                compute_dtype=compute_dtype)
             return total, log_vars
 
         (loss, log_vars), grads = jax.value_and_grad(
