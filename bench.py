@@ -52,7 +52,8 @@ def main():
         steps_per_epoch=1000, frozen_mask=frozen)
     state = create_train_state(variables, tx)
     step = make_train_step(det, tx, ema_ratio=0.99, ema_interval=1,
-                           ema_start_iter=1, compute_dtype=jnp.bfloat16)
+                           ema_start_iter=1, compute_dtype=jnp.bfloat16,
+                           frozen_mask=frozen)
     jstep = jax.jit(step, donate_argnums=(0,))
 
     batch = _make_semi_batch(jnp, b=batch_size, size=64)

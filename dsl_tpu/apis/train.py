@@ -106,6 +106,7 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
     ema_cfg = dict(cfg.get("ema_config", {}) or {})
     train_step = make_train_step(
         detector, tx,
+        frozen_mask=frozen,
         ema_ratio=ema_cfg.get("ratio", 0.99),
         ema_interval=ema_cfg.get("interval", 1)
         if ema_cfg.get("mode", "iteration") == "iteration" else -1,

@@ -25,22 +25,56 @@ from dsl_tpu.train.train_state import TrainState, ema_update
 
 def make_train_step(detector, tx, ema_ratio: float = 0.99,
                     ema_interval: int = 1, ema_start_iter: int = 0,
-                    donate: bool = True, compute_dtype=None) -> Callable:
+                    donate: bool = True, compute_dtype=None,
+                    frozen_mask=None) -> Callable:
     """Build ``train_step(state, batch) -> (state, metrics)`` (un-jitted).
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision (bf16 forward,
-    f32 master weights / loss / optimizer)."""
+    f32 master weights / loss / optimizer). ``frozen_mask`` (bool pytree,
+    True = frozen) makes ``jax.grad`` differentiate only the trainable
+    subtree — frozen-stage gradients are never computed, not just zeroed
+    (the compute-level analog of requires_grad=False)."""
 
     def train_step(state: TrainState, batch: dict):
-        def loss_fn(params):
+        if frozen_mask is not None:
+            frozen_flat = jax.tree_util.tree_leaves(frozen_mask)
+            leaves, treedef = jax.tree_util.tree_flatten(state.params)
+            trainable = [l for l, f in zip(leaves, frozen_flat) if not f]
+            frozen = [l for l, f in zip(leaves, frozen_flat) if f]
+
+            def _merge(train_leaves):
+                ti, fi, out = 0, 0, []
+                for f in frozen_flat:
+                    if f:
+                        out.append(frozen[fi])
+                        fi += 1
+                    else:
+                        out.append(train_leaves[ti])
+                        ti += 1
+                return jax.tree_util.tree_unflatten(treedef, out)
+        else:
+            def _merge(train_leaves):
+                return train_leaves
+            trainable = state.params
+
+        def loss_fn(trainable_params):
+            params = _merge(trainable_params)
             variables = {"params": params, "batch_stats": state.batch_stats}
             total, log_vars = detector_loss(
                 detector, variables, batch, cur_iter=state.step,
                 compute_dtype=compute_dtype)
             return total, log_vars
 
-        (loss, log_vars), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        (loss, log_vars), t_grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable)
+        if frozen_mask is not None:
+            # expand back to the full tree with zero grads on frozen leaves
+            zi = iter(t_grads)
+            full = [jnp.zeros_like(l) if f else next(zi)
+                    for l, f in zip(leaves, frozen_flat)]
+            grads = jax.tree_util.tree_unflatten(treedef, full)
+        else:
+            grads = t_grads
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         new_params = jax.tree_util.tree_map(
