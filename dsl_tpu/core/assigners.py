@@ -1,0 +1,130 @@
+"""Assigners and samplers for anchor-based heads — fixed-shape, vmappable.
+
+Parity targets:
+- MaxIoUAssigner ``/root/reference/mmdet/core/bbox/assigners/max_iou_assigner.py:1-212``
+- ATSSAssigner ``atss_assigner.py`` (adaptive per-GT IoU threshold =
+  mean + std of the IoU of the topk-by-center-distance candidates per level)
+- PseudoSampler ``samplers/pseudo_sampler.py`` (use every pos/neg — the only
+  sampler dense heads need; implicit here since everything is dense masks).
+
+Assignment results are dense per-anchor arrays: ``assigned_gt`` index (−1 =
+negative, −2 = ignore), labels, and max-IoU — no dynamic-length pos lists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dsl_tpu.core.boxes import bbox_overlaps
+
+
+def _max_iou_assign_single(anchors, gt_bboxes, gt_labels, gt_valid,
+                           pos_iou_thr, neg_iou_thr, min_pos_iou,
+                           num_classes, match_low_quality):
+    """(A,) labels (num_classes = bg), (A,) assigned gt idx, (A,) weights."""
+    ious = bbox_overlaps(anchors, gt_bboxes)             # (A, K)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    max_iou = jnp.max(ious, axis=1)                      # (A,)
+    argmax = jnp.argmax(ious, axis=1)
+
+    # base assignment
+    is_pos = max_iou >= pos_iou_thr
+    is_neg = (max_iou < neg_iou_thr) & (max_iou >= 0)
+
+    if match_low_quality:
+        # each gt forces its best anchor positive when iou >= min_pos_iou
+        gt_best_iou = jnp.max(ious, axis=0)              # (K,)
+        # anchor a is the best for gt k (gt_max_assign_all=True semantics:
+        # all anchors sharing the max iou)
+        is_best = (ious == gt_best_iou[None, :]) & \
+            (gt_best_iou[None, :] >= min_pos_iou) & gt_valid[None, :]
+        forced = jnp.any(is_best, axis=1)
+        forced_gt = jnp.argmax(is_best, axis=1)
+        argmax = jnp.where(forced & ~is_pos, forced_gt, argmax)
+        is_pos = is_pos | forced
+        is_neg = is_neg & ~forced
+
+    labels = jnp.where(is_pos, gt_labels[argmax], num_classes)
+    weights = jnp.where(is_pos | is_neg, 1.0, 0.0)       # between-thrs ignored
+    assigned = jnp.where(is_pos, argmax, -1)
+    return labels.astype(jnp.int32), assigned.astype(jnp.int32), \
+        weights.astype(jnp.float32), max_iou
+
+
+@partial(jax.jit, static_argnames=("pos_iou_thr", "neg_iou_thr",
+                                   "min_pos_iou", "num_classes",
+                                   "match_low_quality"))
+def max_iou_assign(anchors, gt_bboxes, gt_labels, gt_valid,
+                   pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
+                   num_classes=80, match_low_quality=True):
+    """Batched MaxIoU assignment.
+
+    anchors: (A, 4); gt_*: (B, K, ...). Returns labels (B, A),
+    assigned_gt (B, A), weights (B, A), max_iou (B, A).
+    """
+    single = partial(_max_iou_assign_single, anchors,
+                     pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+                     min_pos_iou=min_pos_iou, num_classes=num_classes,
+                     match_low_quality=match_low_quality)
+    return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)
+
+
+def _atss_assign_single(anchors, num_anchors_per_level, topk, gt_bboxes,
+                        gt_labels, gt_valid, num_classes):
+    """ATSS: candidates = topk closest anchors per level per gt; threshold =
+    mean+std of candidate IoUs; positives must have center inside gt."""
+    a = anchors.shape[0]
+    ious = bbox_overlaps(anchors, gt_bboxes)             # (A, K)
+    ious = jnp.where(gt_valid[None, :], ious, 0.0)
+    anchor_cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    anchor_cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    gt_cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) * 0.5
+    gt_cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) * 0.5
+    dist = jnp.sqrt((anchor_cx[:, None] - gt_cx[None, :]) ** 2
+                    + (anchor_cy[:, None] - gt_cy[None, :]) ** 2)  # (A, K)
+
+    # top-k closest per level -> candidate mask (A, K)
+    cand = jnp.zeros_like(dist, dtype=bool)
+    start = 0
+    for n in num_anchors_per_level:
+        lvl_dist = jax.lax.dynamic_slice_in_dim(dist, start, n, axis=0)
+        k = min(topk, n)
+        # threshold distance = k-th smallest per gt within the level
+        kth = -jax.lax.top_k(-lvl_dist.T, k)[0][:, -1]   # (K,)
+        lvl_cand = lvl_dist <= kth[None, :]
+        cand = jax.lax.dynamic_update_slice_in_dim(
+            cand, lvl_cand, start, axis=0)
+        start += n
+
+    cand_ious = jnp.where(cand, ious, jnp.nan)
+    mean = jnp.nanmean(cand_ious, axis=0)                # (K,)
+    std = jnp.sqrt(jnp.nanmean((cand_ious - mean[None, :]) ** 2, axis=0))
+    thr = mean + std                                     # (K,)
+
+    inside = ((anchor_cx[:, None] > gt_bboxes[None, :, 0])
+              & (anchor_cx[:, None] < gt_bboxes[None, :, 2])
+              & (anchor_cy[:, None] > gt_bboxes[None, :, 1])
+              & (anchor_cy[:, None] < gt_bboxes[None, :, 3]))
+    pos_mask = cand & (ious >= thr[None, :]) & inside & gt_valid[None, :]
+
+    # each anchor takes the gt with max IoU among its positive matches
+    pos_ious = jnp.where(pos_mask, ious, -1.0)
+    max_iou = jnp.max(pos_ious, axis=1)
+    argmax = jnp.argmax(pos_ious, axis=1)
+    is_pos = max_iou > 0
+    labels = jnp.where(is_pos, gt_labels[argmax], num_classes)
+    assigned = jnp.where(is_pos, argmax, -1)
+    weights = jnp.ones((a,), jnp.float32)
+    return labels.astype(jnp.int32), assigned.astype(jnp.int32), weights, \
+        jnp.where(is_pos, max_iou, jnp.max(ious, axis=1))
+
+
+def atss_assign(anchors, num_anchors_per_level, gt_bboxes, gt_labels,
+                gt_valid, topk=9, num_classes=80):
+    single = partial(_atss_assign_single, anchors,
+                     tuple(num_anchors_per_level), topk,
+                     num_classes=num_classes)
+    return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)

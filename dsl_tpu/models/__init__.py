@@ -3,6 +3,11 @@ from dsl_tpu.models.backbones.rla_resnet import RLAResNet  # noqa: F401
 from dsl_tpu.models.necks.fpn import FPN  # noqa: F401
 from dsl_tpu.models.dense_heads.fcos_head import (  # noqa: F401
     FCOSHead, fcos_get_bboxes, fcos_loss)
+from dsl_tpu.models.dense_heads.retina_head import (  # noqa: F401
+    RetinaHead, retina_get_bboxes, retina_loss)
 from dsl_tpu.models.detectors.single_stage import (  # noqa: F401
-    FCOS, SingleStageDetector, build_detector, detector_loss,
-    detector_predict)
+    ATSS, FCOS, RetinaNet, SingleStageDetector, build_detector,
+    detector_loss, detector_predict)
+from dsl_tpu.models.detectors.multi_head import (  # noqa: F401
+    FCOSMultiHead, SingleStageMultiHeadDetector, build_multi_head_detector,
+    multi_head_loss, multi_head_predict)

@@ -49,6 +49,18 @@ class FCOS(SingleStageDetector):
     (``mmdet/models/detectors/fcos.py``)."""
 
 
+@DETECTORS.register
+class RetinaNet(SingleStageDetector):
+    """RetinaNet = SingleStageDetector with a RetinaHead
+    (``mmdet/models/detectors/retinanet.py``)."""
+
+
+@DETECTORS.register
+class ATSS(SingleStageDetector):
+    """ATSS = SingleStageDetector with an ATSS-assigned anchor head
+    (``mmdet/models/detectors/atss.py``)."""
+
+
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     """Build a detector module tree from a model config dict."""
     cfg = dict(cfg)
@@ -88,7 +100,7 @@ def _parse_losses(losses: dict) -> tuple[jnp.ndarray, dict]:
 
 def detector_loss(detector, variables, batch, cur_iter=0,
                   axis_name: str | None = None, compute_dtype=None):
-    """Training forward + loss. ``batch['images']`` is NHWC float.
+    """Training forward + loss, dispatched on the head type.
 
     ``compute_dtype=jnp.bfloat16`` runs the conv forward in bf16 with f32
     master weights; losses are always f32 (reference ``@force_fp32``)."""
@@ -96,10 +108,18 @@ def detector_loss(detector, variables, batch, cur_iter=0,
 
     fwd_vars, images = to_compute(variables, batch["images"], compute_dtype)
     outputs = detector.apply(fwd_vars, images, training=True)
-    cls_scores, bbox_preds, centernesses = outputs_to_f32(outputs)
-    losses = fcos_loss(detector.bbox_head, cls_scores, bbox_preds,
-                       centernesses, batch, cur_iter=cur_iter,
-                       axis_name=axis_name)
+    outputs = outputs_to_f32(outputs)
+    head = detector.bbox_head
+    if type(head).__name__ == "RetinaHead":
+        from dsl_tpu.models.dense_heads.retina_head import retina_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = retina_loss(head, cls_scores, bbox_preds, batch,
+                             axis_name=axis_name)
+    else:
+        cls_scores, bbox_preds, centernesses = outputs
+        losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
+                           batch, cur_iter=cur_iter, axis_name=axis_name)
     return _parse_losses(losses)
 
 
@@ -113,11 +133,18 @@ def detector_predict(detector, variables, images, img_shapes=None,
     nms_cfg = dict(tc.get("nms", {}) or {})
     fwd_vars, images = to_compute(variables, images, compute_dtype)
     outputs = detector.apply(fwd_vars, images, training=False)
-    cls_scores, bbox_preds, centernesses = outputs_to_f32(outputs)
-    return fcos_get_bboxes(
-        detector.bbox_head, cls_scores, bbox_preds, centernesses,
-        img_shapes=img_shapes, scale_factors=scale_factors,
-        nms_pre=tc.get("nms_pre", 1000),
-        score_thr=tc.get("score_thr", 0.05),
-        iou_threshold=nms_cfg.get("iou_threshold", 0.6),
-        max_per_img=tc.get("max_per_img", 100))
+    outputs = outputs_to_f32(outputs)
+    head = detector.bbox_head
+    common = dict(img_shapes=img_shapes, scale_factors=scale_factors,
+                  nms_pre=tc.get("nms_pre", 1000),
+                  score_thr=tc.get("score_thr", 0.05),
+                  iou_threshold=nms_cfg.get("iou_threshold", 0.6),
+                  max_per_img=tc.get("max_per_img", 100))
+    if type(head).__name__ == "RetinaHead":
+        from dsl_tpu.models.dense_heads.retina_head import retina_get_bboxes
+
+        cls_scores, bbox_preds = outputs
+        return retina_get_bboxes(head, cls_scores, bbox_preds, **common)
+    cls_scores, bbox_preds, centernesses = outputs
+    return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
+                           **common)
