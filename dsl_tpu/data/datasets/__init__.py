@@ -5,3 +5,5 @@ from dsl_tpu.data.datasets.voc import (  # noqa: F401
     VOCDataset, VOC_CLASSES, XMLDataset)
 from dsl_tpu.data.datasets.semivoc import SemiVOCDataset  # noqa: F401
 from dsl_tpu.data.datasets.voc2coco import Voc2CocoDataset  # noqa: F401
+from dsl_tpu.data.datasets.wrappers import (  # noqa: F401
+    ClassBalancedDataset, ConcatDataset, RepeatDataset)
