@@ -50,8 +50,8 @@ def main():
         lr_config=dict(warmup="linear", warmup_iters=500,
                        warmup_ratio=1.0 / 3, step=[20, 26]),
         steps_per_epoch=1000, frozen_mask=frozen)
-    state = create_train_state(variables, tx)
-    step = make_train_step(det, tx, ema_ratio=0.99, ema_interval=1,
+    state = create_train_state(variables, tx, ema_ratio=0.99)
+    step = make_train_step(det, tx, ema_interval=1,
                            ema_start_iter=1, compute_dtype=jnp.bfloat16,
                            frozen_mask=frozen)
     jstep = jax.jit(step, donate_argnums=(0,))

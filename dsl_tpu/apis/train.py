@@ -101,13 +101,14 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         optimizer_config=dict(cfg.get("optimizer_config", {}) or {}),
         lr_config=dict(cfg.get("lr_config", {}) or {}),
         steps_per_epoch=steps_per_epoch, frozen_mask=frozen)
-    state = create_train_state(variables, tx)
+    state = create_train_state(variables, tx,
+                               ema_ratio=dict(cfg.get('ema_config', {})
+                                              or {}).get('ratio', 0.99))
 
     ema_cfg = dict(cfg.get("ema_config", {}) or {})
     train_step = make_train_step(
         detector, tx,
         frozen_mask=frozen,
-        ema_ratio=ema_cfg.get("ratio", 0.99),
         ema_interval=ema_cfg.get("interval", 1)
         if ema_cfg.get("mode", "iteration") == "iteration" else -1,
         ema_start_iter=ema_cfg.get("start_point", 1))
@@ -182,6 +183,8 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         eval_interval=dict(cfg.get("evaluation", {}) or {}).get("interval", 1),
         checkpoint_interval=dict(
             cfg.get("checkpoint_config", {}) or {}).get("interval", 1),
+        ema_step_decay=list(ema_cfg.get("step_decay") or []),
+        ema_decay_ratio=ema_cfg.get("decay_ratio", 0.1),
         logger=logger)
     if resume_from:
         runner.resume(resume_from)

@@ -126,10 +126,17 @@ class SemiRunner:
                                  it + 1, len(self.data_loader), msg)
             t_data = time.perf_counter()
 
-        # EMA ratio step decay at configured epochs (EMAOWNHook semantics)
+        # EMA ratio step decay at configured epochs (EMAOWNHook.step_decay:
+        # ratio -> max(1 - (1-ratio)/decay_ratio, 0.01), ``ema.py:22-26``)
         if (self.epoch + 1) in self.ema_step_decay:
-            self.logger.info("EMA ratio step-decay at epoch %d",
-                             self.epoch + 1)
+            import jax.numpy as jnp
+
+            r = float(np.asarray(self.state.ema_ratio))
+            new_r = max(1.0 - (1.0 - r) / self.ema_decay_ratio, 0.01)
+            self.state = self.state.replace(
+                ema_ratio=jnp.asarray(new_r, jnp.float32))
+            self.logger.info("EMA ratio step-decay at epoch %d: %f -> %f",
+                             self.epoch + 1, r, new_r)
 
     # -- checkpoint --------------------------------------------------------
     def save_checkpoint(self, name: str | None = None):

@@ -25,6 +25,11 @@ class TrainState:
     opt_state: Any
     step: jnp.ndarray              # global iteration counter
     ema_initialized: jnp.ndarray   # bool scalar: first EMA() done?
+    ema_ratio: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.asarray(0.99, jnp.float32))
+    # dynamic EMA keep-rate: EMAOWNHook's step_decay rewrites it at LR-decay
+    # epochs (ratio -> max(1-(1-ratio)/decay_ratio, 0.01), ema.py:22-26)
+    # without recompiling the train step.
 
     @property
     def student_variables(self):
@@ -36,7 +41,8 @@ class TrainState:
                 "batch_stats": self.batch_stats}
 
 
-def create_train_state(variables: dict, tx) -> TrainState:
+def create_train_state(variables: dict, tx,
+                       ema_ratio: float = 0.99) -> TrainState:
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
@@ -46,6 +52,7 @@ def create_train_state(variables: dict, tx) -> TrainState:
         opt_state=tx.init(params),
         step=jnp.zeros((), jnp.int32),
         ema_initialized=jnp.zeros((), bool),
+        ema_ratio=jnp.asarray(ema_ratio, jnp.float32),
     )
 
 

@@ -23,7 +23,7 @@ from dsl_tpu.parallel.mesh import batch_sharding, replicated
 from dsl_tpu.train.train_state import TrainState, ema_update
 
 
-def make_train_step(detector, tx, ema_ratio: float = 0.99,
+def make_train_step(detector, tx,
                     ema_interval: int = 1, ema_start_iter: int = 0,
                     donate: bool = True, compute_dtype=None,
                     frozen_mask=None) -> Callable:
@@ -89,7 +89,10 @@ def make_train_step(detector, tx, ema_ratio: float = 0.99,
         # first EMA call initializes the blend exactly like later ones
         # (reference initializes teacher from the pretrained weights at build
         # time, then blends; teacher_params already starts as a copy).
-        blended = ema_update(state.teacher_params, new_params, ema_ratio)
+        # keep-rate comes from state so EMAOWNHook-style step decay works
+        # without recompiling.
+        blended = ema_update(state.teacher_params, new_params,
+                             state.ema_ratio)
         new_teacher = jax.tree_util.tree_map(
             lambda b, t: jnp.where(do_ema, b, t), blended,
             state.teacher_params)

@@ -39,8 +39,8 @@ def _setup(b=8):
         lr_config=dict(warmup="linear", warmup_iters=10,
                        warmup_ratio=1.0 / 3, step=[20, 26]),
         steps_per_epoch=100, frozen_mask=frozen)
-    state = create_train_state(variables, tx)
-    step = make_train_step(det, tx, ema_ratio=0.9, ema_interval=1,
+    state = create_train_state(variables, tx, ema_ratio=0.9)
+    step = make_train_step(det, tx, ema_interval=1,
                            ema_start_iter=1)
     return det, state, step
 
