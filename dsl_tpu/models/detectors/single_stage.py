@@ -116,6 +116,12 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = retina_loss(head, cls_scores, bbox_preds, batch,
                              axis_name=axis_name)
+    elif type(head).__name__ == "ATSSHead":
+        from dsl_tpu.models.dense_heads.atss_head import atss_loss
+
+        cls_scores, bbox_preds, centernesses = outputs
+        losses = atss_loss(head, cls_scores, bbox_preds, centernesses,
+                           batch, axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -145,6 +151,12 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_preds = outputs
         return retina_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "ATSSHead":
+        from dsl_tpu.models.dense_heads.atss_head import atss_get_bboxes
+
+        cls_scores, bbox_preds, centernesses = outputs
+        return atss_get_bboxes(head, cls_scores, bbox_preds, centernesses,
+                               **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

@@ -154,3 +154,39 @@ def test_multi_head_detector():
         det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]]),
         scale_factors=jnp.ones((1, 4)))
     assert dets.shape == (1, 10, 5)
+
+
+def test_atss_head_forward_loss_predict():
+    cfg = dict(
+        type="ATSS",
+        backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs="on_output", num_outs=5,
+                  relu_before_extra_convs=True),
+        bbox_head=dict(type="ATSSHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128], topk=9),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(iou_threshold=0.6), max_per_img=10),
+    )
+    det = build_detector(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3))
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    cls_scores, bbox_preds, cents = det.apply(variables, imgs, training=True)
+    assert cls_scores[0].shape == (2, 8, 8, 4)
+    assert cents[0].shape == (2, 8, 8, 1)
+
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]], [[0., 0., 0., 0.]]]),
+        gt_labels=jnp.asarray([[1], [0]], jnp.int32),
+        gt_valid=jnp.asarray([[True], [False]]),
+    )
+    total, log_vars = detector_loss(det, variables, batch)
+    assert np.isfinite(float(total))
+    assert "loss_centerness" in log_vars
+    dets, labels, valid = detector_predict(
+        det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]] * 2),
+        scale_factors=jnp.ones((2, 4)))
+    assert dets.shape == (2, 10, 5)
