@@ -13,3 +13,10 @@ from dsl_tpu.models.detectors.single_stage import (  # noqa: F401
 from dsl_tpu.models.detectors.multi_head import (  # noqa: F401
     FCOSMultiHead, SingleStageMultiHeadDetector, build_multi_head_detector,
     multi_head_loss, multi_head_predict)
+from dsl_tpu.models.dense_heads.rpn_head import (  # noqa: F401
+    RPNHead, rpn_loss, rpn_proposals)
+from dsl_tpu.models.roi_heads.standard_roi_head import (  # noqa: F401
+    Shared2FCBBoxHead, roi_head_loss, roi_head_predict)
+from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
+    FasterRCNN, TwoStageDetector, build_two_stage_detector,
+    two_stage_loss, two_stage_predict)

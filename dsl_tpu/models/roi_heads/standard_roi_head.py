@@ -1,0 +1,200 @@
+"""Standard RoI head (Shared2FC bbox head) for the two-stage tier.
+
+Parity with ``/root/reference/mmdet/models/roi_heads/standard_roi_head.py``
++ ``bbox_heads/convfc_bbox_head.py`` (Shared2FCBBoxHead): multi-level
+RoIAlign with FPN level assignment ``floor(4 + log2(sqrt(area)/224))``
+(``single_level_roi_extractor``), two shared FCs, softmax CE over C+1
+classes, class-specific smooth-L1 deltas; training samples 512 rois/image at
+1:3 pos:neg from MaxIoU-assigned proposals (RandomSampler semantics via a
+priority sort — fixed shapes under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsl_tpu.registry import HEADS
+from dsl_tpu.core.assigners import _max_iou_assign_single
+from dsl_tpu.core.boxes import bbox2delta, delta2bbox
+from dsl_tpu.core import losses as L
+from dsl_tpu.core.nms import multiclass_nms
+from dsl_tpu.ops.roi_align import roi_align
+from dsl_tpu.models.layers import normal_init
+
+
+@HEADS.register
+class Shared2FCBBoxHead(nn.Module):
+    num_classes: int = 80
+    in_channels: int = 256
+    roi_size: int = 7
+    fc_channels: int = 1024
+    target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """roi_feats: (N, roi, roi, C) -> (cls_logits (N, C+1),
+        deltas (N, C*4))."""
+        n = roi_feats.shape[0]
+        x = roi_feats.reshape(n, -1)
+        x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
+        x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
+        cls = nn.Dense(self.num_classes + 1,
+                       kernel_init=normal_init(0.01), name="fc_cls")(x)
+        reg = nn.Dense(self.num_classes * 4,
+                       kernel_init=normal_init(0.001), name="fc_reg")(x)
+        return cls, reg
+
+
+def map_rois_to_levels(rois: jnp.ndarray, num_levels: int,
+                       finest_scale: int = 56) -> jnp.ndarray:
+    """FPN level per roi (mmdet single-level extractor formula)."""
+    scale = jnp.sqrt(jnp.maximum(
+        (rois[..., 2] - rois[..., 0]) * (rois[..., 3] - rois[..., 1]), 1e-6))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    return jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)
+
+
+def extract_roi_feats(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
+                      valid: jnp.ndarray, strides: Sequence[int],
+                      roi_size: int = 7) -> jnp.ndarray:
+    """Multi-level RoIAlign: compute each level's answer for every roi and
+    select by assigned level (static shapes; levels ≤ 4)."""
+    num_levels = min(len(feats), 4)
+    levels = map_rois_to_levels(rois[:, 1:5], num_levels)
+    out = None
+    for lvl in range(num_levels):
+        f = roi_align(feats[lvl], rois, out_size=(roi_size, roi_size),
+                      spatial_scale=1.0 / strides[lvl], sampling_ratio=2,
+                      valid=valid)
+        sel = (levels == lvl)[:, None, None, None]
+        out = f * sel if out is None else out + f * sel
+    return out
+
+
+def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
+                num_classes: int, num_samples: int = 512,
+                pos_fraction: float = 0.25, pos_iou_thr: float = 0.5,
+                neg_iou_thr: float = 0.5):
+    """Fixed-shape RandomSampler: assign proposals (+gt boxes as extra
+    candidates, mmdet ``add_gt_as_proposals``), then take ``num_samples`` by
+    priority = (pos with random tiebreak first, capped at
+    ``num_samples*pos_fraction``), negatives fill the rest."""
+    cand = jnp.concatenate([proposals, gt_bboxes], axis=0)
+    cand_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
+    labels, assigned, _, max_iou = _max_iou_assign_single(
+        cand, gt_bboxes, gt_labels, gt_valid,
+        pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr, min_pos_iou=1e-3,
+        num_classes=num_classes, match_low_quality=True)
+    is_pos = (labels < num_classes) & cand_valid
+    is_neg = (labels == num_classes) & cand_valid & (max_iou >= 0)
+
+    r = jax.random.uniform(key, (cand.shape[0],))
+    max_pos = int(num_samples * pos_fraction)
+    # rank positives first (random order), then negatives (random order);
+    # invalid last. Cap positives by limiting their priority band size via
+    # their random rank.
+    pos_rank = jnp.where(is_pos, r, 2.0)
+    pos_order = jnp.argsort(pos_rank)
+    pos_within_cap = jnp.zeros_like(is_pos)
+    pos_within_cap = pos_within_cap.at[pos_order[:max_pos]].set(True)
+    pos_take = is_pos & pos_within_cap
+    priority = jnp.where(pos_take, r, jnp.where(is_neg, 10.0 + r, 100.0))
+    order = jnp.argsort(priority)[:num_samples]
+    return (cand[order], labels[order], assigned[order],
+            (pos_take | is_neg)[order], pos_take[order])
+
+
+def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
+                  proposals, prop_valid, batch, rng_key,
+                  strides=(4, 8, 16, 32), num_samples: int = 512):
+    """Sample rois, extract features, run the bbox head, compute losses.
+
+    apply_fn: ``lambda variables, roi_feats: (cls, reg)`` — the bound module
+    apply for the bbox head submodule.
+    """
+    nc = bbox_head.num_classes
+    b = proposals.shape[0]
+    keys = jax.random.split(rng_key, b)
+
+    def per_image(key, props, pvalid, gtb, gtl, gtv):
+        return sample_rois(key, props, pvalid, gtb, gtl, gtv, nc,
+                           num_samples=num_samples)
+
+    rois, labels, assigned, valid, is_pos = jax.vmap(per_image)(
+        keys, proposals, prop_valid, batch["gt_bboxes"],
+        batch["gt_labels"], batch["gt_valid"])          # (B, S, ...)
+
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(b)[:, None], (b, num_samples)).reshape(-1, 1)
+    flat_rois = jnp.concatenate(
+        [batch_idx.astype(jnp.float32), rois.reshape(-1, 4)], axis=1)
+    roi_feats = extract_roi_feats(feats, flat_rois, valid.reshape(-1),
+                                  strides, bbox_head.roi_size)
+    cls_logits, reg = apply_fn(variables, roi_feats)    # (BS, C+1), (BS, C*4)
+
+    flat_labels = labels.reshape(-1)
+    flat_valid = valid.reshape(-1).astype(jnp.float32)
+    flat_pos = is_pos.reshape(-1).astype(jnp.float32)
+    num_valid = jnp.maximum(jnp.sum(flat_valid), 1.0)
+    num_pos = jnp.maximum(jnp.sum(flat_pos), 1.0)
+
+    loss_cls = L.cross_entropy(cls_logits, flat_labels, weight=flat_valid,
+                               avg_factor=num_valid)
+    gt = jnp.take_along_axis(
+        batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None],
+        axis=1).reshape(-1, 4)
+    tgt = bbox2delta(rois.reshape(-1, 4), gt, bbox_head.target_means,
+                     bbox_head.target_stds)
+    # class-specific regression: select the assigned class's 4 deltas
+    reg = reg.reshape(-1, nc, 4)
+    cls_idx = jnp.clip(flat_labels, 0, nc - 1)
+    reg_sel = jnp.take_along_axis(
+        reg, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
+    loss_reg = L.smooth_l1_loss(reg_sel, tgt, weight=flat_pos[:, None],
+                                avg_factor=num_pos)
+    acc_mask = flat_valid > 0
+    acc = jnp.sum((jnp.argmax(cls_logits, -1) == flat_labels) * flat_valid) \
+        / num_valid
+    return dict(loss_cls=loss_cls, loss_bbox=loss_reg, acc=acc)
+
+
+def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
+                     feats, proposals, prop_valid, img_shapes=None,
+                     scale_factors=None, strides=(4, 8, 16, 32),
+                     score_thr: float = 0.05, iou_threshold: float = 0.5,
+                     max_per_img: int = 100):
+    nc = bbox_head.num_classes
+    b, p = proposals.shape[:2]
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, p)).reshape(-1, 1)
+    flat_rois = jnp.concatenate(
+        [batch_idx.astype(jnp.float32), proposals.reshape(-1, 4)], axis=1)
+    roi_feats = extract_roi_feats(feats, flat_rois, prop_valid.reshape(-1),
+                                  strides, bbox_head.roi_size)
+    cls_logits, reg = apply_fn(variables, roi_feats)
+    scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
+    boxes = delta2bbox(
+        proposals.reshape(-1, 4)[:, None, :].repeat(nc, 1),
+        reg.reshape(-1, nc, 4), bbox_head.target_means,
+        bbox_head.target_stds).reshape(b, p, nc, 4)
+    if img_shapes is not None:
+        xlim = img_shapes[:, None, None, 1:2]
+        ylim = img_shapes[:, None, None, 0:1]
+        boxes = jnp.concatenate(
+            [jnp.clip(boxes[..., 0:1], 0, xlim),
+             jnp.clip(boxes[..., 1:2], 0, ylim),
+             jnp.clip(boxes[..., 2:3], 0, xlim),
+             jnp.clip(boxes[..., 3:4], 0, ylim)], axis=-1)
+    if scale_factors is not None:
+        boxes = boxes / scale_factors[:, None, None, :]
+
+    def _single(bx, sc, vd):
+        return multiclass_nms(bx, sc, score_thr=score_thr,
+                              iou_threshold=iou_threshold,
+                              max_per_img=max_per_img, valid=vd)
+
+    return jax.vmap(_single)(boxes, scores, prop_valid)
