@@ -60,6 +60,8 @@ class Bottleneck(nn.Module):
     style: str = "pytorch"
     norm_cfg: dict | None = None
     dtype: Any = jnp.float32
+    groups: int = 1
+    base_width: int = 64
     expansion: int = 4
 
     @nn.compact
@@ -68,12 +70,20 @@ class Bottleneck(nn.Module):
         s1 = self.stride if self.style == "caffe" else 1
         s2 = 1 if self.style == "caffe" else self.stride
         out_ch = self.planes * self.expansion
+        # ResNeXt: widened grouped 3x3 (width = planes*base_width/64*groups)
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
 
         identity = x
-        out = conv1x1(self.planes, s1, name="conv1")(x)
+        out = conv1x1(width, s1, name="conv1")(x)
         out = make_norm(self.norm_cfg, name="bn1")(out)
         out = nn.relu(out)
-        out = conv3x3(self.planes, s2, self.dilation, name="conv2")(out)
+        out = nn.Conv(width, (3, 3), strides=(s2, s2),
+                      padding=((self.dilation, self.dilation),
+                               (self.dilation, self.dilation)),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      feature_group_count=self.groups, use_bias=False,
+                      kernel_init=nn.initializers.he_normal(),
+                      name="conv2")(out)
         out = make_norm(self.norm_cfg, name="bn2")(out)
         out = nn.relu(out)
         out = conv1x1(out_ch, 1, name="conv3")(out)
@@ -104,6 +114,8 @@ class ResNet(nn.Module):
     pretrained: str | None = None
     stem_channels: int = 64
     base_channels: int = 64
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x):
@@ -121,13 +133,25 @@ class ResNet(nn.Module):
         for i in range(self.num_stages):
             planes = self.base_channels * 2 ** i
             for j in range(stage_blocks[i]):
+                kwargs = dict(groups=self.groups,
+                              base_width=self.base_width) \
+                    if block_cls is Bottleneck else {}
                 x = block_cls(
                     planes=planes,
                     stride=self.strides[i] if j == 0 else 1,
                     dilation=self.dilations[i],
                     style=self.style,
                     norm_cfg=self.norm_cfg,
-                    name=f"layer{i + 1}_{j}")(x)
+                    name=f"layer{i + 1}_{j}", **kwargs)(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+@BACKBONES.register(name="ResNeXt")
+class ResNeXt(ResNet):
+    """ResNeXt: grouped-conv bottlenecks (``mmdet/models/backbones/resnext.py``
+    parity; e.g. groups=32, base_width=4 for ResNeXt-50-32x4d)."""
+
+    groups: int = 32
+    base_width: int = 4

@@ -163,3 +163,24 @@ def test_si_soft_loss_pairs_levels():
     _, lv_late = detector_loss(det, variables, batch, cur_iter=100)
     assert float(lv_late["loss_sisoft"]) == pytest.approx(
         float(lv_warm["loss_sisoft"]) * 1000.0, rel=1e-3)
+
+
+def test_resnext_and_pafpn():
+    from dsl_tpu.models import PAFPN, ResNeXt
+
+    m = ResNeXt(depth=50, groups=32, base_width=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    # grouped 3x3: kernel in-channels = width / groups
+    assert v["params"]["layer1_0"]["conv2"]["kernel"].shape == (3, 3, 4, 128)
+    feats = m.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert feats[-1].shape == (1, 2, 2, 2048)
+
+    pafpn = PAFPN(in_channels=(64, 128, 256, 512), out_channels=32,
+                  start_level=1, num_outs=5, add_extra_convs="on_input")
+    ins = [jnp.zeros((1, 32 // 2 ** i, 32 // 2 ** i, c))
+           for i, c in enumerate((64, 128, 256, 512))]
+    v2 = pafpn.init(jax.random.PRNGKey(0), ins)
+    outs = pafpn.apply(v2, ins)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32),
+        (1, 2, 2, 32), (1, 1, 1, 32)]
