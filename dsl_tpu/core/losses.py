@@ -137,3 +137,47 @@ def mse_loss(pred: jnp.ndarray, target: jnp.ndarray,
              reduction: str = "mean", avg_factor=None):
     return weight_reduce_loss((pred - target) ** 2, weight, reduction,
                               avg_factor)
+
+
+def quality_focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       quality: jnp.ndarray, beta: float = 2.0,
+                       weight: jnp.ndarray | None = None,
+                       reduction: str = "mean", avg_factor=None):
+    """Quality Focal Loss (GFL): the positive class's target is its
+    localization quality score; modulation |y - sigmoid|^beta.
+
+    Args:
+      logits: (..., C); labels: int (...,) with C = background;
+      quality: (...,) in [0, 1] — target score for the labeled class.
+    """
+    c = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, c, dtype=logits.dtype)
+    y = onehot * quality[..., None]
+    sigma = jax.nn.sigmoid(logits)
+    ce = jnp.maximum(logits, 0) - logits * y + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    mod = jnp.power(jnp.abs(y - sigma), beta)
+    loss = mod * ce
+    if weight is not None and weight.ndim == loss.ndim - 1:
+        weight = weight[..., None]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def distribution_focal_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                            weight: jnp.ndarray | None = None,
+                            reduction: str = "mean", avg_factor=None):
+    """Distribution Focal Loss (GFL): CE against the two integer bins
+    bracketing the continuous regression target.
+
+    Args:
+      logits: (..., n_bins); target: float (...,) in [0, n_bins - 1].
+    """
+    n = logits.shape[-1]
+    tl = jnp.clip(jnp.floor(target), 0, n - 2).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(logits.dtype) - target
+    wr = target - tl.astype(logits.dtype)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -(jnp.take_along_axis(logp, tl[..., None], -1)[..., 0] * wl
+            + jnp.take_along_axis(logp, tr[..., None], -1)[..., 0] * wr)
+    return weight_reduce_loss(nll, weight, reduction, avg_factor)

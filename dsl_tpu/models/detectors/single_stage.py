@@ -61,6 +61,12 @@ class ATSS(SingleStageDetector):
     (``mmdet/models/detectors/atss.py``)."""
 
 
+@DETECTORS.register
+class GFL(SingleStageDetector):
+    """GFL = SingleStageDetector with a GFLHead
+    (``mmdet/models/detectors/gfl.py``)."""
+
+
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     """Build a detector module tree from a model config dict."""
     cfg = dict(cfg)
@@ -122,6 +128,12 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds, centernesses = outputs
         losses = atss_loss(head, cls_scores, bbox_preds, centernesses,
                            batch, axis_name=axis_name)
+    elif type(head).__name__ == "GFLHead":
+        from dsl_tpu.models.dense_heads.gfl_head import gfl_loss
+
+        cls_scores, bbox_dists = outputs
+        losses = gfl_loss(head, cls_scores, bbox_dists, batch,
+                          axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -157,6 +169,11 @@ def detector_predict(detector, variables, images, img_shapes=None,
         cls_scores, bbox_preds, centernesses = outputs
         return atss_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                                **common)
+    if type(head).__name__ == "GFLHead":
+        from dsl_tpu.models.dense_heads.gfl_head import gfl_get_bboxes
+
+        cls_scores, bbox_dists = outputs
+        return gfl_get_bboxes(head, cls_scores, bbox_dists, **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

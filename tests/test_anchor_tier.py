@@ -190,3 +190,54 @@ def test_atss_head_forward_loss_predict():
         det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]] * 2),
         scale_factors=jnp.ones((2, 4)))
     assert dets.shape == (2, 10, 5)
+
+
+def test_gfl_losses_and_head():
+    from dsl_tpu.core.losses import (distribution_focal_loss,
+                                     quality_focal_loss)
+
+    # DFL golden: target exactly on a bin -> pure CE on that bin
+    logits = jnp.asarray([[0.0, 5.0, 0.0, 0.0]])
+    loss = float(distribution_focal_loss(logits, jnp.asarray([1.0]),
+                                         reduction="sum"))
+    expect = -np.log(np.exp(5.0) / (3 + np.exp(5.0)))
+    assert abs(loss - expect) < 1e-4
+    # QFL: perfect prediction of the quality -> near-zero loss
+    ql = quality_focal_loss(jnp.asarray([[20.0, -20.0]]),
+                            jnp.asarray([0]), jnp.asarray([1.0]),
+                            reduction="sum")
+    assert float(ql) < 1e-3
+
+    cfg = dict(
+        type="GFL",
+        backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs="on_output", num_outs=5,
+                  relu_before_extra_convs=True),
+        bbox_head=dict(type="GFLHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1, reg_max=8,
+                       strides=[8, 16, 32, 64, 128]),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(iou_threshold=0.6), max_per_img=10),
+    )
+    det = build_detector(cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                       jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    cls_scores, bbox_dists = det.apply(variables, imgs, training=True)
+    assert bbox_dists[0].shape == (2, 8, 8, 4 * 9)
+
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]], [[0., 0., 0., 0.]]]),
+        gt_labels=jnp.asarray([[1], [0]], jnp.int32),
+        gt_valid=jnp.asarray([[True], [False]]),
+    )
+    total, log_vars = detector_loss(det, variables, batch)
+    assert np.isfinite(float(total))
+    assert "loss_dfl" in log_vars
+    dets, labels, valid = detector_predict(
+        det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]] * 2),
+        scale_factors=jnp.ones((2, 4)))
+    assert dets.shape == (2, 10, 5)
