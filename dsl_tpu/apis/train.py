@@ -68,6 +68,7 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
     workers = data_cfg.get("workers_per_gpu", 2)
 
     train_ds = build_dataset(data_cfg["train"])
+    _check_num_classes(cfg, train_ds, logger)
     semi = "unlabel_train" in data_cfg
     scale_invariant = bool(cfg.get("scale_invariant", False))
 
@@ -190,6 +191,18 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         runner.resume(resume_from)
     runner.run()
     return runner
+
+
+def _check_num_classes(cfg, dataset, logger):
+    """NumClassCheckHook parity (``mmdet/datasets/utils.py:115+``): the
+    head's num_classes must match the dataset's CLASSES length."""
+    head_nc = cfg.model.get("bbox_head", {}).get("num_classes")
+    classes = getattr(dataset, "CLASSES", None)
+    if head_nc is not None and classes:
+        if len(classes) != head_nc:
+            logger.warning(
+                "num_classes mismatch: head has %d but dataset %s has %d "
+                "classes", head_nc, type(dataset).__name__, len(classes))
 
 
 def _maybe_load_pretrained(cfg, detector, variables, logger):

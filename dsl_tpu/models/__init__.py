@@ -1,5 +1,6 @@
 from dsl_tpu.models.backbones.resnet import ResNet  # noqa: F401
 from dsl_tpu.models.backbones.rla_resnet import RLAResNet  # noqa: F401
+from dsl_tpu.models.backbones.mobilenet_v2 import MobileNetV2  # noqa: F401
 from dsl_tpu.models.necks.fpn import FPN  # noqa: F401
 from dsl_tpu.models.necks.pafpn import PAFPN  # noqa: F401
 from dsl_tpu.models.backbones.resnet import ResNeXt  # noqa: F401

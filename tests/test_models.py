@@ -184,3 +184,16 @@ def test_resnext_and_pafpn():
     assert [o.shape for o in outs] == [
         (1, 16, 16, 32), (1, 8, 8, 32), (1, 4, 4, 32),
         (1, 2, 2, 32), (1, 1, 1, 32)]
+
+
+def test_mobilenet_v2_shapes():
+    from dsl_tpu.models import MobileNetV2
+
+    m = MobileNetV2()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    feats = m.apply(v, jnp.zeros((1, 128, 128, 3)))
+    assert [f.shape for f in feats] == [
+        (1, 32, 32, 24), (1, 16, 16, 32), (1, 8, 8, 96), (1, 4, 4, 320)]
+    # first stage has no expand conv (ratio 1)
+    assert "expand_conv" not in v["params"]["layer1_0"]
+    assert "expand_conv" in v["params"]["layer2_0"]
