@@ -139,12 +139,19 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         store = LabelStore(up["anno_root_path"], cat_info["id2cat"],
                            cat_info["cat2id"])
         ec = up.get("eval_checkpoint_config", {})
+        from dsl_tpu.data.pipelines.compose import test_pipeline_params
+
+        up_tp = test_pipeline_params(dict(up).get("pipeline"))
         refresher = PseudoLabelRefresher(
             detector, store,
             image_root=up.get("image_root_path", up.get("img_path", "")),
             image_infos=unlabel_ds.data_infos,
             test_cfg=dict(cfg.model.get("test_cfg", {}) or {}),
             canvas_hw=canvas,
+            img_scale=up_tp["img_scale"],
+            img_norm=up_tp["img_norm"] or dict(
+                mean=(123.675, 116.28, 103.53),
+                std=(58.395, 57.12, 57.375), to_rgb=True),
             infer_score_thre=up.get("infer_score_thre", 0.1),
             iou=up.get("eval_config", {}).get("iou", [0.6])[0],
             fuse_history=up.get("fuse_history", False),
@@ -166,13 +173,17 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         from dsl_tpu.apis.test import single_device_test
 
         val_ds = build_dataset({**dict(data_cfg["val"]), "test_mode": True})
+        from dsl_tpu.data.pipelines.compose import test_pipeline_params
+
+        tp = test_pipeline_params(dict(data_cfg["val"]).get("pipeline"))
 
         def eval_fn(state):
             return single_device_test(
                 detector, state.teacher_variables if semi
                 else state.student_variables,
                 val_ds, test_cfg=dict(cfg.model.get("test_cfg", {}) or {}),
-                canvas_hw=canvas)
+                canvas_hw=canvas, img_scale=tp["img_scale"],
+                img_norm=tp["img_norm"])
 
     runner_cfg = dict(cfg.get("runner", {}) or {})
     runner = SemiRunner(

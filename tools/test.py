@@ -66,10 +66,14 @@ def main():
     test_cfg_data = cfg.data.get("test", cfg.data.get("val"))
     ds = build_dataset({**dict(test_cfg_data), "test_mode": True})
 
+    from dsl_tpu.data.pipelines.compose import test_pipeline_params
+
+    tp = test_pipeline_params(dict(test_cfg_data).get("pipeline"))
     results = single_device_test(
         detector, variables, ds,
         test_cfg=dict(cfg.model.get("test_cfg", {}) or {}),
-        canvas_hw=canvas, evaluate=False)
+        canvas_hw=canvas, evaluate=False, img_scale=tp["img_scale"],
+        img_norm=tp["img_norm"])
 
     if args.out or args.format_only:
         dt = ds.results2json_bbox(results)
