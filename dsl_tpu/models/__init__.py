@@ -12,6 +12,8 @@ from dsl_tpu.models.dense_heads.atss_head import (  # noqa: F401
     ATSSHead, atss_get_bboxes, atss_loss)
 from dsl_tpu.models.dense_heads.gfl_head import (  # noqa: F401
     GFLHead, gfl_get_bboxes, gfl_loss)
+from dsl_tpu.models.dense_heads.ssd_head import (  # noqa: F401
+    SSDHead, ssd_get_bboxes, ssd_loss)
 from dsl_tpu.models.detectors.single_stage import (  # noqa: F401
     ATSS, FCOS, RetinaNet, SingleStageDetector, build_detector,
     detector_loss, detector_predict)

@@ -67,6 +67,12 @@ class GFL(SingleStageDetector):
     (``mmdet/models/detectors/gfl.py``)."""
 
 
+@DETECTORS.register
+class SSD(SingleStageDetector):
+    """SSD = SingleStageDetector with an SSDHead + hard-negative mining
+    (``mmdet/models/detectors/single_stage.py`` + ``ssd_head.py``)."""
+
+
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     """Build a detector module tree from a model config dict."""
     cfg = dict(cfg)
@@ -134,6 +140,12 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_dists = outputs
         losses = gfl_loss(head, cls_scores, bbox_dists, batch,
                           axis_name=axis_name)
+    elif type(head).__name__ == "SSDHead":
+        from dsl_tpu.models.dense_heads.ssd_head import ssd_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = ssd_loss(head, cls_scores, bbox_preds, batch,
+                          axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -174,6 +186,11 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_dists = outputs
         return gfl_get_bboxes(head, cls_scores, bbox_dists, **common)
+    if type(head).__name__ == "SSDHead":
+        from dsl_tpu.models.dense_heads.ssd_head import ssd_get_bboxes
+
+        cls_scores, bbox_preds = outputs
+        return ssd_get_bboxes(head, cls_scores, bbox_preds, **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

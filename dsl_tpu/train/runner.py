@@ -73,6 +73,9 @@ class SemiRunner:
         self.logger = logger or get_root_logger(
             log_file=osp.join(work_dir, "train.log"))
         os.makedirs(work_dir, exist_ok=True)
+        # JSON-line metrics log (reference writes timestamped .log.json;
+        # tools/analyze_logs.py reads either format)
+        self.json_log_path = osp.join(work_dir, "train.log.json")
 
     # -- main loop ---------------------------------------------------------
     def run(self):
@@ -124,6 +127,13 @@ class SemiRunner:
                 msg = " ".join(f"{k}: {v:.4f}" for k, v in avg.items())
                 self.logger.info("Epoch [%d][%d/%d] %s", self.epoch + 1,
                                  it + 1, len(self.data_loader), msg)
+                with open(self.json_log_path, "a", encoding="utf-8") as f:
+                    f.write(json.dumps(dict(mode="train",
+                                            epoch=self.epoch + 1,
+                                            iter=it + 1, **{
+                                                k: round(v, 5)
+                                                for k, v in avg.items()}))
+                            + "\n")
             t_data = time.perf_counter()
 
         # EMA ratio step decay at configured epochs (EMAOWNHook.step_decay:

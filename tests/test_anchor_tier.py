@@ -241,3 +241,37 @@ def test_gfl_losses_and_head():
         det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]] * 2),
         scale_factors=jnp.ones((2, 4)))
     assert dets.shape == (2, 10, 5)
+
+
+def test_ssd_head_hard_negative_mining():
+    cfg = dict(
+        type="SSD",
+        backbone=dict(type="MobileNetV2", out_indices=(1, 2, 4, 6)),
+        neck=dict(type="FPN", in_channels=[24, 32, 96, 320],
+                  out_channels=32, start_level=0,
+                  add_extra_convs="on_output", num_outs=5),
+        bbox_head=dict(type="SSDHead", num_classes=4,
+                       strides=[4, 8, 16, 32, 64],
+                       anchor_scales=[4.0]),
+        test_cfg=dict(nms_pre=100, score_thr=0.02,
+                      nms=dict(iou_threshold=0.45), max_per_img=10),
+    )
+    det = build_detector(cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3),
+                       jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    cls_scores, bbox_preds = det.apply(variables, imgs, training=True)
+    assert cls_scores[0].shape[-1] == 3 * 5      # 3 ratios * (4 cls + 1 bg)
+
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]], [[0., 0., 0., 0.]]]),
+        gt_labels=jnp.asarray([[1], [0]], jnp.int32),
+        gt_valid=jnp.asarray([[True], [False]]),
+    )
+    total, log_vars = detector_loss(det, variables, batch)
+    assert np.isfinite(float(total))
+    dets, labels, valid = detector_predict(
+        det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]] * 2),
+        scale_factors=jnp.ones((2, 4)))
+    assert dets.shape == (2, 10, 5)

@@ -17,6 +17,14 @@ def parse_log(path: str):
     rows = []
     with open(path) as f:
         for line in f:
+            if line.lstrip().startswith("{"):
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if row.get("mode") == "train":
+                    rows.append(row)
+                continue
             m = LINE.search(line)
             if not m:
                 continue
