@@ -19,9 +19,9 @@ from dsl_tpu.data.formatting import DEFAULT_CANVAS
 from dsl_tpu.models.detectors.single_stage import detector_predict
 
 
-def _prep_test_image(dataset, idx, canvas_hw, img_scale=(1333, 800),
-                     img_norm=None):
-    """Run the minimal test preprocessing (resize/normalize/pad-to-canvas)."""
+def _resize_test_image(dataset, idx, img_scale=(1333, 800)):
+    """Decode + keep-ratio resize (no padding — the canvas is chosen per
+    batch from the resized orientations)."""
     import os.path as osp
 
     info = dataset.data_infos[idx]
@@ -35,25 +35,32 @@ def _prep_test_image(dataset, idx, canvas_hw, img_scale=(1333, 800),
     factor = min(long_s / max(h, w), short_s / min(h, w))
     nw, nh = int(w * factor + 0.5), int(h * factor + 0.5)
     out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    sf = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
+    return out, np.asarray([nh, nw], np.float32), sf
+
+
+def normalize_pad(img_u8: np.ndarray, canvas_hw, img_norm=None) -> np.ndarray:
+    """Fused normalize + zero-pad into a canvas (native op w/ fallback)."""
     norm = img_norm or dict(mean=(123.675, 116.28, 103.53),
                             std=(58.395, 57.12, 57.375), to_rgb=True)
     ch, cw = canvas_hw
     from dsl_tpu.native import native_normalize_pad
 
     canvas = native_normalize_pad(
-        out, np.asarray(norm["mean"], np.float32),
+        np.clip(img_u8, 0, 255).astype(np.uint8),
+        np.asarray(norm["mean"], np.float32),
         np.asarray(norm["std"], np.float32), norm.get("to_rgb", True),
         (ch, cw))
     if canvas is None:  # no native toolchain: numpy fallback
-        outf = out.astype(np.float32)
+        outf = img_u8.astype(np.float32)
         if norm.get("to_rgb", True):
             outf = outf[..., ::-1]
         outf = (outf - np.asarray(norm["mean"], np.float32)) / np.asarray(
             norm["std"], np.float32)
         canvas = np.zeros((ch, cw, 3), np.float32)
+        nh, nw = img_u8.shape[:2]
         canvas[:min(nh, ch), :min(nw, cw)] = outf[:ch, :cw]
-    sf = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
-    return canvas, np.asarray([nh, nw], np.float32), sf
+    return canvas
 
 
 def single_device_test(detector, variables, dataset, test_cfg=None,
@@ -68,13 +75,16 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
                                 img_shapes=shapes, scale_factors=sfs,
                                 test_cfg=test_cfg)
 
+    from dsl_tpu.data.formatting import select_canvas
+
     n = len(dataset)
     results = []
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
-        preps = [_prep_test_image(dataset, i, canvas_hw, img_scale, img_norm)
-                 for i in idxs]
-        imgs = np.stack([p[0] for p in preps])
+        preps = [_resize_test_image(dataset, i, img_scale) for i in idxs]
+        canvas = select_canvas([p[0].shape[:2] for p in preps], canvas_hw)
+        imgs = np.stack([normalize_pad(p[0], canvas, img_norm)
+                         for p in preps])
         shapes = np.stack([p[1] for p in preps])
         sfs = np.stack([p[2] for p in preps])
         if len(idxs) < batch_size:

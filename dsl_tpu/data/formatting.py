@@ -26,6 +26,25 @@ DEFAULT_MAX_GT = 100
 DEFAULT_MAX_IGNORE = 60
 
 
+def select_canvas(shapes, base_hw=DEFAULT_CANVAS) -> tuple[int, int]:
+    """Orientation-aware canvas for a batch of (h, w) image shapes.
+
+    The reference pads each batch to its max H/W (variable shapes); XLA needs
+    static ones. With ``Resize(keep_ratio)`` a landscape image fits
+    (short, long) and a portrait one (long, short), so a batch maps to one of
+    three static canvases: landscape, portrait, or (mixed orientations)
+    square — at most 3 compiled variants of the train step.
+    """
+    short, long_ = min(base_hw), max(base_hw)
+    has_land = any(w >= h for h, w in shapes)
+    has_port = any(h > w for h, w in shapes)
+    if has_land and has_port:
+        return (long_, long_)
+    if has_port:
+        return (long_, short)
+    return (short, long_)
+
+
 def format_sample(results: dict, canvas_hw=DEFAULT_CANVAS,
                   max_gt: int = DEFAULT_MAX_GT,
                   max_ignore: int = DEFAULT_MAX_IGNORE) -> dict:

@@ -22,7 +22,7 @@ import numpy as np
 
 from dsl_tpu.data.formatting import (
     DEFAULT_CANVAS, DEFAULT_MAX_GT, DEFAULT_MAX_IGNORE, build_batch,
-    format_sample)
+    format_sample, select_canvas)
 from dsl_tpu.data.samplers import DistributedGroupSampler, GroupSampler
 
 
@@ -63,8 +63,12 @@ class DetDataLoader:
         return list(self.sampler.set_epoch(self.epoch))
 
     def _load_one(self, idx: int) -> dict:
-        results = self.dataset[idx]
-        return format_sample(results, self.canvas_hw, self.max_gt,
+        """Raw pipeline output; canvas formatting happens per batch (the
+        canvas depends on the batch's orientations — see select_canvas)."""
+        return self.dataset[idx]
+
+    def _format(self, results: dict, canvas_hw) -> dict:
+        return format_sample(results, canvas_hw, self.max_gt,
                              self.max_ignore)
 
     def sample_iter(self) -> Iterator[dict]:
@@ -105,8 +109,11 @@ class DetDataLoader:
         for sample in it:
             batch.append(sample)
             if len(batch) == self.samples_per_gpu:
+                canvas = select_canvas(
+                    [r["img"].shape[:2] for r in batch], self.canvas_hw)
                 yield build_batch(
-                    batch, source_weights=[self.source_weight] * len(batch))
+                    [self._format(r, canvas) for r in batch],
+                    source_weights=[self.source_weight] * len(batch))
                 batch = []
 
 
@@ -175,10 +182,13 @@ class MultiDataLoader:
         lab = _Endless(self.label_loader)
         unl = _Endless(self.unlabel_loader)
         for _ in range(len(self)):
-            samples, weights = [], []
+            raw, weights = [], []
             for _s in range(self.n_shards):
-                samples += lab.take(n_lab) + unl.take(n_unl)
+                raw += lab.take(n_lab) + unl.take(n_unl)
                 weights += [1.0] * n_lab + [self.unlabel_weight] * n_unl
+            canvas = select_canvas([r["img"].shape[:2] for r in raw],
+                                   self.label_loader.canvas_hw)
+            samples = [self.label_loader._format(r, canvas) for r in raw]
             yield build_batch(samples, source_weights=weights,
                               scale_invariant=self.scale_invariant,
                               n_shards=self.n_shards)

@@ -80,7 +80,7 @@ class PseudoLabelRefresher:
             self._predict = predict
         return self._predict
 
-    # -- host preprocessing (test pipeline: resize/normalize/pad) ----------
+    # -- host preprocessing (test pipeline: resize; pad at batch time) -----
     def _prep(self, filename: str):
         path = osp.join(self.image_root, filename)
         img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -91,22 +91,8 @@ class PseudoLabelRefresher:
         factor = min(long_s / max(h, w), short_s / min(h, w))
         nw, nh = int(w * factor + 0.5), int(h * factor + 0.5)
         out = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        mean = np.asarray(self.img_norm["mean"], np.float32)
-        std = np.asarray(self.img_norm["std"], np.float32)
-        ch, cw = self.canvas_hw
-        from dsl_tpu.native import native_normalize_pad
-
-        canvas = native_normalize_pad(
-            out, mean, std, self.img_norm.get("to_rgb", True), (ch, cw))
-        if canvas is None:  # numpy fallback when g++ is unavailable
-            outf = out.astype(np.float32)
-            if self.img_norm.get("to_rgb", True):
-                outf = outf[..., ::-1]
-            outf = (outf - mean) / std
-            canvas = np.zeros((ch, cw, 3), np.float32)
-            canvas[:nh, :nw] = outf[:ch, :cw]
         sf = np.asarray([nw / w, nh / h, nw / w, nh / h], np.float32)
-        return canvas, np.asarray([nh, nw], np.float32), sf
+        return out, np.asarray([nh, nw], np.float32), sf
 
     # -- core: refresh a list of images ------------------------------------
     def refresh_images(self, state, filenames: list[str]):
@@ -124,11 +110,17 @@ class PseudoLabelRefresher:
             prep = self._prep(name)
             if prep is not None:
                 todo.append((name, *prep))
+        from dsl_tpu.apis.test import normalize_pad
+        from dsl_tpu.data.formatting import select_canvas
+
         bs = self.refresh_batch
         for i in range(0, len(todo), bs):
             chunk = todo[i:i + bs]
             names = [c[0] for c in chunk]
-            imgs = np.stack([c[1] for c in chunk])
+            canvas = select_canvas([c[1].shape[:2] for c in chunk],
+                                   self.canvas_hw)
+            imgs = np.stack([normalize_pad(c[1], canvas, self.img_norm)
+                             for c in chunk])
             shapes = np.stack([c[2] for c in chunk])
             sfs = np.stack([c[3] for c in chunk])
             if len(chunk) < bs:  # pad to static batch

@@ -75,7 +75,7 @@ def test_det_dataloader_worker_order_matches_sampler():
     dl = DetDataLoader(ds, samples_per_gpu=2, num_workers=3,
                        canvas_hw=(64, 64))
     order = dl.upcoming_indices()
-    got = [int(s["images"][0, 0, 0]) for s in dl.sample_iter()]
+    got = [int(s["img"][0, 0, 0]) for s in dl.sample_iter()]
     assert got == order
 
 
@@ -116,3 +116,31 @@ def test_multi_dataloader_scale_invariant():
     assert b["images"].shape[0] == 5                    # 2+2+1 half-res
     assert int(b["si_pair"]["full"]) == 3
     assert int(b["si_pair"]["half"]) == 4
+
+
+
+def test_orientation_aware_canvas():
+    from dsl_tpu.data.formatting import select_canvas
+
+    assert select_canvas([(100, 200)], (800, 1344)) == (800, 1344)
+    assert select_canvas([(200, 100)], (800, 1344)) == (1344, 800)
+    assert select_canvas([(100, 200), (200, 100)], (800, 1344)) == \
+        (1344, 1344)
+
+
+def test_loader_portrait_batch_uses_portrait_canvas():
+    class PortraitDs(FakeDataset):
+        def __getitem__(self, idx):
+            img = np.full((120, 64, 3), idx, np.float32)   # portrait
+            return dict(
+                img=img, img_shape=img.shape,
+                gt_bboxes=np.asarray([[1.0, 1.0, 10.0, 10.0]], np.float32),
+                gt_labels=np.asarray([0], np.int64),
+                gt_bboxes_ignore=np.zeros((0, 4), np.float32),
+                scale_factor=np.ones(4, np.float32))
+
+    ds = PortraitDs(4)
+    dl = DetDataLoader(ds, samples_per_gpu=2, num_workers=1,
+                       canvas_hw=(64, 128))
+    b = next(iter(dl))
+    assert b["images"].shape == (2, 128, 64, 3)   # portrait canvas
