@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -25,7 +26,6 @@ class FrozenBatchNorm(nn.Module):
     """
 
     epsilon: float = 1e-5
-    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -36,11 +36,14 @@ class FrozenBatchNorm(nn.Module):
                              lambda: jnp.zeros((features,), jnp.float32))
         var = self.variable("batch_stats", "var",
                             lambda: jnp.ones((features,), jnp.float32))
-        inv = jnp.asarray(
-            scale, self.dtype) * jnp.reciprocal(
-            jnp.sqrt(var.value.astype(self.dtype) + self.epsilon))
-        return x * inv + (jnp.asarray(bias, self.dtype)
-                          - mean.value.astype(self.dtype) * inv)
+        # fold stats in f32 for accuracy, then apply in the input's dtype —
+        # a fixed f32 here would silently promote the whole bf16 backbone
+        inv32 = (scale.astype(jnp.float32)
+                 * jax.lax.rsqrt(var.value.astype(jnp.float32)
+                                 + self.epsilon))
+        shift32 = (bias.astype(jnp.float32)
+                   - mean.value.astype(jnp.float32) * inv32)
+        return x * inv32.astype(x.dtype) + shift32.astype(x.dtype)
 
 
 def make_norm(norm_cfg: dict | None, name: str | None = None) -> nn.Module:
