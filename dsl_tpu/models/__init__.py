@@ -27,3 +27,6 @@ from dsl_tpu.models.roi_heads.standard_roi_head import (  # noqa: F401
 from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
     FasterRCNN, TwoStageDetector, build_two_stage_detector,
     two_stage_loss, two_stage_predict)
+from dsl_tpu.models.backbones.darknet import Darknet  # noqa: F401
+from dsl_tpu.models.dense_heads.yolo_head import (  # noqa: F401
+    YOLOV3Head, YOLOV3Neck, yolo_get_bboxes, yolo_loss)

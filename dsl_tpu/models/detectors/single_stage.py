@@ -68,6 +68,12 @@ class GFL(SingleStageDetector):
 
 
 @DETECTORS.register
+class YOLOV3(SingleStageDetector):
+    """YOLOv3 (``mmdet/models/detectors/yolo.py``): Darknet + YOLOV3Neck +
+    YOLOV3Head."""
+
+
+@DETECTORS.register
 class SSD(SingleStageDetector):
     """SSD = SingleStageDetector with an SSDHead + hard-negative mining
     (``mmdet/models/detectors/single_stage.py`` + ``ssd_head.py``)."""
@@ -146,6 +152,10 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = ssd_loss(head, cls_scores, bbox_preds, batch,
                           axis_name=axis_name)
+    elif type(head).__name__ == "YOLOV3Head":
+        from dsl_tpu.models.dense_heads.yolo_head import yolo_loss
+
+        losses = yolo_loss(head, outputs, batch, axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -191,6 +201,12 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_preds = outputs
         return ssd_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "YOLOV3Head":
+        from dsl_tpu.models.dense_heads.yolo_head import yolo_get_bboxes
+
+        common.pop("nms_pre")
+        return yolo_get_bboxes(head, outputs, nms_pre=tc.get("nms_pre", 1000),
+                               **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

@@ -275,3 +275,37 @@ def test_ssd_head_hard_negative_mining():
         det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]] * 2),
         scale_factors=jnp.ones((2, 4)))
     assert dets.shape == (2, 10, 5)
+
+
+def test_yolov3_family():
+    cfg = dict(
+        type="YOLOV3",
+        backbone=dict(type="Darknet", depth=53, out_indices=(3, 4, 5)),
+        neck=dict(type="YOLOV3Neck", in_channels=[256, 512, 1024],
+                  out_channels=[128, 256, 512]),
+        bbox_head=dict(type="YOLOV3Head", num_classes=4,
+                       in_channels=[512, 256, 128]),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(iou_threshold=0.45), max_per_img=10),
+    )
+    det = build_detector(cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                       jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    preds = det.apply(variables, imgs, training=True)
+    assert len(preds) == 3
+    assert preds[0].shape == (1, 2, 2, 3 * 9)     # stride 32, 3 anchors
+
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]]]),
+        gt_labels=jnp.asarray([[1]], jnp.int32),
+        gt_valid=jnp.ones((1, 1), bool),
+    )
+    total, log_vars = detector_loss(det, variables, batch)
+    assert np.isfinite(float(total))
+    assert "loss_obj" in log_vars and "loss_wh" in log_vars
+    dets, labels, valid = detector_predict(
+        det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]]),
+        scale_factors=jnp.ones((1, 4)))
+    assert dets.shape == (1, 10, 5)
