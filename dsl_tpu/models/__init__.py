@@ -30,3 +30,6 @@ from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
 from dsl_tpu.models.backbones.darknet import Darknet  # noqa: F401
 from dsl_tpu.models.dense_heads.yolo_head import (  # noqa: F401
     YOLOV3Head, YOLOV3Neck, yolo_get_bboxes, yolo_loss)
+from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
+    CascadeRCNN, build_cascade_rcnn, cascade_rcnn_loss,
+    cascade_rcnn_predict)
