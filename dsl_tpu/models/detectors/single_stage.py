@@ -80,8 +80,27 @@ class SSD(SingleStageDetector):
 
 
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
-    """Build a detector module tree from a model config dict."""
+    """Build a detector module tree from a model config dict.
+
+    Dispatches on the config shape: ``rpn_head`` → two-stage (list of
+    ``bbox_heads`` → cascade); ``necks``/``bbox_heads`` without rpn →
+    multi-head co-training; otherwise single-stage."""
     cfg = dict(cfg)
+    if "rpn_head" in cfg:
+        if "bbox_heads" in cfg:
+            from dsl_tpu.models.detectors.cascade_rcnn import \
+                build_cascade_rcnn
+
+            return build_cascade_rcnn(cfg)
+        from dsl_tpu.models.detectors.two_stage import \
+            build_two_stage_detector
+
+        return build_two_stage_detector(cfg)
+    if "bbox_heads" in cfg or "necks" in cfg:
+        from dsl_tpu.models.detectors.multi_head import \
+            build_multi_head_detector
+
+        return build_multi_head_detector(cfg)
     det_type = cfg.pop("type")
     backbone = build_from_cfg(cfg.pop("backbone"), MODELS)
     neck_cfg = cfg.pop("neck", None)
