@@ -42,13 +42,9 @@ def init_detector(config, checkpoint: str | None = None,
     variables = detector.init(jax.random.PRNGKey(0), imgs)
     if checkpoint:
         from dsl_tpu.utils.checkpoint import load_checkpoint
-        from dsl_tpu.train.train_state import TrainState
 
         try:
-            import json
-            import os.path as osp
-
-            state_like, meta = load_checkpoint(checkpoint, None)
+            state_like, _meta = load_checkpoint(checkpoint, None)
         except Exception:
             state_like = None
         if isinstance(state_like, dict) and "params" in state_like:

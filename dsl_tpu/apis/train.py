@@ -18,14 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from dsl_tpu.data.formatting import DEFAULT_CANVAS
-from dsl_tpu.data.loader import DetDataLoader, MultiDataLoader, \
-    build_dataloader
+from dsl_tpu.data.loader import DetDataLoader, MultiDataLoader
 from dsl_tpu.models.detectors.single_stage import build_detector
 from dsl_tpu.parallel.mesh import make_mesh, replicate
 from dsl_tpu.registry import DATASETS, build_from_cfg
 from dsl_tpu.train import (
     build_optimizer_from_cfg, create_train_state, frozen_backbone_mask,
-    jit_train_step, make_eval_step, make_train_step)
+    jit_train_step, make_train_step)
 from dsl_tpu.train.runner import SemiRunner
 from dsl_tpu.train.semi import PseudoLabelRefresher
 from dsl_tpu.train.label_store import LabelStore

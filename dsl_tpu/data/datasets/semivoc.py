@@ -12,8 +12,6 @@ from __future__ import annotations
 import json
 import os.path as osp
 
-import numpy as np
-
 from dsl_tpu.data.datasets.semicoco import SemiCOCODataset
 from dsl_tpu.data.datasets.voc import VOC_CLASSES
 from dsl_tpu.registry import DATASETS

@@ -10,8 +10,6 @@ from __future__ import annotations
 import os.path as osp
 import xml.etree.ElementTree as ET
 
-import numpy as np
-
 from dsl_tpu.data.coco_api import COCO
 from dsl_tpu.data.datasets.coco import CocoDataset
 from dsl_tpu.data.datasets.voc import VOC_CLASSES

@@ -18,8 +18,6 @@ import queue
 import threading
 from typing import Iterator
 
-import numpy as np
-
 from dsl_tpu.data.formatting import (
     DEFAULT_CANVAS, DEFAULT_MAX_GT, DEFAULT_MAX_IGNORE, build_batch,
     format_sample, select_canvas)

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax.numpy as jnp
 import flax.linen as nn
 
 from dsl_tpu.registry import BACKBONES

@@ -20,7 +20,7 @@ import flax.linen as nn
 
 from dsl_tpu.registry import BACKBONES
 from dsl_tpu.models.layers import (
-    FrozenBatchNorm, conv1x1, conv3x3, make_norm, max_pool_3x3_s2)
+    conv1x1, conv3x3, make_norm, max_pool_3x3_s2)
 
 ARCH_SETTINGS = {
     18: ("basic", (2, 2, 2, 2)),

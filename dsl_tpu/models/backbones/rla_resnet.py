@@ -15,7 +15,7 @@ bandwidth is negligible next to the 256-2048ch trunk.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

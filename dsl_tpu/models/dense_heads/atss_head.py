@@ -11,7 +11,7 @@ centerness targets, centerness BCE — all dense masked fixed-shape.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -20,7 +20,7 @@ import flax.linen as nn
 from dsl_tpu.registry import HEADS
 from dsl_tpu.core.anchors import AnchorGenerator
 from dsl_tpu.core.assigners import atss_assign
-from dsl_tpu.core.boxes import bbox2delta, delta2bbox
+from dsl_tpu.core.boxes import delta2bbox
 from dsl_tpu.core import losses as L
 from dsl_tpu.core.nms import multiclass_nms
 from dsl_tpu.models.layers import Scale, bias_init_with_prob, normal_init

@@ -22,7 +22,7 @@ baking batch layout into the loss.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

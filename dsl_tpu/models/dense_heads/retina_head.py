@@ -9,7 +9,7 @@ test. Fixed-shape dense masked arithmetic throughout.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

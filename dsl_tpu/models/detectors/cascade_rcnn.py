@@ -21,7 +21,7 @@ from dsl_tpu.core.boxes import delta2bbox
 from dsl_tpu.core.nms import multiclass_nms
 from dsl_tpu.models.dense_heads.rpn_head import rpn_loss, rpn_proposals
 from dsl_tpu.models.roi_heads.standard_roi_head import (
-    Shared2FCBBoxHead, extract_roi_feats, roi_head_loss)
+    extract_roi_feats, roi_head_loss)
 from dsl_tpu.models.detectors.single_stage import _parse_losses
 
 CASCADE_IOUS = (0.5, 0.6, 0.7)

@@ -21,7 +21,7 @@ import flax.linen as nn
 
 from dsl_tpu.registry import DETECTORS, MODELS, build_from_cfg
 from dsl_tpu.models.dense_heads.fcos_head import (
-    FCOSHead, fcos_get_bboxes, fcos_loss)
+    fcos_get_bboxes, fcos_loss)
 
 
 @DETECTORS.register

@@ -12,14 +12,13 @@ from __future__ import annotations
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import flax.linen as nn
 
 from dsl_tpu.registry import DETECTORS, MODELS, build_from_cfg
 from dsl_tpu.models.dense_heads.rpn_head import (
-    RPNHead, rpn_loss, rpn_proposals)
+    rpn_loss, rpn_proposals)
 from dsl_tpu.models.roi_heads.standard_roi_head import (
-    Shared2FCBBoxHead, roi_head_loss, roi_head_predict)
+    roi_head_loss, roi_head_predict)
 from dsl_tpu.models.detectors.single_stage import _parse_losses
 
 

@@ -5,11 +5,10 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import jax.numpy as jnp
 import flax.linen as nn
 
 from dsl_tpu.registry import NECKS
-from dsl_tpu.models.necks.fpn import FPN, _upsample_nearest_2x
+from dsl_tpu.models.necks.fpn import _upsample_nearest_2x
 
 
 @NECKS.register

@@ -17,10 +17,9 @@ import json
 import os
 import os.path as osp
 import time
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
-import jax
 
 from dsl_tpu.train.train_state import TrainState
 from dsl_tpu.utils.logger import get_root_logger

@@ -18,7 +18,6 @@ The TPU redesign of ``UnlabelPredHook``
 
 from __future__ import annotations
 
-import functools
 import os.path as osp
 
 import numpy as np

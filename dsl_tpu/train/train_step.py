@@ -12,8 +12,7 @@ via ``jnp.where`` so one compiled program serves all iterations.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

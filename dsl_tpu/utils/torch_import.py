@@ -15,7 +15,6 @@ no torch code runs on the compute path.
 from __future__ import annotations
 
 import re
-from typing import Any
 
 import numpy as np
 
