@@ -1,0 +1,50 @@
+import numpy as np
+import pytest
+
+from dsl_tpu.core.masks import BitmapMasks, PolygonMasks, mask_target
+
+
+def _square_mask(h, w, y1, x1, y2, x2):
+    m = np.zeros((h, w), np.uint8)
+    m[y1:y2, x1:x2] = 1
+    return m
+
+
+def test_bitmap_ops():
+    m = BitmapMasks([_square_mask(20, 30, 5, 5, 15, 25)], 20, 30)
+    assert len(m) == 1
+    assert m.areas[0] == 10 * 20
+    r = m.resize((10, 15))
+    assert r.masks.shape == (1, 10, 15)
+    f = m.flip("horizontal")
+    assert f.masks[0, 10, 29 - 24] == 1
+    c = m.crop([5, 5, 25, 15])
+    assert c.masks.shape == (1, 10, 20)
+    assert c.areas[0] == 200
+    p = m.pad((25, 40))
+    assert p.masks.shape == (1, 25, 40)
+    assert p.areas[0] == m.areas[0]
+
+
+def test_polygon_to_bitmap_and_area():
+    poly = [[np.asarray([2, 2, 12, 2, 12, 12, 2, 12], float)]]
+    pm = PolygonMasks(poly, 20, 20)
+    assert abs(pm.areas[0] - 100) < 1e-6
+    bm = pm.to_bitmap()
+    assert bm.masks.shape == (1, 20, 20)
+    assert 80 <= bm.areas[0] <= 130   # rasterization tolerance
+    sc = pm.rescale(2.0)
+    assert sc.height == 40 and abs(sc.areas[0] - 400) < 1e-6
+    fl = pm.flip("horizontal")
+    assert fl.masks[0][0][0] == 18    # x mirrored
+
+
+def test_mask_target():
+    gt = BitmapMasks([_square_mask(32, 32, 8, 8, 24, 24)], 32, 32)
+    proposals = np.asarray([[8.0, 8.0, 24.0, 24.0],
+                            [0.0, 0.0, 8.0, 8.0]])
+    assigned = np.asarray([0, -1])
+    t = mask_target(gt, proposals, assigned, mask_size=14)
+    assert t.shape == (2, 14, 14)
+    assert t[0].mean() > 0.9          # proposal covers the mask exactly
+    assert t[1].sum() == 0            # unassigned -> zero target
