@@ -102,6 +102,13 @@ class SemiRunner:
                 self.data_loader, "unlabel_loader"):
             unl = self.data_loader.unlabel_loader
             idx_order = unl.upcoming_indices()
+            # Extend with the next epoch's deterministic order: the endless
+            # unlabeled stream wraps into epoch+1 mid-epoch, and the final
+            # ``preload`` iterations' look-ahead lands past this epoch's end.
+            # (The reference's runner.ITER silently refreshes nothing there —
+            # unlabel_pred_hook.py:512-562; determinism lets us do better.)
+            idx_order = idx_order + list(unl.sampler.set_epoch(self.epoch + 1))
+            unl.sampler.set_epoch(self.epoch)
             infos = unl.dataset.data_infos
             upcoming = [infos[i]["filename"] for i in idx_order]
             n_lab = self.data_loader.label_loader.samples_per_gpu

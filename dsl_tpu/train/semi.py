@@ -62,6 +62,11 @@ class PseudoLabelRefresher:
         self.preload = preload
         self.refresh_batch = refresh_batch
         self._first_done = False
+        # Reference semantics (unlabel_pred_hook.py:383): first_ignore starts
+        # True unless first_fuse; while fuse_history and first_ignore, the
+        # refresh writes only the new detections (old boxes ignored), then
+        # first_ignore flips off (:508-509).
+        self._first_ignore = not first_fuse
         self._predict = None
 
     # -- jitted predict ----------------------------------------------------
@@ -100,9 +105,8 @@ class PseudoLabelRefresher:
                      else state.student_variables)
         predict = self._get_predict()
 
-        fuse = self.fuse_history or (self.first_fuse and not self._first_done)
-        first_ignore = not self.fuse_history and not (
-            self.first_fuse and not self._first_done)
+        fuse = self.fuse_history
+        first_ignore = self._first_ignore
 
         todo = []
         for name in filenames:
@@ -122,11 +126,17 @@ class PseudoLabelRefresher:
                              for c in chunk])
             shapes = np.stack([c[2] for c in chunk])
             sfs = np.stack([c[3] for c in chunk])
-            if len(chunk) < bs:  # pad to static batch
+            if len(chunk) < bs:
+                # pad to the static batch by repeating the last row — any
+                # remainder size yields the same (bs, ...) shapes so the
+                # jitted predict never retraces (a fresh trace costs minutes
+                # through the remote-compile relay)
                 pad = bs - len(chunk)
-                imgs = np.concatenate([imgs, np.zeros_like(imgs[:pad])])
-                shapes = np.concatenate([shapes, shapes[:pad]])
-                sfs = np.concatenate([sfs, sfs[:pad]])
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], pad, axis=0)])
+                shapes = np.concatenate(
+                    [shapes, np.repeat(shapes[-1:], pad, axis=0)])
+                sfs = np.concatenate([sfs, np.repeat(sfs[-1:], pad, axis=0)])
             variants = [imgs]
             if self.eval_flip:
                 variants.append(imgs[:, :, ::-1].copy())
@@ -160,8 +170,10 @@ class PseudoLabelRefresher:
                     infer_score_thre=(self.first_score_thre
                                       if not self._first_done
                                       else self.infer_score_thre),
-                    iou=self.iou, fuse=fuse, first_ignore=False)
+                    iou=self.iou, fuse=fuse, first_ignore=first_ignore)
         self._first_done = True
+        if self.fuse_history and self._first_ignore:
+            self._first_ignore = False
 
     # -- scheduling --------------------------------------------------------
     def after_train_iter(self, state, epoch: int, upcoming: list[str],

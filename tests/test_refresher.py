@@ -36,15 +36,15 @@ def env(tmp_path):
     return img_dir, store, infos
 
 
-def _make_refresher(img_dir, store, infos, **kw):
+def _make_refresher(img_dir, store, infos, refresh_batch=2, **kw):
     r = PseudoLabelRefresher(
         detector=None, store=store, image_root=str(img_dir),
         image_infos=infos, canvas_hw=(64, 96), img_scale=(96, 64),
-        refresh_batch=2, **kw)
+        refresh_batch=refresh_batch, **kw)
     calls = []
 
     def fake_predict(variables, images, shapes, sfs):
-        calls.append(images.shape[0])
+        calls.append(tuple(images.shape))
         b = images.shape[0]
         dets = jnp.tile(jnp.asarray([[5., 5., 20., 20., 0.8]]), (b, 3, 1))
         labels = jnp.zeros((b, 3), jnp.int32)
@@ -106,6 +106,53 @@ def test_epoch_mode_full_refresh_and_adathres(env, tmp_path):
     assert "thres" in result and "a" in result["thres"]
 
 
+def test_remainder_chunk_pads_to_full_static_batch(env):
+    """A tail chunk smaller than half the refresh batch must still be padded
+    to the full batch size (reference of the round-1 bug: np.zeros_like(
+    imgs[:pad]) could only supply len(chunk) pad rows -> silent retrace)."""
+    img_dir, store, infos = env
+    r, calls = _make_refresher(img_dir, store, infos, refresh_batch=4)
+    # 5 images -> chunks of 4 and 1; pad(3) > len(chunk)(1) triggers old bug
+    names = [i["filename"] for i in infos] + [infos[0]["filename"]]
+    r.refresh_images(FakeState(), names)
+    assert len(calls) == 2
+    assert len({c for c in calls}) == 1          # ONE static shape
+    assert all(c[0] == 4 for c in calls)         # always the full batch
+
+
+def test_fuse_history_first_refresh_ignores_old(env):
+    """fuse_history + default first_fuse=False: the FIRST refresh writes only
+    new detections (reference unlabel_pred_hook.py:137-149,383,508-509);
+    subsequent refreshes fuse with the previous labels."""
+    img_dir, store, infos = env
+    store.write("u0.jpg", [[30., 30., 50., 50.]], ["b"], [0.95])
+    r, _ = _make_refresher(img_dir, store, infos, fuse_history=True)
+    r.refresh_images(FakeState(), ["u0.jpg"])
+    assert store.read("u0.jpg")["tags"] == ["a"]      # old "b" box ignored
+    # re-seed an old box; the second refresh must fuse it back in
+    store.write("u0.jpg", [[30., 30., 50., 50.]], ["b"], [0.95])
+    r.refresh_images(FakeState(), ["u0.jpg"])
+    assert set(store.read("u0.jpg")["tags"]) == {"a", "b"}
+
+
+def test_first_fuse_fuses_from_the_start(env):
+    img_dir, store, infos = env
+    store.write("u0.jpg", [[30., 30., 50., 50.]], ["b"], [0.95])
+    r, _ = _make_refresher(img_dir, store, infos, fuse_history=True,
+                           first_fuse=True)
+    r.refresh_images(FakeState(), ["u0.jpg"])
+    assert set(store.read("u0.jpg")["tags"]) == {"a", "b"}
+
+
+def test_no_fuse_history_never_fuses(env):
+    img_dir, store, infos = env
+    store.write("u0.jpg", [[30., 30., 50., 50.]], ["b"], [0.95])
+    r, _ = _make_refresher(img_dir, store, infos)
+    r.refresh_images(FakeState(), ["u0.jpg"])
+    r.refresh_images(FakeState(), ["u0.jpg"])
+    assert store.read("u0.jpg")["tags"] == ["a"]
+
+
 def test_eval_flip_merges_by_nms(env):
     img_dir, store, infos = env
     r, calls = _make_refresher(img_dir, store, infos, eval_flip=True)
@@ -114,3 +161,57 @@ def test_eval_flip_merges_by_nms(env):
     data = store.read("u0.jpg")
     assert data["targetNum"] >= 1
     assert len(calls) == 2  # two predict passes (orig + flip)
+
+
+class _FakeDs:
+    def __init__(self, n=4, h=64, w=64):
+        self.n, self.h, self.w = n, h, w
+        self.flag = np.zeros(n, np.uint8)
+        self.data_infos = [dict(filename=f"img{i}.jpg", width=w, height=h)
+                           for i in range(n)]
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        img = np.full((self.h, self.w, 3), idx, np.float32)
+        return dict(img=img, img_shape=img.shape,
+                    gt_bboxes=np.asarray([[1., 1., 10., 10.]], np.float32),
+                    gt_labels=np.asarray([0], np.int64),
+                    gt_bboxes_ignore=np.zeros((0, 4), np.float32),
+                    scale_factor=np.ones(4, np.float32))
+
+
+def test_runner_lookahead_covers_epoch_tail(tmp_path):
+    """The runner's upcoming-filename list must extend into the next epoch's
+    deterministic order so the final ``preload`` iterations still resolve a
+    look-ahead target (the reference's runner.ITER refreshes nothing there)."""
+    from dsl_tpu.data.loader import DetDataLoader, MultiDataLoader
+    from dsl_tpu.train.runner import SemiRunner
+
+    lab = DetDataLoader(_FakeDs(4), samples_per_gpu=2, num_workers=1)
+    unl = DetDataLoader(_FakeDs(4), samples_per_gpu=2, num_workers=1)
+    mdl = MultiDataLoader(lab, unl, ratio=(1, 1))
+
+    seen = []
+
+    class Recorder:
+        def after_train_iter(self, state, epoch, upcoming, it, consumed):
+            seen.append((list(upcoming), it, consumed))
+
+        def after_train_epoch(self, *a, **k):
+            pass
+
+    runner = SemiRunner(
+        train_step=lambda state, batch: (state, {"loss": 0.0}),
+        state=object(), data_loader=mdl, work_dir=str(tmp_path),
+        max_epochs=1, refresher=Recorder())
+    runner.run()
+    assert seen, "refresher never called"
+    upcoming, last_it, consumed = seen[-1]
+    # two epochs' worth of names are visible ...
+    assert len(upcoming) >= 2 * 4
+    # ... so even a preload that lands past this epoch's end resolves
+    preload = 2
+    pos = (last_it + preload) * consumed
+    assert upcoming[pos: pos + consumed], "tail look-ahead found no target"
