@@ -60,6 +60,15 @@ def main():
     batch["images"] = jnp.asarray(
         np.random.RandomState(0).rand(batch_size, h, w, 3), jnp.float32)
 
+    # XLA cost analysis of the whole compiled step -> achieved TFLOP/s & MFU
+    # (VERDICT r1: report compute honesty, not just img/s). Same jit object
+    # as the timed loop, so this shares the single compilation.
+    try:
+        step_flops = float(
+            jstep.lower(state, batch).compile().cost_analysis()["flops"])
+    except Exception:
+        step_flops = float("nan")
+
     # warmup / compile. NOTE: force completion with a host transfer —
     # through the axon relay block_until_ready returns early, so timing must
     # be bracketed by an actual device->host fetch of the chained result.
@@ -75,11 +84,20 @@ def main():
     assert np.isfinite(final_loss)
 
     img_per_sec = batch_size * iters / dt
+    step_time = dt / iters
+    achieved_tflops = step_flops / step_time / 1e12 \
+        if np.isfinite(step_flops) else float("nan")
+    # v5e bf16 peak: 394 TFLOP/s/chip
+    mfu = achieved_tflops / 394.0 * 100.0
     print(json.dumps({
         "metric": "semi_train_step_images_per_sec_per_chip",
         "value": round(img_per_sec, 3),
         "unit": "img/s/chip @800x1344 bs8 fcos-rla-r50 bf16",
         "vs_baseline": round(img_per_sec / V100_REF_IMG_PER_SEC, 3),
+        "achieved_tflops_per_sec": round(achieved_tflops, 2)
+        if np.isfinite(achieved_tflops) else None,
+        "mfu_pct_v5e": round(mfu, 2) if np.isfinite(mfu) else None,
+        "step_flops": step_flops if np.isfinite(step_flops) else None,
     }))
 
 

@@ -39,7 +39,9 @@ def init_detector(config, checkpoint: str | None = None,
         config = Config.fromfile(config)
     detector = build_detector(dict(config.model))
     imgs = jnp.zeros((1, *canvas_hw, 3), jnp.float32)
-    variables = detector.init(jax.random.PRNGKey(0), imgs)
+    from dsl_tpu.models.detectors.single_stage import init_detector_variables
+
+    variables = init_detector_variables(detector, jax.random.PRNGKey(0), imgs)
     if checkpoint:
         from dsl_tpu.utils.checkpoint import load_checkpoint
 

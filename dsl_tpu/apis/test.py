@@ -67,10 +67,22 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
                        canvas_hw=DEFAULT_CANVAS, batch_size: int = 8,
                        img_scale=(1333, 800), img_norm=None,
                        return_results: bool = False, evaluate: bool = True):
-    """Run inference over a dataset; returns eval metrics (and/or results)."""
+    """Run inference over a dataset; returns eval metrics (and/or results).
+
+    For Mask R-CNN the per-image results are ``(dets, labels, masks)`` with
+    full-resolution binary masks pasted on host (reference
+    ``simple_test_mask``); ``dataset.evaluate(metric=["bbox", "segm"])``
+    consumes them."""
+    with_masks = type(detector).__name__ == "MaskRCNN"
 
     @jax.jit
     def predict(variables, images, shapes, sfs):
+        if with_masks:
+            from dsl_tpu.models.detectors.two_stage import mask_rcnn_predict
+
+            return mask_rcnn_predict(detector, variables, images,
+                                     img_shapes=shapes, scale_factors=sfs,
+                                     test_cfg=test_cfg)
         return detector_predict(detector, variables, images,
                                 img_shapes=shapes, scale_factors=sfs,
                                 test_cfg=test_cfg)
@@ -93,16 +105,28 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
                 pad, axis=0)])
             shapes = np.concatenate([shapes, shapes[:1].repeat(pad, axis=0)])
             sfs = np.concatenate([sfs, sfs[:1].repeat(pad, axis=0)])
-        dets, labels, valid = predict(variables, jnp.asarray(imgs),
-                                      jnp.asarray(shapes), jnp.asarray(sfs))
-        dets, labels, valid = (np.asarray(dets), np.asarray(labels),
-                               np.asarray(valid))
+        outs = predict(variables, jnp.asarray(imgs),
+                       jnp.asarray(shapes), jnp.asarray(sfs))
+        if with_masks:
+            dets, labels, valid, mask_probs = (np.asarray(o) for o in outs)
+        else:
+            dets, labels, valid = (np.asarray(o) for o in outs)
         for bi in range(len(idxs)):
             m = valid[bi]
-            results.append((dets[bi][m], labels[bi][m]))
+            if with_masks:
+                from dsl_tpu.models.roi_heads.mask_head import paste_masks
+
+                info = dataset.data_infos[idxs[bi]]
+                masks = paste_masks(mask_probs[bi][m], dets[bi][m],
+                                    info["height"], info["width"])
+                results.append((dets[bi][m], labels[bi][m], masks))
+            else:
+                results.append((dets[bi][m], labels[bi][m]))
     if not evaluate:
         return results
-    metrics = dataset.evaluate(results, verbose=False)
+    metrics = dataset.evaluate(
+        results, metric=["bbox", "segm"] if with_masks else "bbox",
+        verbose=False)
     if return_results:
         return metrics, results
     return metrics

@@ -89,8 +89,11 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         steps_per_epoch = len(label_loader)
 
     # init model variables at the training canvas shape
+    from dsl_tpu.models.detectors.single_stage import init_detector_variables
+
     init_imgs = jnp.zeros((1, *canvas, 3), jnp.float32)
-    variables = detector.init(jax.random.PRNGKey(seed), init_imgs)
+    variables = init_detector_variables(detector, jax.random.PRNGKey(seed),
+                                        init_imgs)
     variables = _maybe_load_pretrained(cfg, detector, variables, logger)
 
     frozen = frozen_backbone_mask(

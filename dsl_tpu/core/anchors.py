@@ -17,7 +17,9 @@ class AnchorGenerator:
     def __init__(self, strides, ratios=(0.5, 1.0, 2.0), scales=None,
                  octave_base_scale=None, scales_per_octave=None,
                  base_sizes=None, center_offset=0.0):
-        self.strides = list(strides)
+        # each stride may be an int or an (sx, sy) pair (mmdet semantics)
+        self.strides = [tuple(s) if isinstance(s, (tuple, list))
+                        else (int(s), int(s)) for s in strides]
         self.ratios = np.asarray(ratios, np.float32)
         if scales is not None:
             self.scales = np.asarray(scales, np.float32)
@@ -29,7 +31,7 @@ class AnchorGenerator:
         else:
             self.scales = np.asarray([8.0], np.float32)
         self.base_sizes = list(base_sizes) if base_sizes is not None else \
-            list(self.strides)
+            [min(s) for s in self.strides]
         self.center_offset = center_offset
 
     @property
@@ -47,18 +49,18 @@ class AnchorGenerator:
         h = base * np.sqrt(self.ratios)[:, None] * self.scales[None, :]
         w = w.reshape(-1)
         h = h.reshape(-1)
-        cx = self.center_offset * self.strides[level]
-        cy = self.center_offset * self.strides[level]
+        cx = self.center_offset * self.strides[level][0]
+        cy = self.center_offset * self.strides[level][1]
         return np.stack([cx - 0.5 * w, cy - 0.5 * h,
                          cx + 0.5 * w, cy + 0.5 * h], axis=-1)
 
     def grid_anchors_level(self, featmap_size, level: int) -> np.ndarray:
         """(H*W*A, 4) anchors for one level (row-major y, x, anchor)."""
         h, w = featmap_size
-        stride = self.strides[level]
+        sx, sy = self.strides[level]
         base = self.base_anchors(level)                  # (A, 4)
-        xs = np.arange(w, dtype=np.float32) * stride
-        ys = np.arange(h, dtype=np.float32) * stride
+        xs = np.arange(w, dtype=np.float32) * sx
+        ys = np.arange(h, dtype=np.float32) * sy
         xx, yy = np.meshgrid(xs, ys)
         shifts = np.stack([xx.ravel(), yy.ravel(),
                            xx.ravel(), yy.ravel()], axis=-1)  # (HW, 4)

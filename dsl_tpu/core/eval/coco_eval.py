@@ -61,7 +61,8 @@ class COCOEval:
 
     def __init__(self, coco_gt, detections, iou_type: str = "bbox",
                  img_ids=None, cat_ids=None, max_dets=(1, 10, 100)):
-        assert iou_type == "bbox"
+        assert iou_type in ("bbox", "segm")
+        self.iou_type = iou_type
         self.gt = coco_gt
         self.img_ids = list(img_ids if img_ids is not None
                             else coco_gt.get_img_ids())
@@ -102,7 +103,11 @@ class COCOEval:
         g_order = np.argsort(g_ignore, kind="mergesort")
         g_boxes, g_crowd, g_ignore = (g_boxes[g_order], g_crowd[g_order],
                                       g_ignore[g_order])
-        ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
+        if self.iou_type == "segm":
+            gts_sorted = [gts[i] for i in g_order]
+            ious = self._segm_iou(img_id, dts, gts_sorted, g_crowd)
+        else:
+            ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
 
         T = len(IOU_THRS)
         D, G = len(dts), len(gts)
@@ -129,11 +134,38 @@ class COCOEval:
                 dt_m[ti, di] = best_g
                 gt_m[ti, best_g] = di
         # unmatched dts outside the area range are ignored
-        d_area = d_boxes[:, 2] * d_boxes[:, 3]
+        if self.iou_type == "segm":
+            from dsl_tpu.core.masks import rle_area
+
+            d_area = np.asarray(
+                [rle_area(d["segmentation"])
+                 if isinstance(d["segmentation"], dict)
+                 else d["bbox"][2] * d["bbox"][3] for d in dts], float)
+        else:
+            d_area = d_boxes[:, 2] * d_boxes[:, 3]
         out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
         dt_ig = dt_ig | ((dt_m == -1) & out_of_rng[None, :])
         return dict(dt_matches=dt_m, dt_ignore=dt_ig, dt_scores=d_scores,
                     gt_ignore=g_ignore, num_gt=int((~g_ignore).sum()))
+
+    def _segm_iou(self, img_id, dts, gts, g_crowd):
+        """Mask IoU: dt ``segmentation`` is uncompressed RLE; gt is polygons
+        or RLE, rasterized at the image size."""
+        from dsl_tpu.core.masks import (PolygonMasks, decode_rle, mask_iou)
+
+        info = self.gt.imgs[img_id]
+        h, w = info["height"], info["width"]
+
+        def to_mask(seg):
+            if isinstance(seg, dict):
+                return decode_rle(seg)
+            return PolygonMasks([seg], h, w).to_bitmap().masks[0]
+
+        d_masks = np.stack([to_mask(d["segmentation"]) for d in dts]) \
+            if dts else np.zeros((0, h, w), np.uint8)
+        g_masks = np.stack([to_mask(g["segmentation"]) for g in gts]) \
+            if gts else np.zeros((0, h, w), np.uint8)
+        return mask_iou(d_masks, g_masks, g_crowd)
 
     # -- accumulate --------------------------------------------------------
     def evaluate(self):

@@ -77,6 +77,37 @@ class BitmapMasks:
         return self.masks
 
 
+def rasterize_polygons(polys, height: int, width: int) -> np.ndarray:
+    """Even-odd pixel-center rasterization of a list of flat polygons.
+
+    A pixel (i, j) is foreground iff its center (j+0.5, i+0.5) lies inside an
+    odd number of polygon boundaries — the pycocotools convention for
+    polygon→RLE (``maskUtils.frPyObjects``): a square [x1,y1,x2,y2] covers
+    exactly (x2-x1)×(y2-y1) pixels, where cv2.fillPoly would include both
+    boundary edges (+1 row/col) and silently shift segm mAP."""
+    mask = np.zeros((height, width), np.uint8)
+    for p in polys:
+        p = np.asarray(p, np.float64).reshape(-1, 2)
+        if len(p) < 3:
+            continue
+        x, y = p[:, 0], p[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        yc = np.arange(height) + 0.5                        # (H,)
+        # edges crossing each scanline (half-open [min, max) convention)
+        ylo = np.minimum(y, y2)[None, :]
+        yhi = np.maximum(y, y2)[None, :]
+        crosses = (yc[:, None] >= ylo) & (yc[:, None] < yhi)  # (H, E)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (yc[:, None] - y[None, :]) / (y2 - y)[None, :]
+        xs = x[None, :] + t * (x2 - x)[None, :]             # (H, E)
+        xs = np.where(crosses, xs, np.inf)
+        xc = np.arange(width) + 0.5                          # (W,)
+        # pixel center inside iff an odd number of crossings to its right
+        inside = (xc[None, :, None] < xs[:, None, :]).sum(-1) % 2  # (H, W)
+        mask |= inside.astype(np.uint8)   # polygons of one instance union
+    return mask
+
+
 class PolygonMasks:
     """Per-instance lists of flat [x0, y0, x1, y1, ...] polygons."""
 
@@ -121,13 +152,8 @@ class PolygonMasks:
         return PolygonMasks(out, self.height, self.width)
 
     def to_bitmap(self) -> BitmapMasks:
-        bitmaps = []
-        for inst in self.masks:
-            canvas = np.zeros((self.height, self.width), np.uint8)
-            pts = [np.round(p).astype(np.int32).reshape(-1, 2)
-                   for p in inst]
-            cv2.fillPoly(canvas, pts, 1)
-            bitmaps.append(canvas)
+        bitmaps = [rasterize_polygons(inst, self.height, self.width)
+                   for inst in self.masks]
         return BitmapMasks(bitmaps, self.height, self.width)
 
     @property
@@ -142,6 +168,58 @@ class PolygonMasks:
                                - np.dot(y, np.roll(x, 1)))
             out.append(a)
         return np.asarray(out)
+
+
+def encode_rle(mask: np.ndarray) -> dict:
+    """Binary mask → COCO uncompressed RLE (column-major runs, first run
+    counts zeros) — the ``segmentation`` format of segm result json
+    (pycocotools ``maskUtils.encode`` semantics, uncompressed counts)."""
+    m = np.asarray(mask, np.uint8)
+    h, w = m.shape
+    flat = m.flatten(order="F")
+    if len(flat) == 0:
+        return dict(size=[h, w], counts=[0])
+    change = np.nonzero(np.diff(flat))[0] + 1
+    bounds = np.concatenate([[0], change, [len(flat)]])
+    counts = np.diff(bounds).tolist()
+    if flat[0] == 1:
+        counts = [0] + counts
+    return dict(size=[int(h), int(w)], counts=counts)
+
+
+def decode_rle(rle: dict) -> np.ndarray:
+    """COCO uncompressed RLE → (H, W) uint8 binary mask."""
+    h, w = rle["size"]
+    flat = np.zeros(h * w, np.uint8)
+    pos, val = 0, 0
+    for c in rle["counts"]:
+        c = int(c)
+        if val:
+            flat[pos:pos + c] = 1
+        pos += c
+        val = 1 - val
+    return flat.reshape((h, w), order="F")
+
+
+def rle_area(rle: dict) -> int:
+    return int(sum(int(c) for c in rle["counts"][1::2]))
+
+
+def mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray,
+             iscrowd: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of binary masks (N, H, W) × (M, H, W); crowd GT uses
+    intersection / dt-area (COCO convention, like bbox crowd IoU)."""
+    n, m = len(dt_masks), len(gt_masks)
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    d = dt_masks.reshape(n, -1).astype(np.float64)
+    g = gt_masks.reshape(m, -1).astype(np.float64)
+    inter = d @ g.T
+    d_area = d.sum(1)[:, None]
+    g_area = g.sum(1)[None, :]
+    union = np.where(np.asarray(iscrowd, bool)[None, :], d_area,
+                     d_area + g_area - inter)
+    return inter / np.maximum(union, 1e-10)
 
 
 def mask_target(gt_masks: BitmapMasks, proposals: np.ndarray,

@@ -59,7 +59,7 @@ class CocoDataset(CustomDataset):
         return self._parse_ann_info(self.data_infos[idx], anns)
 
     def _parse_ann_info(self, img_info, anns):
-        bboxes, labels, ignore = [], [], []
+        bboxes, labels, ignore, masks = [], [], [], []
         for a in anns:
             if a.get("ignore", False):
                 continue
@@ -76,10 +76,12 @@ class CocoDataset(CustomDataset):
             else:
                 bboxes.append(box)
                 labels.append(self.cat2label[a["category_id"]])
+                masks.append(a.get("segmentation", None))
         return dict(
             bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
             labels=np.asarray(labels, np.int64),
-            bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4))
+            bboxes_ignore=np.asarray(ignore, np.float32).reshape(-1, 4),
+            masks=masks)
 
     def _filter_imgs(self, min_size=32):
         valid = []
@@ -111,23 +113,51 @@ class CocoDataset(CustomDataset):
                     category_id=int(self.cat_ids[int(label)])))
         return out
 
+    def results2json_segm(self, results):
+        """``results``: list per image of (dets (N, 5), labels (N,),
+        masks (N, H, W) binary at original resolution).
+
+        Returns COCO segm dicts with uncompressed-RLE ``segmentation``
+        (reference ``coco.py _segm2json``)."""
+        from dsl_tpu.core.masks import encode_rle
+
+        out = []
+        for idx, item in enumerate(results):
+            dets, labels, masks = item
+            img_id = self.data_infos[idx]["id"]
+            for det, label, mask in zip(dets, labels, masks):
+                x1, y1, x2, y2, score = det
+                out.append(dict(
+                    image_id=img_id,
+                    bbox=[float(x1), float(y1), float(x2 - x1),
+                          float(y2 - y1)],
+                    score=float(score),
+                    category_id=int(self.cat_ids[int(label)]),
+                    segmentation=encode_rle(mask)))
+        return out
+
     def evaluate(self, results, metric="bbox", iou_thrs=None,
                  verbose: bool = True):
-        """COCO-protocol bbox mAP (matching ``CocoDataset.evaluate``)."""
+        """COCO-protocol mAP (matching ``CocoDataset.evaluate``,
+        ``/root/reference/mmdet/datasets/coco.py:357-558``). ``metric`` may
+        be "bbox", "segm", or a list of both; segm expects per-image results
+        ``(dets, labels, masks)``."""
         from dsl_tpu.core.eval.coco_eval import COCOEval
 
-        dt = self.results2json_bbox(results)
-        ev = COCOEval(self.coco, dt, iou_type="bbox",
-                      img_ids=[d["id"] for d in self.data_infos],
-                      cat_ids=self.cat_ids)
-        stats = ev.evaluate()
-        if verbose:
-            ev.summarize()
-        return {
-            "bbox_mAP": stats["mAP"],
-            "bbox_mAP_50": stats["mAP_50"],
-            "bbox_mAP_75": stats["mAP_75"],
-            "bbox_mAP_s": stats["mAP_s"],
-            "bbox_mAP_m": stats["mAP_m"],
-            "bbox_mAP_l": stats["mAP_l"],
-        }
+        metrics = [metric] if isinstance(metric, str) else list(metric)
+        out = {}
+        for m in metrics:
+            if m == "segm":
+                dt = self.results2json_segm(results)
+            else:
+                bbox_results = [r[:2] if len(r) > 2 else r for r in results]
+                dt = self.results2json_bbox(bbox_results)
+            ev = COCOEval(self.coco, dt, iou_type=m,
+                          img_ids=[d["id"] for d in self.data_infos],
+                          cat_ids=self.cat_ids)
+            stats = ev.evaluate()
+            if verbose:
+                ev.summarize()
+            for k in ("mAP", "mAP_50", "mAP_75", "mAP_s", "mAP_m", "mAP_l"):
+                out[f"{m}_{k}"] = stats[k]
+        return out

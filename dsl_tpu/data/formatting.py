@@ -76,7 +76,7 @@ def format_sample(results: dict, canvas_hw=DEFAULT_CANVAS,
         results.get("gt_bboxes_ignore", np.zeros((0, 4))), None, max_ignore)
 
     sf = np.asarray(results.get("scale_factor", np.ones(4)), np.float32)
-    return dict(
+    out = dict(
         images=canvas,
         gt_bboxes=gt_b, gt_labels=gt_l, gt_valid=gt_v,
         ignore_bboxes=ig_b, ignore_valid=ig_v,
@@ -84,6 +84,25 @@ def format_sample(results: dict, canvas_hw=DEFAULT_CANVAS,
         scale_factors=sf.reshape(4),
         meta=results.get("img_metas", {}),
     )
+    if "gt_masks" in results:
+        # Per-GT normalized mask crops (K, M, M): each instance mask cropped
+        # to its gt box and resized once on host; the device resamples any
+        # roi's mask target from these under jit (mask_head.py). uint8 keeps
+        # host->device bandwidth low.
+        from dsl_tpu.models.roi_heads.mask_head import (
+            GT_MASK_CROP_SIZE, gt_mask_crop)
+
+        masks = results["gt_masks"]
+        if hasattr(masks, "to_bitmap"):
+            masks = masks.to_bitmap()
+        m = GT_MASK_CROP_SIZE
+        crops = np.zeros((max_gt, m, m), np.uint8)
+        n = min(len(masks), max_gt)
+        for i in range(n):
+            crops[i] = (gt_mask_crop(masks.masks[i], gt_b[i], m)
+                        >= 0.5).astype(np.uint8)
+        out["gt_mask_crops"] = crops
+    return out
 
 
 def build_batch(samples: list[dict], source_weights=None,

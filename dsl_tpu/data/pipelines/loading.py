@@ -64,9 +64,12 @@ class LoadImageFromWebcam(LoadImageFromFile):
 
 @PIPELINES.register
 class LoadAnnotations:
-    def __init__(self, with_bbox: bool = True, with_label: bool = True):
+    def __init__(self, with_bbox: bool = True, with_label: bool = True,
+                 with_mask: bool = False, poly2mask: bool = True):
         self.with_bbox = with_bbox
         self.with_label = with_label
+        self.with_mask = with_mask
+        self.poly2mask = poly2mask
 
     def __call__(self, results):
         ann = results["ann_info"]
@@ -79,4 +82,32 @@ class LoadAnnotations:
             results["bbox_fields"] = ["gt_bboxes", "gt_bboxes_ignore"]
         if self.with_label:
             results["gt_labels"] = ann["labels"].astype(np.int64).copy()
+        if self.with_mask:
+            results["gt_masks"] = self._load_masks(results, ann)
+            results["mask_fields"] = ["gt_masks"]
         return results
+
+    def _load_masks(self, results, ann):
+        """Instance masks → BitmapMasks (polygons rasterized when
+        ``poly2mask``, matching reference ``loading.py`` LoadAnnotations)."""
+        from dsl_tpu.core.masks import BitmapMasks, PolygonMasks
+
+        h = results["img_info"]["height"]
+        w = results["img_info"]["width"]
+        raw = ann.get("masks", [])
+        polys = []
+        bitmaps = []
+        for m in raw:
+            if m is None:                  # bbox-only annotation
+                m = []
+            if isinstance(m, dict):       # uncompressed RLE
+                from dsl_tpu.core.masks import decode_rle
+
+                bitmaps.append(decode_rle(m))
+            else:                          # list of flat polygons
+                polys.append([np.asarray(p, np.float64) for p in m])
+                bitmaps.append(
+                    PolygonMasks([m], h, w).to_bitmap().masks[0])
+        if self.poly2mask or not polys or len(bitmaps) != len(polys):
+            return BitmapMasks(bitmaps, h, w)
+        return PolygonMasks(polys, h, w)

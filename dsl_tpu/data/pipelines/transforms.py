@@ -21,6 +21,10 @@ def _bbox_fields(results):
     return results.get("bbox_fields", [])
 
 
+def _mask_fields(results):
+    return results.get("mask_fields", [])
+
+
 @PIPELINES.register
 class Resize:
     """Resize image + boxes. ``img_scale`` is (long, short) tuples like mmdet.
@@ -87,6 +91,8 @@ class Resize:
                 boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, new_w)
                 boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, new_h)
             results[key] = boxes
+        for key in _mask_fields(results):
+            results[key] = results[key].resize((new_h, new_w))
         return results
 
 
@@ -121,6 +127,8 @@ class RandomFlip:
                         b[:, 1], b[:, 3] = h - results[key][:, 3], \
                             h - results[key][:, 1]
                     results[key] = b
+            for key in _mask_fields(results):
+                results[key] = results[key].flip(results["flip_direction"])
         return results
 
 
@@ -162,6 +170,8 @@ class Pad:
         out = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
         out[:h, :w] = img
         results["img"] = out
+        for key in _mask_fields(results):
+            results[key] = results[key].pad((th, tw))
         results["pad_shape"] = out.shape
         results["pad_fixed_size"] = self.size
         results["pad_size_divisor"] = self.size_divisor

@@ -25,8 +25,10 @@ from dsl_tpu.models.dense_heads.rpn_head import (  # noqa: F401
 from dsl_tpu.models.roi_heads.standard_roi_head import (  # noqa: F401
     Shared2FCBBoxHead, roi_head_loss, roi_head_predict)
 from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
-    FasterRCNN, TwoStageDetector, build_two_stage_detector,
-    two_stage_loss, two_stage_predict)
+    FasterRCNN, MaskRCNN, TwoStageDetector, build_two_stage_detector,
+    mask_rcnn_predict, two_stage_loss, two_stage_predict)
+from dsl_tpu.models.roi_heads.mask_head import (  # noqa: F401
+    FCNMaskHead, mask_head_loss, mask_targets_from_crops, paste_masks)
 from dsl_tpu.models.backbones.darknet import Darknet  # noqa: F401
 from dsl_tpu.models.dense_heads.yolo_head import (  # noqa: F401
     YOLOV3Head, YOLOV3Neck, yolo_get_bboxes, yolo_loss)

@@ -114,6 +114,17 @@ def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
                    test_cfg=test_cfg or cfg.pop("test_cfg", None))
 
 
+def init_detector_variables(detector, rng, images):
+    """Initialize a detector's full variable tree regardless of family —
+    two-stage detectors carry RoI-side submodules outside ``__call__``."""
+    from dsl_tpu.models.detectors.two_stage import (
+        TwoStageDetector, init_two_stage_variables)
+
+    if isinstance(detector, TwoStageDetector):
+        return init_two_stage_variables(detector, rng, images)
+    return detector.init(rng, images)
+
+
 def _clean_head_cfg(head_cfg: dict) -> dict:
     """The loss sub-configs in mmdet head configs select loss *functions*;
     here the functional loss is fixed (focal/GIoU/BCE per the DSL config), so
@@ -142,6 +153,17 @@ def detector_loss(detector, variables, batch, cur_iter=0,
     ``compute_dtype=jnp.bfloat16`` runs the conv forward in bf16 with f32
     master weights; losses are always f32 (reference ``@force_fp32``)."""
     from dsl_tpu.utils.precision import outputs_to_f32, to_compute
+
+    from dsl_tpu.models.detectors.two_stage import (
+        TwoStageDetector, two_stage_loss)
+
+    if isinstance(detector, TwoStageDetector):
+        import jax
+
+        # roi sampling rng is deterministic per step (cur_iter may be traced)
+        rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 jnp.asarray(cur_iter, jnp.uint32))
+        return two_stage_loss(detector, variables, batch, rng_key=rng)
 
     fwd_vars, images = to_compute(variables, batch["images"], compute_dtype)
     outputs = detector.apply(fwd_vars, images, training=True)
@@ -187,6 +209,15 @@ def detector_predict(detector, variables, images, img_shapes=None,
                      compute_dtype=None):
     """Inference forward + decode + NMS (``simple_test`` path, §3.4)."""
     from dsl_tpu.utils.precision import outputs_to_f32, to_compute
+
+    from dsl_tpu.models.detectors.two_stage import (
+        TwoStageDetector, two_stage_predict)
+
+    if isinstance(detector, TwoStageDetector):
+        return two_stage_predict(detector, variables, images,
+                                 img_shapes=img_shapes,
+                                 scale_factors=scale_factors,
+                                 test_cfg=test_cfg)
 
     tc = dict(test_cfg or detector.test_cfg or {})
     nms_cfg = dict(tc.get("nms", {}) or {})

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import flax.linen as nn
 
 from dsl_tpu.registry import DETECTORS, MODELS, build_from_cfg
@@ -48,6 +49,17 @@ class FasterRCNN(TwoStageDetector):
     """Faster R-CNN (``mmdet/models/detectors/faster_rcnn.py``)."""
 
 
+@DETECTORS.register
+class MaskRCNN(TwoStageDetector):
+    """Mask R-CNN (``mmdet/models/detectors/mask_rcnn.py:1-24``): Faster
+    R-CNN + FCN mask head on the RoI features."""
+
+    mask_head: nn.Module = None
+
+    def mask_forward(self, roi_feats):
+        return self.mask_head(roi_feats)
+
+
 def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     cfg = dict(cfg)
     det_type = cfg.pop("type", "FasterRCNN")
@@ -56,18 +68,48 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     rpn = build_from_cfg(cfg.pop("rpn_head"), MODELS)
     roi = build_from_cfg(cfg.pop("bbox_head"), MODELS)
     det_cls = MODELS.get(det_type)
+    kwargs = {}
+    mask_cfg = cfg.pop("mask_head", None)
+    if mask_cfg is not None:
+        kwargs["mask_head"] = build_from_cfg(mask_cfg, MODELS)
     return det_cls(backbone=backbone, neck=neck, rpn_head=rpn, bbox_head=roi,
                    train_cfg=cfg.pop("train_cfg", None),
-                   test_cfg=cfg.pop("test_cfg", None))
+                   test_cfg=cfg.pop("test_cfg", None), **kwargs)
 
 
 def _strides_from(detector) -> tuple:
     return tuple(detector.rpn_head.strides)[:4]
 
 
+def init_two_stage_variables(detector, rng, images):
+    """Initialize ALL parameter subtrees (backbone/neck/rpn + roi bbox head +
+    mask head when present) — flax ``init`` only traces ``__call__``, so the
+    RoI-side submodules need their own init passes merged in."""
+    import jax.numpy as jnp
+
+    variables = detector.init(rng, images)
+    params = dict(variables["params"])
+    bh = detector.bbox_head
+    roi_feats = jnp.zeros((1, bh.roi_size, bh.roi_size, bh.in_channels))
+    roi_vars = detector.init(jax.random.fold_in(rng, 1), roi_feats,
+                             method=detector.roi_forward)
+    params.update(roi_vars["params"])
+    mh = getattr(detector, "mask_head", None)
+    if mh is not None:
+        mask_feats = jnp.zeros((1, mh.roi_size, mh.roi_size, mh.in_channels))
+        mask_vars = detector.init(jax.random.fold_in(rng, 2), mask_feats,
+                                  method=detector.mask_forward)
+        params.update(mask_vars["params"])
+    return {**variables, "params": params}
+
+
 def two_stage_loss(detector, variables, batch, rng_key=None,
                    num_proposals: int = 512, num_samples: int = 256):
-    """Full two-stage training loss (jittable; rng drives roi sampling)."""
+    """Full two-stage training loss (jittable; rng drives roi sampling).
+
+    When the detector has a mask head (MaskRCNN) and the batch carries
+    ``gt_mask_crops``, the mask branch runs on the positive subset of the
+    SAME sampled rois (reference ``standard_roi_head.py:180-266``)."""
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
 
@@ -86,13 +128,55 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
     def roi_apply(v, roi_feats):
         return detector.apply(v, roi_feats, method=detector.roi_forward)
 
+    from dsl_tpu.models.roi_heads.standard_roi_head import sample_batch_rois
+
+    samples = sample_batch_rois(proposals, prop_valid, batch, rng_key,
+                                detector.bbox_head.num_classes,
+                                num_samples=num_samples)
     roi_losses = roi_head_loss(
         detector.bbox_head, roi_apply, variables, feats, proposals,
         prop_valid, batch, rng_key, strides=_strides_from(detector),
-        num_samples=num_samples)
+        num_samples=num_samples, samples=samples)
     for k, v in roi_losses.items():
         losses[k] = v
+
+    if getattr(detector, "mask_head", None) is not None \
+            and "gt_mask_crops" in batch:
+        losses["loss_mask"] = _mask_branch_loss(
+            detector, variables, feats, samples, batch,
+            num_samples=num_samples)
     return _parse_losses(losses)
+
+
+def _mask_branch_loss(detector, variables, feats, samples, batch,
+                      num_samples: int):
+    """Mask loss on the positive rois of the shared sampling results."""
+    from dsl_tpu.models.roi_heads.mask_head import (
+        mask_head_loss, mask_targets_from_crops, select_positive_rois)
+    from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
+
+    mh = detector.mask_head
+    b = samples["rois"].shape[0]
+    max_pos = max(1, num_samples // 4)
+    rois, labels, assigned, is_pos = select_positive_rois(
+        samples["rois"], samples["labels"], samples["assigned"],
+        samples["is_pos"], max_pos)                      # (B, P, ...)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, max_pos))
+    flat_rois = jnp.concatenate(
+        [batch_idx.reshape(-1, 1).astype(jnp.float32),
+         rois.reshape(-1, 4)], axis=1)
+    pos = is_pos.reshape(-1)
+    roi_feats = extract_roi_feats(
+        feats, flat_rois, pos, _strides_from(detector), mh.roi_size)
+    logits = detector.apply(variables, roi_feats,
+                            method=detector.mask_forward)
+
+    targets = mask_targets_from_crops(
+        batch["gt_mask_crops"], batch["gt_bboxes"], rois.reshape(-1, 4),
+        batch_idx.reshape(-1), assigned.reshape(-1),
+        mask_size=2 * mh.roi_size)
+    return mask_head_loss(logits, targets, labels.reshape(-1),
+                          pos.astype(jnp.float32), mh.num_classes)
 
 
 def two_stage_predict(detector, variables, images, img_shapes=None,
@@ -117,3 +201,58 @@ def two_stage_predict(detector, variables, images, img_shapes=None,
         score_thr=rcnn.get("score_thr", 0.05),
         iou_threshold=nms_cfg.get("iou_threshold", 0.5),
         max_per_img=rcnn.get("max_per_img", 100))
+
+
+def mask_rcnn_predict(detector, variables, images, img_shapes=None,
+                      scale_factors=None, test_cfg: dict | None = None,
+                      num_proposals: int = 1000):
+    """Boxes + per-detection mask probabilities.
+
+    Returns ``(dets (B, N, 5) original coords, labels, valid,
+    mask_probs (B, N, 2*roi, 2*roi))``. The host pastes the 28×28
+    probabilities at the boxes (``mask_head.paste_masks``), matching the
+    reference's ``simple_test_mask`` (``test_mixins.py``) which re-scales
+    detected boxes into the input frame for mask RoI extraction."""
+    from dsl_tpu.models.roi_heads.mask_head import FCNMaskHead  # noqa: F401
+
+    feats, (rpn_scores, rpn_deltas) = detector.apply(
+        variables, images, training=False)
+    tc = dict(test_cfg or detector.test_cfg or {})
+    rcnn = dict(tc.get("rcnn", {}) or {})
+    nms_cfg = dict(rcnn.get("nms", {}) or {})
+    proposals, _, prop_valid = rpn_proposals(
+        detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
+        nms_pre=num_proposals, num_proposals=num_proposals)
+
+    def roi_apply(v, roi_feats):
+        return detector.apply(v, roi_feats, method=detector.roi_forward)
+
+    dets, labels, valid = roi_head_predict(
+        detector.bbox_head, roi_apply, variables, feats, proposals,
+        prop_valid, img_shapes=img_shapes, scale_factors=scale_factors,
+        strides=_strides_from(detector),
+        score_thr=rcnn.get("score_thr", 0.05),
+        iou_threshold=nms_cfg.get("iou_threshold", 0.5),
+        max_per_img=rcnn.get("max_per_img", 100))
+
+    from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
+    import jax.numpy as jnp
+
+    mh = detector.mask_head
+    b, n = dets.shape[:2]
+    boxes_in = dets[..., :4]
+    if scale_factors is not None:      # back to input-image coords
+        boxes_in = boxes_in * scale_factors[:, None, :]
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    flat_rois = jnp.concatenate(
+        [batch_idx.reshape(-1, 1).astype(jnp.float32),
+         boxes_in.reshape(-1, 4)], axis=1)
+    roi_feats = extract_roi_feats(feats, flat_rois, valid.reshape(-1),
+                                  _strides_from(detector), mh.roi_size)
+    logits = detector.apply(variables, roi_feats,
+                            method=detector.mask_forward)   # (BN, S, S, C)
+    cls = jnp.clip(labels.reshape(-1), 0, mh.num_classes - 1)
+    probs = jax.nn.sigmoid(jnp.take_along_axis(
+        logits, cls[:, None, None, None], axis=-1)[..., 0])
+    s = 2 * mh.roi_size
+    return dets, labels, valid, probs.reshape(b, n, s, s)

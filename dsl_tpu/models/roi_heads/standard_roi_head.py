@@ -109,9 +109,29 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
             (pos_take | is_neg)[order], pos_take[order])
 
 
+def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,
+                      num_samples: int = 512):
+    """Batched fixed-shape roi sampling (shared by bbox + mask branches,
+    as the reference's StandardRoIHead passes one ``sampling_results`` to
+    both, ``standard_roi_head.py:180-266``)."""
+    b = proposals.shape[0]
+    keys = jax.random.split(rng_key, b)
+
+    def per_image(key, props, pvalid, gtb, gtl, gtv):
+        return sample_rois(key, props, pvalid, gtb, gtl, gtv, num_classes,
+                           num_samples=num_samples)
+
+    rois, labels, assigned, valid, is_pos = jax.vmap(per_image)(
+        keys, proposals, prop_valid, batch["gt_bboxes"],
+        batch["gt_labels"], batch["gt_valid"])          # (B, S, ...)
+    return dict(rois=rois, labels=labels, assigned=assigned, valid=valid,
+                is_pos=is_pos)
+
+
 def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
                   proposals, prop_valid, batch, rng_key,
-                  strides=(4, 8, 16, 32), num_samples: int = 512):
+                  strides=(4, 8, 16, 32), num_samples: int = 512,
+                  samples: dict | None = None):
     """Sample rois, extract features, run the bbox head, compute losses.
 
     apply_fn: ``lambda variables, roi_feats: (cls, reg)`` — the bound module
@@ -119,15 +139,12 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
     """
     nc = bbox_head.num_classes
     b = proposals.shape[0]
-    keys = jax.random.split(rng_key, b)
-
-    def per_image(key, props, pvalid, gtb, gtl, gtv):
-        return sample_rois(key, props, pvalid, gtb, gtl, gtv, nc,
-                           num_samples=num_samples)
-
-    rois, labels, assigned, valid, is_pos = jax.vmap(per_image)(
-        keys, proposals, prop_valid, batch["gt_bboxes"],
-        batch["gt_labels"], batch["gt_valid"])          # (B, S, ...)
+    if samples is None:
+        samples = sample_batch_rois(proposals, prop_valid, batch, rng_key,
+                                    nc, num_samples=num_samples)
+    rois, labels, assigned, valid, is_pos = (
+        samples["rois"], samples["labels"], samples["assigned"],
+        samples["valid"], samples["is_pos"])
 
     batch_idx = jnp.broadcast_to(
         jnp.arange(b)[:, None], (b, num_samples)).reshape(-1, 1)

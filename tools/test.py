@@ -48,10 +48,13 @@ def main():
     from dsl_tpu.apis.test import single_device_test
     from dsl_tpu.models.detectors.single_stage import build_detector
 
+    from dsl_tpu.models.detectors.single_stage import init_detector_variables
+
     canvas = tuple(cfg.get("canvas_hw", (800, 1344)))
     detector = build_detector(dict(cfg.model))
-    variables = detector.init(jax.random.PRNGKey(0),
-                              jnp.zeros((1, *canvas, 3), jnp.float32))
+    variables = init_detector_variables(
+        detector, jax.random.PRNGKey(0),
+        jnp.zeros((1, *canvas, 3), jnp.float32))
     if args.checkpoint:
         from dsl_tpu.utils.checkpoint import load_checkpoint
         from dsl_tpu.train.train_state import TrainState
@@ -76,14 +79,20 @@ def main():
         img_norm=tp["img_norm"])
 
     if args.out or args.format_only:
-        dt = ds.results2json_bbox(results)
+        dt = ds.results2json_bbox([r[:2] for r in results])
         out = args.out or (osp.splitext(args.checkpoint or "results")[0]
                            + ".bbox.json")
         with open(out, "w") as f:
             json.dump(dt, f)
         print(f"wrote {len(dt)} detections to {out}")
+        if "segm" in args.eval and len(results[0]) > 2:
+            sout = out.replace(".bbox.json", ".segm.json")
+            with open(sout, "w") as f:
+                json.dump(ds.results2json_segm(results), f)
+            print(f"wrote segm results to {sout}")
     if not args.format_only:
-        metrics = ds.evaluate(results)
+        metrics = ds.evaluate(results, metric=(
+            args.eval if len(results[0]) > 2 else "bbox"))
         print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()}))
 
 
