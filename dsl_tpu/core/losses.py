@@ -181,3 +181,205 @@ def distribution_focal_loss(logits: jnp.ndarray, target: jnp.ndarray,
     nll = -(jnp.take_along_axis(logp, tl[..., None], -1)[..., 0] * wl
             + jnp.take_along_axis(logp, tr[..., None], -1)[..., 0] * wr)
     return weight_reduce_loss(nll, weight, reduction, avg_factor)
+
+
+def varifocal_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                   alpha: float = 0.75, gamma: float = 2.0,
+                   iou_weighted: bool = True,
+                   weight: jnp.ndarray | None = None,
+                   reduction: str = "mean", avg_factor=None):
+    """Varifocal loss (``mmdet/models/losses/varifocal_loss.py``): IoU-aware
+    BCE — positives weighted by their (IoU) target, negatives focally
+    down-weighted by ``alpha * |sigma - target|^gamma``.
+
+    Args: logits/targets (..., C); targets carry the IoU score at positive
+    positions and 0 elsewhere.
+    """
+    sigma = jax.nn.sigmoid(logits)
+    pos = (targets > 0).astype(logits.dtype)
+    if iou_weighted:
+        focal_w = targets * pos + alpha * jnp.power(
+            jnp.abs(jax.lax.stop_gradient(sigma) - targets), gamma) * (1 - pos)
+    else:
+        focal_w = pos + alpha * jnp.power(
+            jnp.abs(jax.lax.stop_gradient(sigma) - targets), gamma) * (1 - pos)
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    loss = ce * focal_w
+    if weight is not None and weight.ndim == loss.ndim - 1:
+        weight = weight[..., None]
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def gaussian_focal_loss(pred: jnp.ndarray, gaussian_target: jnp.ndarray,
+                        alpha: float = 2.0, gamma: float = 4.0,
+                        weight: jnp.ndarray | None = None,
+                        reduction: str = "mean", avg_factor=None):
+    """Gaussian focal loss for center heatmaps (CenterNet/CornerNet,
+    ``mmdet/models/losses/gaussian_focal_loss.py``). ``pred`` is already a
+    sigmoid probability; targets are gaussian-splatted, peak == 1."""
+    eps = 1e-12
+    pos_w = (gaussian_target == 1).astype(pred.dtype)
+    neg_w = jnp.power(1 - gaussian_target, gamma)
+    pos_loss = -jnp.log(pred + eps) * jnp.power(1 - pred, alpha) * pos_w
+    neg_loss = -jnp.log(1 - pred + eps) * jnp.power(pred, alpha) * neg_w
+    return weight_reduce_loss(pos_loss + neg_loss, weight, reduction,
+                              avg_factor)
+
+
+def ghm_c_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+               label_weight: jnp.ndarray, bins: int = 10,
+               momentum: float = 0.0, acc_sum: jnp.ndarray | None = None,
+               reduction: str = "mean"):
+    """GHM-C (``mmdet/models/losses/ghm_loss.py`` GHMC): BCE re-weighted by
+    inverse gradient-density. Vectorized binning (no python loop over bins on
+    the data path). With ``momentum > 0`` pass/receive the EMA bin counts:
+    returns ``(loss, new_acc_sum)``; plain loss otherwise.
+    """
+    targets = targets.astype(logits.dtype)
+    g = jnp.abs(jax.lax.stop_gradient(jax.nn.sigmoid(logits)) - targets)
+    valid = (label_weight > 0)
+    tot = jnp.maximum(valid.sum().astype(logits.dtype), 1.0)
+    bin_idx = jnp.clip((g * bins).astype(jnp.int32), 0, bins - 1)
+    counts = jnp.zeros((bins,), logits.dtype).at[
+        bin_idx.reshape(-1)].add(valid.reshape(-1).astype(logits.dtype))
+    if momentum > 0:
+        assert acc_sum is not None
+        new_acc = jnp.where(counts > 0,
+                            momentum * acc_sum + (1 - momentum) * counts,
+                            acc_sum)
+        eff = new_acc
+    else:
+        eff = counts
+    n_nonempty = jnp.maximum((counts > 0).sum().astype(logits.dtype), 1.0)
+    bin_w = jnp.where(counts > 0, tot / jnp.maximum(eff, 1e-12), 0.0)
+    weights = jnp.where(valid, bin_w[bin_idx], 0.0) / n_nonempty
+    ce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    loss = weight_reduce_loss(ce, weights, reduction, avg_factor=tot)
+    if momentum > 0:
+        return loss, new_acc
+    return loss
+
+
+def ghm_r_loss(pred: jnp.ndarray, target: jnp.ndarray,
+               label_weight: jnp.ndarray, mu: float = 0.02, bins: int = 10,
+               momentum: float = 0.0, acc_sum: jnp.ndarray | None = None,
+               reduction: str = "mean"):
+    """GHM-R (GHMR): authentic smooth-L1 ``sqrt(d² + mu²) - mu`` with the
+    same gradient-density re-weighting on ``|d / sqrt(d² + mu²)|``."""
+    diff = pred - target
+    loss_pt = jnp.sqrt(diff * diff + mu * mu) - mu
+    g = jnp.abs(jax.lax.stop_gradient(
+        diff / jnp.sqrt(mu * mu + diff * diff)))
+    valid = (label_weight > 0)
+    tot = jnp.maximum(valid.sum().astype(pred.dtype), 1.0)
+    bin_idx = jnp.clip((g * bins).astype(jnp.int32), 0, bins - 1)
+    counts = jnp.zeros((bins,), pred.dtype).at[
+        bin_idx.reshape(-1)].add(valid.reshape(-1).astype(pred.dtype))
+    if momentum > 0:
+        assert acc_sum is not None
+        new_acc = jnp.where(counts > 0,
+                            momentum * acc_sum + (1 - momentum) * counts,
+                            acc_sum)
+        eff = new_acc
+    else:
+        eff = counts
+    n_nonempty = jnp.maximum((counts > 0).sum().astype(pred.dtype), 1.0)
+    bin_w = jnp.where(counts > 0, tot / jnp.maximum(eff, 1e-12), 0.0)
+    weights = jnp.where(valid, bin_w[bin_idx], 0.0) / n_nonempty
+    loss = weight_reduce_loss(loss_pt, weights, reduction, avg_factor=tot)
+    if momentum > 0:
+        return loss, new_acc
+    return loss
+
+
+def balanced_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                     beta: float = 1.0, alpha: float = 0.5,
+                     gamma: float = 1.5,
+                     weight: jnp.ndarray | None = None,
+                     reduction: str = "mean", avg_factor=None):
+    """Balanced L1 (Libra R-CNN, ``mmdet/models/losses/balanced_l1_loss.py``)."""
+    diff = jnp.abs(pred - target)
+    import math
+
+    b = math.e ** (gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log1p(b * diff / beta) - alpha * diff,
+        gamma * diff + gamma / b - alpha * beta)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+def kd_kl_div_loss(pred: jnp.ndarray, soft_label: jnp.ndarray, T: float = 10,
+                   weight: jnp.ndarray | None = None,
+                   reduction: str = "mean", avg_factor=None):
+    """Knowledge-distillation KL divergence
+    (``mmdet/models/losses/kd_loss.py``): KL(softmax(soft/T) ||
+    softmax(pred/T)) · T², mean over classes per sample."""
+    target = jax.lax.stop_gradient(jax.nn.softmax(soft_label / T, axis=-1))
+    logp = jax.nn.log_softmax(pred / T, axis=-1)
+    logq = jnp.log(jnp.maximum(target, 1e-12))
+    kl = (target * (logq - logp)).mean(axis=-1) * (T * T)
+    return weight_reduce_loss(kl, weight, reduction, avg_factor)
+
+
+def seesaw_ce_loss(cls_score: jnp.ndarray, labels: jnp.ndarray,
+                   cum_samples: jnp.ndarray, p: float = 0.8, q: float = 2.0,
+                   eps: float = 1e-2,
+                   weight: jnp.ndarray | None = None,
+                   reduction: str = "mean", avg_factor=None):
+    """Seesaw CE over the class channels
+    (``mmdet/models/losses/seesaw_loss.py`` seesaw_ce_loss): negatives of
+    rarer classes are mitigated by ``(N_j / N_i)^p``; overconfident negatives
+    compensated by ``(σ_j / σ_i)^q``."""
+    nc = cls_score.shape[-1]
+    onehot = jax.nn.one_hot(labels, nc, dtype=cls_score.dtype)
+    seesaw = jnp.ones_like(cls_score)
+    if p > 0:
+        cs = jnp.maximum(cum_samples.astype(cls_score.dtype), 1.0)
+        ratio = cs[None, :] / cs[:, None]                     # (C, C)
+        sample_w = jnp.where(ratio < 1.0, jnp.power(ratio, p), 1.0)
+        seesaw = seesaw * sample_w[labels]
+    if q > 0:
+        scores = jax.lax.stop_gradient(jax.nn.softmax(cls_score, axis=-1))
+        self_s = jnp.take_along_axis(scores, labels[..., None], -1)
+        score_ratio = scores / jnp.maximum(self_s, eps)
+        comp = jnp.where(score_ratio > 1.0, jnp.power(score_ratio, q), 1.0)
+        seesaw = seesaw * comp
+    adjusted = cls_score + jnp.log(jnp.maximum(seesaw, 1e-12)) * (1 - onehot)
+    logp = jax.nn.log_softmax(adjusted, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], -1)[..., 0]
+    return weight_reduce_loss(nll, weight, reduction, avg_factor)
+
+
+def seesaw_loss(cls_score: jnp.ndarray, labels: jnp.ndarray,
+                cum_samples: jnp.ndarray, num_classes: int, p: float = 0.8,
+                q: float = 2.0, eps: float = 1e-2,
+                weight: jnp.ndarray | None = None, avg_factor=None):
+    """Full SeesawLoss split head: ``cls_score`` is (N, C+2) — C class
+    channels + 2 objectness channels. Returns
+    ``(loss_cls_classes, loss_cls_objectness, new_cum_samples)``; the caller
+    owns the cumulative per-class counts (reference keeps them as a buffer,
+    here they are explicit state — jit-friendly)."""
+    assert cls_score.shape[-1] == num_classes + 2
+    pos = (labels < num_classes)
+    obj_labels = pos.astype(jnp.int32) * 0 + (1 - pos.astype(jnp.int32))
+    score_classes = cls_score[..., :-2]
+    score_obj = cls_score[..., -2:]
+    new_cum = cum_samples.at[jnp.clip(labels, 0, num_classes)].add(1.0)
+
+    obj_logp = jax.nn.log_softmax(score_obj, axis=-1)
+    loss_obj = weight_reduce_loss(
+        -jnp.take_along_axis(obj_logp, obj_labels[..., None], -1)[..., 0],
+        weight, "mean", avg_factor)
+
+    pos_w = pos.astype(cls_score.dtype)
+    if weight is not None:
+        pos_w = pos_w * weight
+    loss_classes = seesaw_ce_loss(
+        score_classes, jnp.clip(labels, 0, num_classes - 1),
+        new_cum[:num_classes], p=p, q=q, eps=eps, weight=pos_w,
+        reduction="mean",
+        avg_factor=jnp.maximum(pos_w.sum(), 1.0))
+    return loss_classes, loss_obj, new_cum
