@@ -35,3 +35,5 @@ from dsl_tpu.models.dense_heads.yolo_head import (  # noqa: F401
 from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
     CascadeRCNN, build_cascade_rcnn, cascade_rcnn_loss,
     cascade_rcnn_predict)
+from dsl_tpu.models.dense_heads.centernet_head import (  # noqa: F401
+    CenterNetHead, CTResNetNeck, centernet_get_bboxes, centernet_loss)

@@ -79,6 +79,27 @@ class SSD(SingleStageDetector):
     (``mmdet/models/detectors/single_stage.py`` + ``ssd_head.py``)."""
 
 
+@DETECTORS.register
+class CenterNet(SingleStageDetector):
+    """CenterNet (``mmdet/models/detectors/centernet.py``): backbone +
+    CTResNetNeck + CenterNetHead."""
+
+
+@DETECTORS.register
+class VFNet(SingleStageDetector):
+    """VarifocalNet (``mmdet/models/detectors/vfnet.py``)."""
+
+
+@DETECTORS.register
+class AutoAssign(SingleStageDetector):
+    """AutoAssign (``mmdet/models/detectors/autoassign.py``)."""
+
+
+@DETECTORS.register
+class PAA(SingleStageDetector):
+    """PAA (``mmdet/models/detectors/paa.py``)."""
+
+
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     """Build a detector module tree from a model config dict.
 
@@ -197,6 +218,10 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         from dsl_tpu.models.dense_heads.yolo_head import yolo_loss
 
         losses = yolo_loss(head, outputs, batch, axis_name=axis_name)
+    elif type(head).__name__ == "CenterNetHead":
+        from dsl_tpu.models.dense_heads.centernet_head import centernet_loss
+
+        losses = centernet_loss(head, outputs, batch, axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -257,6 +282,12 @@ def detector_predict(detector, variables, images, img_shapes=None,
         common.pop("nms_pre")
         return yolo_get_bboxes(head, outputs, nms_pre=tc.get("nms_pre", 1000),
                                **common)
+    if type(head).__name__ == "CenterNetHead":
+        from dsl_tpu.models.dense_heads.centernet_head import \
+            centernet_get_bboxes
+
+        common.pop("nms_pre")
+        return centernet_get_bboxes(head, outputs, **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

@@ -1,0 +1,90 @@
+"""Deformable convolution v1/v2 in pure JAX (gather-based bilinear sampling).
+
+TPU-native replacement for mmcv's CUDA ``DeformConv2d`` /
+``ModulatedDeformConv2d`` (SURVEY.md §2.2: needed by the RepPoints/VFNet/
+CenterNet-neck zoo tier). Instead of the CUDA im2col-with-offsets kernel,
+each of the k·k kernel taps bilinear-samples the input at its offset grid
+position (k² dense gathers that XLA fuses), then a 1×1 contraction applies
+the kernel weights — mathematically identical to the reference op for
+stride 1, the only configuration the zoo uses.
+
+No dynamic shapes; offsets/masks are ordinary conv outputs so the whole op
+jits and differentiates.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _bilinear_map(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Sample x (B, H, W, C) at per-pixel continuous coords ys/xs (B, H, W).
+
+    Out-of-bounds samples return 0 (the CUDA op's behavior)."""
+    b, h, w, c = x.shape
+    inb = (ys > -1.0) & (ys < h) & (xs > -1.0) & (xs < w)
+    y = jnp.clip(ys, 0.0, h - 1.0)
+    xq = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(xq).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    ly = (y - y0)[..., None]
+    lx = (xq - x0)[..., None]
+    bidx = jnp.arange(b)[:, None, None]
+    v00 = x[bidx, y0, x0]
+    v01 = x[bidx, y0, x1]
+    v10 = x[bidx, y1, x0]
+    v11 = x[bidx, y1, x1]
+    out = (v00 * (1 - ly) * (1 - lx) + v01 * (1 - ly) * lx
+           + v10 * ly * (1 - lx) + v11 * ly * lx)
+    return out * inb[..., None]
+
+
+def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weight: jnp.ndarray,
+                  bias: jnp.ndarray | None = None,
+                  mask: jnp.ndarray | None = None,
+                  kernel_size: int = 3, dilation: int = 1) -> jnp.ndarray:
+    """Deformable 3x3 (stride 1, same padding) convolution.
+
+    Args:
+      x: (B, H, W, Cin) NHWC input.
+      offsets: (B, H, W, 2·k²) per-tap (dy, dx) pairs, tap-major — the
+        mmcv channel layout ``[dy0, dx0, dy1, dx1, ...]`` over taps in
+        row-major kernel order.
+      weight: (k, k, Cin, Cout) HWIO kernel.
+      mask: optional (B, H, W, k²) modulation (DCNv2); None = v1.
+    Returns (B, H, W, Cout).
+    """
+    b, h, w, cin = x.shape
+    k = kernel_size
+    pad = dilation * (k - 1) // 2
+    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
+    cols = []
+    for i in range(k):
+        for j in range(k):
+            t = i * k + j
+            dy = offsets[..., 2 * t]
+            dx = offsets[..., 2 * t + 1]
+            ys = gy + (i * dilation - pad) + dy
+            xs = gx + (j * dilation - pad) + dx
+            v = _bilinear_map(x, ys, xs)                 # (B, H, W, Cin)
+            if mask is not None:
+                v = v * mask[..., t:t + 1]
+            cols.append(v)
+    col = jnp.stack(cols, axis=-2)                       # (B, H, W, k², Cin)
+    wmat = weight.reshape(k * k, cin, -1)                # (k², Cin, Cout)
+    out = jnp.einsum("bhwki,kio->bhwo", col, wmat)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def sample_points(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Bilinear feature sampling at arbitrary per-pixel points — the
+    primitive behind VFNet's star-shaped sampling and RepPoints.
+    x: (B, H, W, C); ys/xs: (B, H, W, P) → (B, H, W, P, C)."""
+    p = ys.shape[-1]
+    outs = [_bilinear_map(x, ys[..., i], xs[..., i]) for i in range(p)]
+    return jnp.stack(outs, axis=-2)
