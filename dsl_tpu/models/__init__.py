@@ -37,3 +37,9 @@ from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
     cascade_rcnn_predict)
 from dsl_tpu.models.dense_heads.centernet_head import (  # noqa: F401
     CenterNetHead, CTResNetNeck, centernet_get_bboxes, centernet_loss)
+from dsl_tpu.models.dense_heads.vfnet_head import (  # noqa: F401
+    VFNetHead, vfnet_get_bboxes, vfnet_loss)
+from dsl_tpu.models.dense_heads.autoassign_head import (  # noqa: F401
+    AutoAssignHead, autoassign_get_bboxes, autoassign_loss)
+from dsl_tpu.models.dense_heads.paa_head import (  # noqa: F401
+    PAAHead, paa_get_bboxes, paa_loss)

@@ -222,6 +222,22 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         from dsl_tpu.models.dense_heads.centernet_head import centernet_loss
 
         losses = centernet_loss(head, outputs, batch, axis_name=axis_name)
+    elif type(head).__name__ == "AutoAssignHead":
+        from dsl_tpu.models.dense_heads.autoassign_head import autoassign_loss
+
+        losses = autoassign_loss(head, outputs, batch, axis_name=axis_name)
+    elif type(head).__name__ == "VFNetHead":
+        from dsl_tpu.models.dense_heads.vfnet_head import vfnet_loss
+
+        cls_scores, bbox_preds, bbox_refines = outputs
+        losses = vfnet_loss(head, cls_scores, bbox_preds, bbox_refines,
+                            batch, axis_name=axis_name)
+    elif type(head).__name__ == "PAAHead":
+        from dsl_tpu.models.dense_heads.paa_head import paa_loss
+
+        cls_scores, bbox_preds, iou_preds = outputs
+        losses = paa_loss(head, cls_scores, bbox_preds, iou_preds, batch,
+                          axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -288,6 +304,23 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         common.pop("nms_pre")
         return centernet_get_bboxes(head, outputs, **common)
+    if type(head).__name__ == "AutoAssignHead":
+        from dsl_tpu.models.dense_heads.autoassign_head import \
+            autoassign_get_bboxes
+
+        return autoassign_get_bboxes(head, outputs, **common)
+    if type(head).__name__ == "VFNetHead":
+        from dsl_tpu.models.dense_heads.vfnet_head import vfnet_get_bboxes
+
+        cls_scores, bbox_preds, bbox_refines = outputs
+        return vfnet_get_bboxes(head, cls_scores, bbox_preds, bbox_refines,
+                                **common)
+    if type(head).__name__ == "PAAHead":
+        from dsl_tpu.models.dense_heads.paa_head import paa_get_bboxes
+
+        cls_scores, bbox_preds, iou_preds = outputs
+        return paa_get_bboxes(head, cls_scores, bbox_preds, iou_preds,
+                              **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)
