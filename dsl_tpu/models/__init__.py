@@ -43,3 +43,6 @@ from dsl_tpu.models.dense_heads.autoassign_head import (  # noqa: F401
     AutoAssignHead, autoassign_get_bboxes, autoassign_loss)
 from dsl_tpu.models.dense_heads.paa_head import (  # noqa: F401
     PAAHead, paa_get_bboxes, paa_loss)
+from dsl_tpu.models.backbones.res2net import Res2Net  # noqa: F401
+from dsl_tpu.models.backbones.hrnet import HRNet  # noqa: F401
+from dsl_tpu.models.necks.hrfpn import HRFPN  # noqa: F401
