@@ -50,12 +50,20 @@ def barrier(name: str = "barrier") -> None:
 
 
 def all_gather_objects(obj: Any) -> list:
-    """Gather a picklable object from every process (result collection)."""
+    """Gather a numeric pytree from every process (result collection).
+
+    Returns a list of per-process objects with the same structure as
+    ``obj`` (``process_allgather`` stacks a leading process axis per leaf;
+    this splits it back)."""
     if get_world_size() <= 1:
         return [obj]
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj))
+    gathered = multihost_utils.process_allgather(obj)
+    leaves, treedef = jax.tree_util.tree_flatten(gathered)
+    n = get_world_size()
+    return [jax.tree_util.tree_unflatten(treedef, [l[i] for l in leaves])
+            for i in range(n)]
 
 
 def reduce_mean(value: float) -> float:
