@@ -217,9 +217,10 @@ class COCOEval:
         self.precision = precision
         self.recall = recall
 
-        def _ap(iou_thr=None, area="all", max_det=100):
+        def _ap(iou_thr=None, area="all", max_det=None):
             ai = list(AREA_RNG).index(area)
-            mi = self.max_dets.index(max_det)
+            mi = self.max_dets.index(max_det) if max_det is not None \
+                else len(self.max_dets) - 1
             p = precision[:, :, :, ai, mi]
             if iou_thr is not None:
                 ti = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
@@ -227,9 +228,10 @@ class COCOEval:
             p = p[p > -1]
             return float(np.mean(p)) if p.size else -1.0
 
-        def _ar(area="all", max_det=100):
+        def _ar(area="all", max_det=None):
             ai = list(AREA_RNG).index(area)
-            mi = self.max_dets.index(max_det)
+            mi = self.max_dets.index(max_det) if max_det is not None \
+                else len(self.max_dets) - 1
             r = recall[:, :, ai, mi]
             r = r[r > -1]
             return float(np.mean(r)) if r.size else -1.0

@@ -7,3 +7,5 @@ from dsl_tpu.data.datasets.semivoc import SemiVOCDataset  # noqa: F401
 from dsl_tpu.data.datasets.voc2coco import Voc2CocoDataset  # noqa: F401
 from dsl_tpu.data.datasets.wrappers import (  # noqa: F401
     ClassBalancedDataset, ConcatDataset, RepeatDataset)
+from dsl_tpu.data.datasets.lvis import (  # noqa: F401
+    CityscapesDataset, LVISDataset, LVISEval)
