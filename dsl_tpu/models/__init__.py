@@ -46,3 +46,5 @@ from dsl_tpu.models.dense_heads.paa_head import (  # noqa: F401
 from dsl_tpu.models.backbones.res2net import Res2Net  # noqa: F401
 from dsl_tpu.models.backbones.hrnet import HRNet  # noqa: F401
 from dsl_tpu.models.necks.hrfpn import HRFPN  # noqa: F401
+from dsl_tpu.models.dense_heads.reppoints_head import (  # noqa: F401
+    RepPointsHead, reppoints_get_bboxes, reppoints_loss)

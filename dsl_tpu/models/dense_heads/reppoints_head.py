@@ -1,0 +1,283 @@
+"""RepPoints head (point-set object representation).
+
+Parity with ``/root/reference/mmdet/models/dense_heads/reppoints_head.py``:
+two stages of 9-point offset fields — init points assigned by the
+PointAssigner (each GT claims the nearest point at its scale-matched level,
+``core/bbox/assigners/point_assigner.py``), refine points (DCN conditioned
+on the init points, exactly ``pts_out_init_grad_mul - dcn_base_offset``)
+assigned by MaxIoU on the init-decoded boxes; the ``moment`` points→bbox
+transform with its learnable ``moment_transfer`` (mul 0.01); focal cls +
+stride-normalized smooth-L1 (β 0.11) with weights 0.5 (init) / 1.0 (refine).
+
+TPU redesign: dense masked assignment over K-padded GT (a lax.scan resolves
+nearest-point conflicts), gather-based deformable conv.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from dsl_tpu.registry import HEADS
+from dsl_tpu.core import losses as L
+from dsl_tpu.core.assigners import _max_iou_assign_single
+from dsl_tpu.core.nms import multiclass_nms
+from dsl_tpu.core.points import MlvlPointGenerator
+from dsl_tpu.models.layers import bias_init_with_prob, normal_init
+from dsl_tpu.ops.deform_conv import deform_conv2d
+
+# 3x3 base grid, (dy, dx) tap-major — the mmcv dcn_base_offset layout
+_BASE = jnp.asarray([(-1., -1.), (-1., 0.), (-1., 1.),
+                     (0., -1.), (0., 0.), (0., 1.),
+                     (1., -1.), (1., 0.), (1., 1.)]).reshape(-1)
+
+
+@HEADS.register
+class RepPointsHead(nn.Module):
+    num_classes: int = 80
+    in_channels: int = 256
+    feat_channels: int = 256
+    point_feat_channels: int = 256
+    stacked_convs: int = 3
+    num_points: int = 9
+    strides: Sequence[int] = (8, 16, 32, 64, 128)
+    gradient_mul: float = 0.1
+    point_base_scale: int = 4
+    moment_mul: float = 0.01
+    transform_method: str = "moment"
+
+    @nn.compact
+    def __call__(self, feats, training: bool = False):
+        """Per level: (cls_out, pts_init (B,H,W,2n), pts_refine) + the
+        moment_transfer param."""
+        gn = lambda name: nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+        cls_convs = [
+            (nn.Conv(self.feat_channels, (3, 3), padding=1,
+                     kernel_init=normal_init(0.01), name=f"cls_conv{i}"),
+             gn(f"cls_gn{i}")) for i in range(self.stacked_convs)]
+        reg_convs = [
+            (nn.Conv(self.feat_channels, (3, 3), padding=1,
+                     kernel_init=normal_init(0.01), name=f"reg_conv{i}"),
+             gn(f"reg_gn{i}")) for i in range(self.stacked_convs)]
+        n2 = 2 * self.num_points
+        pts_init_conv = nn.Conv(self.point_feat_channels, (3, 3), padding=1,
+                                kernel_init=normal_init(0.01),
+                                name="pts_init_conv")
+        pts_init_out = nn.Conv(n2, (1, 1), kernel_init=normal_init(0.01),
+                               name="pts_init_out")
+        cls_dconv_w = self.param("cls_dconv_kernel",
+                                 nn.initializers.he_normal(),
+                                 (3, 3, self.feat_channels,
+                                  self.point_feat_channels))
+        cls_out_conv = nn.Conv(self.num_classes, (1, 1),
+                               kernel_init=normal_init(0.01),
+                               bias_init=bias_init_with_prob(0.01),
+                               name="cls_out")
+        refine_dconv_w = self.param("refine_dconv_kernel",
+                                    nn.initializers.he_normal(),
+                                    (3, 3, self.feat_channels,
+                                     self.point_feat_channels))
+        pts_refine_out = nn.Conv(n2, (1, 1), kernel_init=normal_init(0.01),
+                                 name="pts_refine_out")
+        moment = self.param("moment_transfer", nn.initializers.zeros, (2,))
+
+        cls_all, init_all, refine_all = [], [], []
+        for x in feats:
+            cls_feat, pts_feat = x, x
+            for conv, norm in cls_convs:
+                cls_feat = nn.relu(norm(conv(cls_feat)))
+            for conv, norm in reg_convs:
+                pts_feat = nn.relu(norm(conv(pts_feat)))
+            pts_init = pts_init_out(nn.relu(pts_init_conv(pts_feat)))
+            blend = (1 - self.gradient_mul) * jax.lax.stop_gradient(pts_init)\
+                + self.gradient_mul * pts_init
+            dcn_off = blend - _BASE
+            cls_all.append(cls_out_conv(
+                nn.relu(deform_conv2d(cls_feat, dcn_off, cls_dconv_w))))
+            refine = pts_refine_out(
+                nn.relu(deform_conv2d(pts_feat, dcn_off, refine_dconv_w)))
+            init_all.append(pts_init)
+            refine_all.append(refine + jax.lax.stop_gradient(pts_init))
+        return tuple(cls_all), tuple(init_all), tuple(refine_all), moment
+
+
+def points2bbox(head, pts, moment):
+    """(..., 2n) y-first offset fields -> (..., 4) boxes
+    (reference ``points2bbox`` :168-218, 'moment' and 'minmax')."""
+    shape = pts.shape[:-1]
+    p = pts.reshape(*shape, head.num_points, 2)
+    py, px = p[..., 0], p[..., 1]
+    if head.transform_method == "minmax":
+        return jnp.stack([px.min(-1), py.min(-1), px.max(-1), py.max(-1)],
+                         axis=-1)
+    # moment; std via sqrt(var + eps) — jnp.std has an unbounded gradient at
+    # zero spread (all 9 points identical happens at init on dead-ReLU
+    # positions) which NaNs the backward pass
+    mx = px.mean(-1)
+    my = py.mean(-1)
+    sx = jnp.sqrt(((px - mx[..., None]) ** 2).mean(-1) + 1e-9)
+    sy = jnp.sqrt(((py - my[..., None]) ** 2).mean(-1) + 1e-9)
+    mt = moment * head.moment_mul + jax.lax.stop_gradient(moment) \
+        * (1 - head.moment_mul)
+    hw = sx * jnp.exp(mt[0])
+    hh = sy * jnp.exp(mt[1])
+    return jnp.stack([mx - hw, my - hh, mx + hw, my + hh], axis=-1)
+
+
+def _point_assign_single(pts, pt_lvls, gt_bboxes, gt_labels, gt_valid,
+                         num_classes, scale=4):
+    """PointAssigner: each GT claims the nearest point at its matched level;
+    point conflicts go to the closer GT."""
+    k = gt_bboxes.shape[0]
+    p = pts.shape[0]
+    w = gt_bboxes[:, 2] - gt_bboxes[:, 0]
+    h = gt_bboxes[:, 3] - gt_bboxes[:, 1]
+    gt_lvl = jnp.floor(0.5 * (jnp.log2(jnp.maximum(w, 1e-6) / scale)
+                              + jnp.log2(jnp.maximum(h, 1e-6) / scale)))
+    gt_lvl = jnp.clip(gt_lvl, pt_lvls.min(), pt_lvls.max())
+    cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+    cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+    dist = jnp.sqrt((pts[:, 0][:, None] - cx[None, :]) ** 2
+                    + (pts[:, 1][:, None] - cy[None, :]) ** 2)     # (P, K)
+    lvl_ok = pt_lvls[:, None] == gt_lvl[None, :]
+    dist = jnp.where(lvl_ok & gt_valid[None, :], dist, jnp.inf)
+    nearest = jnp.argmin(dist, axis=0)                              # (K,)
+    nearest_d = jnp.min(dist, axis=0)
+
+    def body(carry, g):
+        assigned, best_d = carry
+        idx = nearest[g]
+        d = nearest_d[g]
+        ok = gt_valid[g] & jnp.isfinite(d) & (d < best_d[idx])
+        assigned = assigned.at[idx].set(jnp.where(ok, g, assigned[idx]))
+        best_d = best_d.at[idx].set(jnp.where(ok, d, best_d[idx]))
+        return (assigned, best_d), None
+
+    init = (jnp.full((p,), -1, jnp.int32), jnp.full((p,), jnp.inf))
+    (assigned, _), _ = jax.lax.scan(body, init, jnp.arange(k))
+    labels = jnp.where(assigned >= 0,
+                       gt_labels[jnp.maximum(assigned, 0)], num_classes)
+    return labels.astype(jnp.int32), assigned
+
+
+def reppoints_loss(head: RepPointsHead, outputs, batch,
+                   axis_name: str | None = None):
+    cls_scores, pts_inits, pts_refines, moment = outputs
+    nc = head.num_classes
+    shapes = [tuple(c.shape[1:3]) for c in cls_scores]
+    gen = MlvlPointGenerator(list(head.strides), offset=0.5)
+    pts = jnp.asarray(gen.flat_points(shapes))                 # (P, 2)
+    pt_strides = jnp.concatenate([
+        jnp.full((h * w,), float(s))
+        for (h, w), s in zip(shapes, head.strides)])
+    pt_lvls = jnp.log2(pt_strides)
+
+    b = cls_scores[0].shape[0]
+    n2 = 2 * head.num_points
+    flat_cls = jnp.concatenate(
+        [c.reshape(b, -1, nc) for c in cls_scores], axis=1)
+    flat_init = jnp.concatenate(
+        [o.reshape(b, -1, n2) for o in pts_inits], axis=1)
+    flat_refine = jnp.concatenate(
+        [o.reshape(b, -1, n2) for o in pts_refines], axis=1)
+
+    # decode to image coords: center + offset*stride (offset_to_pts)
+    centers = jnp.stack([pts[:, 0], pts[:, 1]], axis=-1)
+    yx = jnp.stack([centers[:, 1], centers[:, 0]], axis=-1)    # y-first
+    base = jnp.tile(yx, (1, head.num_points))[None]            # (1, P, 2n)
+    abs_init = base + flat_init * pt_strides[None, :, None]
+    abs_refine = base + flat_refine * pt_strides[None, :, None]
+    box_init = points2bbox(head, abs_init, moment)             # (B, P, 4)
+    box_refine = points2bbox(head, abs_refine, moment)
+
+    # ---- init stage: PointAssigner ----
+    labels_i, assigned_i = jax.vmap(
+        lambda gb, gl, gv: _point_assign_single(
+            pts, pt_lvls, gb, gl, gv, nc, scale=head.point_base_scale))(
+        batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"])
+    pos_i = (assigned_i >= 0).astype(jnp.float32)
+
+    # ---- refine stage: MaxIoU on the init boxes ----
+    labels_r, assigned_r, _, _ = jax.vmap(
+        lambda bx, gb, gl, gv: _max_iou_assign_single(
+            bx, gb, gl, gv, pos_iou_thr=0.5, neg_iou_thr=0.4,
+            min_pos_iou=0.0, num_classes=nc, match_low_quality=True))(
+        jax.lax.stop_gradient(box_init), batch["gt_bboxes"],
+        batch["gt_labels"], batch["gt_valid"])
+    pos_r = (labels_r < nc).astype(jnp.float32)
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    num_pos_i = jnp.maximum(_psum(pos_i.sum()), 1.0)
+    num_pos_r = jnp.maximum(_psum(pos_r.sum()), 1.0)
+
+    gt_i = jnp.take_along_axis(
+        batch["gt_bboxes"], jnp.maximum(assigned_i, 0)[..., None], axis=1)
+    gt_r = jnp.take_along_axis(
+        batch["gt_bboxes"], jnp.maximum(assigned_r, 0)[..., None], axis=1)
+
+    norm = (head.point_base_scale * pt_strides)[None, :, None]
+    loss_pts_init = 0.5 * L.smooth_l1_loss(
+        box_init / norm, gt_i / norm, beta=0.11,
+        weight=pos_i[..., None], avg_factor=num_pos_i * 4)
+    loss_pts_refine = 1.0 * L.smooth_l1_loss(
+        box_refine / norm, gt_r / norm, beta=0.11,
+        weight=pos_r[..., None], avg_factor=num_pos_r * 4)
+    loss_cls = L.sigmoid_focal_loss(flat_cls, labels_r,
+                                    avg_factor=num_pos_r)
+    return dict(loss_cls=loss_cls, loss_pts_init=loss_pts_init,
+                loss_pts_refine=loss_pts_refine)
+
+
+def reppoints_get_bboxes(head: RepPointsHead, outputs, img_shapes=None,
+                         scale_factors=None, nms_pre=1000, score_thr=0.05,
+                         iou_threshold=0.6, max_per_img=100):
+    """Decode the refined point sets into boxes + multiclass NMS."""
+    cls_scores, _, pts_refines, moment = outputs
+    nc = head.num_classes
+    b = cls_scores[0].shape[0]
+    shapes = [tuple(c.shape[1:3]) for c in cls_scores]
+    gen = MlvlPointGenerator(list(head.strides), offset=0.5)
+    lvl_pts = gen.grid_points(shapes)
+
+    boxes_all, scores_all = [], []
+    for lvl in range(len(cls_scores)):
+        scores = jax.nn.sigmoid(cls_scores[lvl].reshape(b, -1, nc))
+        n2 = 2 * head.num_points
+        pred = pts_refines[lvl].reshape(b, -1, n2)
+        pts = jnp.asarray(lvl_pts[lvl])
+        yx = jnp.stack([pts[:, 1], pts[:, 0]], axis=-1)
+        base = jnp.tile(yx, (1, head.num_points))[None]
+        absr = base + pred * float(head.strides[lvl])
+        box = points2bbox(head, absr, moment)
+        k = min(nms_pre, scores.shape[1])
+        rank = jnp.max(scores, axis=-1)
+        _, idx = jax.lax.top_k(rank, k)
+        take = lambda a: jnp.take_along_axis(
+            a, idx.reshape(b, k, *(1,) * (a.ndim - 2)), axis=1)
+        scores, box = take(scores), take(box)
+        if img_shapes is not None:
+            xlim = img_shapes[:, None, 1:2]
+            ylim = img_shapes[:, None, 0:1]
+            box = jnp.concatenate(
+                [jnp.clip(box[..., 0:1], 0, xlim),
+                 jnp.clip(box[..., 1:2], 0, ylim),
+                 jnp.clip(box[..., 2:3], 0, xlim),
+                 jnp.clip(box[..., 3:4], 0, ylim)], axis=-1)
+        boxes_all.append(box)
+        scores_all.append(scores)
+    boxes = jnp.concatenate(boxes_all, axis=1)
+    scores = jnp.concatenate(scores_all, axis=1)
+    if scale_factors is not None:
+        boxes = boxes / scale_factors[:, None, :]
+
+    def _single(bx, sc):
+        return multiclass_nms(bx, sc, score_thr=score_thr,
+                              iou_threshold=iou_threshold,
+                              max_per_img=max_per_img)
+
+    return jax.vmap(_single)(boxes, scores)

@@ -100,6 +100,11 @@ class PAA(SingleStageDetector):
     """PAA (``mmdet/models/detectors/paa.py``)."""
 
 
+@DETECTORS.register
+class RepPointsDetector(SingleStageDetector):
+    """RepPoints (``mmdet/models/detectors/reppoints_detector.py``)."""
+
+
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     """Build a detector module tree from a model config dict.
 
@@ -238,6 +243,10 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds, iou_preds = outputs
         losses = paa_loss(head, cls_scores, bbox_preds, iou_preds, batch,
                           axis_name=axis_name)
+    elif type(head).__name__ == "RepPointsHead":
+        from dsl_tpu.models.dense_heads.reppoints_head import reppoints_loss
+
+        losses = reppoints_loss(head, outputs, batch, axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -321,6 +330,11 @@ def detector_predict(detector, variables, images, img_shapes=None,
         cls_scores, bbox_preds, iou_preds = outputs
         return paa_get_bboxes(head, cls_scores, bbox_preds, iou_preds,
                               **common)
+    if type(head).__name__ == "RepPointsHead":
+        from dsl_tpu.models.dense_heads.reppoints_head import \
+            reppoints_get_bboxes
+
+        return reppoints_get_bboxes(head, outputs, **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

@@ -135,3 +135,64 @@ def test_zoo_configs_build():
         cfg = Config.fromfile(path)
         det = build_detector(dict(cfg.model))
         assert det is not None
+
+
+def test_reppoints_forward_loss_predict():
+    head = dict(type="RepPointsHead", num_classes=4, in_channels=32,
+                feat_channels=32, point_feat_channels=32, stacked_convs=1,
+                strides=[8, 16, 32, 64, 128])
+    cfg = dict(
+        type="RepPointsDetector",
+        backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs="on_input", num_outs=5),
+        bbox_head=head,
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(iou_threshold=0.5), max_per_img=10))
+    det = build_detector(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    batch = _batch()
+    total, logs = jax.jit(lambda v, b: detector_loss(det, v, b))(
+        variables, batch)
+    assert np.isfinite(float(total))
+    assert {"loss_cls", "loss_pts_init", "loss_pts_refine"} <= set(logs)
+    # moment_transfer is learnable and receives gradient
+    g = jax.grad(lambda v: detector_loss(det, v, batch)[0])(variables)
+    gm = g["params"]["bbox_head"]["moment_transfer"]
+    assert np.isfinite(np.asarray(gm)).all()
+
+    dets, labels, valid = jax.jit(lambda v, im: detector_predict(
+        det, v, im, img_shapes=jnp.asarray([[64.0, 64.0]] * 2),
+        scale_factors=jnp.ones((2, 4))))(variables, batch["images"])
+    assert dets.shape == (2, 10, 5)
+
+
+def test_reppoints_points2bbox_minmax():
+    from dsl_tpu.models.dense_heads.reppoints_head import (
+        RepPointsHead, points2bbox)
+
+    head = RepPointsHead(num_classes=4, transform_method="minmax",
+                         num_points=2)
+    # two points (y-first): (1, 2) and (5, 8) -> box x[2,8] y[1,5]
+    pts = jnp.asarray([[1.0, 2.0, 5.0, 8.0]])
+    box = np.asarray(points2bbox(head, pts, jnp.zeros((2,))))
+    np.testing.assert_allclose(box[0], [2.0, 1.0, 8.0, 5.0])
+
+
+def test_reppoints_point_assigner_levels():
+    from dsl_tpu.models.dense_heads.reppoints_head import \
+        _point_assign_single
+
+    # points at two levels (stride 8 and 16)
+    pts = jnp.asarray([[8.0, 8.0], [24.0, 8.0], [16.0, 16.0]])
+    lvls = jnp.asarray([3.0, 3.0, 4.0])
+    # a small gt (scale ~ matches lvl 3 range) centered near point 0
+    gt = jnp.asarray([[4.0, 4.0, 36.0, 36.0]])   # sqrt(32*32)/4 = 8 -> lvl 3
+    labels, assigned = _point_assign_single(
+        pts, lvls, gt, jnp.asarray([2]), jnp.asarray([True]), num_classes=4)
+    # nearest level-3 point to center (20, 20) is point 1 (24, 8)? no:
+    # dists: p0 (8,8)->17.0, p1 (24,8)->12.6; p2 is level 4 -> excluded
+    assert int(assigned[1]) == 0 and int(labels[1]) == 2
+    assert int(assigned[0]) == -1 and int(assigned[2]) == -1
