@@ -48,3 +48,5 @@ from dsl_tpu.models.backbones.hrnet import HRNet  # noqa: F401
 from dsl_tpu.models.necks.hrfpn import HRFPN  # noqa: F401
 from dsl_tpu.models.dense_heads.reppoints_head import (  # noqa: F401
     RepPointsHead, reppoints_get_bboxes, reppoints_loss)
+from dsl_tpu.models.backbones.regnet import RegNet  # noqa: F401
+from dsl_tpu.models.necks.bfp import BFP  # noqa: F401

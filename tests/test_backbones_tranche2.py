@@ -83,3 +83,33 @@ def test_res2net_config_builds():
     cfg = Config.fromfile("configs/res2net/faster_rcnn_r2_50_fpn_coco.py")
     det = build_detector(dict(cfg.model))
     assert type(det.backbone).__name__ == "Res2Net"
+
+
+def test_regnet_width_generation_and_forward():
+    from dsl_tpu.models.backbones.regnet import (
+        ARCH_PARAMS, RegNet, generate_regnet)
+
+    # regnetx_3.2gf published stage layout: widths [96,192,432,1008],
+    # depths [2,6,15,2]
+    w, d = generate_regnet(**ARCH_PARAMS["regnetx_3.2gf"])
+    assert w == [96, 192, 432, 1008]
+    assert d == [2, 6, 15, 2]
+    bk = RegNet(arch="regnetx_400mf")
+    x = jnp.zeros((1, 64, 64, 3))
+    v = bk.init(jax.random.PRNGKey(0), x)
+    outs = bk.apply(v, x)
+    assert len(outs) == 4
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+
+def test_bfp_preserves_shapes():
+    from dsl_tpu.models.necks.bfp import BFP
+
+    feats = tuple(jnp.ones((1, 32 // 2 ** i, 32 // 2 ** i, 16))
+                  for i in range(5))
+    neck = BFP(in_channels=16, num_levels=5)
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(v, feats)
+    assert [o.shape for o in outs] == [f.shape for f in feats]
+    # residual added: outputs differ from inputs
+    assert float(jnp.abs(outs[0] - feats[0]).sum()) > 0
