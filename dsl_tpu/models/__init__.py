@@ -50,3 +50,5 @@ from dsl_tpu.models.dense_heads.reppoints_head import (  # noqa: F401
     RepPointsHead, reppoints_get_bboxes, reppoints_loss)
 from dsl_tpu.models.backbones.regnet import RegNet  # noqa: F401
 from dsl_tpu.models.necks.bfp import BFP  # noqa: F401
+from dsl_tpu.models.dense_heads.detr_head import (  # noqa: F401
+    DETRHead, detr_get_bboxes, detr_loss)

@@ -105,6 +105,12 @@ class RepPointsDetector(SingleStageDetector):
     """RepPoints (``mmdet/models/detectors/reppoints_detector.py``)."""
 
 
+@DETECTORS.register
+class DETR(SingleStageDetector):
+    """DETR (``mmdet/models/detectors/detr.py``): backbone + set
+    prediction head (no neck)."""
+
+
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     """Build a detector module tree from a model config dict.
 
@@ -247,6 +253,10 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         from dsl_tpu.models.dense_heads.reppoints_head import reppoints_loss
 
         losses = reppoints_loss(head, outputs, batch, axis_name=axis_name)
+    elif type(head).__name__ == "DETRHead":
+        from dsl_tpu.models.dense_heads.detr_head import detr_loss
+
+        losses = detr_loss(head, outputs, batch, axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -335,6 +345,12 @@ def detector_predict(detector, variables, images, img_shapes=None,
             reppoints_get_bboxes
 
         return reppoints_get_bboxes(head, outputs, **common)
+    if type(head).__name__ == "DETRHead":
+        from dsl_tpu.models.dense_heads.detr_head import detr_get_bboxes
+
+        common.pop("nms_pre", None)
+        common.pop("iou_threshold", None)
+        return detr_get_bboxes(head, outputs, **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)
