@@ -52,3 +52,5 @@ from dsl_tpu.models.backbones.regnet import RegNet  # noqa: F401
 from dsl_tpu.models.necks.bfp import BFP  # noqa: F401
 from dsl_tpu.models.dense_heads.detr_head import (  # noqa: F401
     DETRHead, detr_get_bboxes, detr_loss)
+from dsl_tpu.models.dense_heads.fovea_head import (  # noqa: F401
+    FoveaHead, fovea_get_bboxes, fovea_loss)

@@ -106,6 +106,11 @@ class RepPointsDetector(SingleStageDetector):
 
 
 @DETECTORS.register
+class FOVEA(SingleStageDetector):
+    """FoveaBox (``mmdet/models/detectors/fovea.py``)."""
+
+
+@DETECTORS.register
 class DETR(SingleStageDetector):
     """DETR (``mmdet/models/detectors/detr.py``): backbone + set
     prediction head (no neck)."""
@@ -257,6 +262,12 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         from dsl_tpu.models.dense_heads.detr_head import detr_loss
 
         losses = detr_loss(head, outputs, batch, axis_name=axis_name)
+    elif type(head).__name__ == "FoveaHead":
+        from dsl_tpu.models.dense_heads.fovea_head import fovea_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = fovea_loss(head, cls_scores, bbox_preds, batch,
+                            axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -351,6 +362,11 @@ def detector_predict(detector, variables, images, img_shapes=None,
         common.pop("nms_pre", None)
         common.pop("iou_threshold", None)
         return detr_get_bboxes(head, outputs, **common)
+    if type(head).__name__ == "FoveaHead":
+        from dsl_tpu.models.dense_heads.fovea_head import fovea_get_bboxes
+
+        cls_scores, bbox_preds = outputs
+        return fovea_get_bboxes(head, cls_scores, bbox_preds, **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

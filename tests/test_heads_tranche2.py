@@ -196,3 +196,47 @@ def test_reppoints_point_assigner_levels():
     # dists: p0 (8,8)->17.0, p1 (24,8)->12.6; p2 is level 4 -> excluded
     assert int(assigned[1]) == 0 and int(labels[1]) == 2
     assert int(assigned[0]) == -1 and int(assigned[2]) == -1
+
+
+def test_fovea_targets_and_e2e():
+    from dsl_tpu.models.dense_heads.fovea_head import (
+        FoveaHead, _level_targets)
+
+    head = FoveaHead(num_classes=4, strides=[8, 16, 32, 64, 128])
+    # gt with sqrt(area)=48 -> hits level 0 (1..64) and level 1 (32..128)
+    gt = jnp.asarray([[8.0, 8.0, 56.0, 56.0], [0.0] * 4])
+    labels = jnp.asarray([2, 0])
+    valid = jnp.asarray([True, False])
+    lab, t, pos = _level_targets(head, 0, (8, 8), gt, labels, valid)
+    assert float(pos.sum()) > 0
+    # the gt center cell is positive with the right class
+    ci = 4 * 8 + 4   # (y=4, x=4) at stride 8 -> point (36, 36) in box center
+    assert int(lab[ci]) == 2
+    # targets are log-space in [log(1/16), log(16)]
+    assert float(jnp.abs(t).max()) <= np.log(16.0) + 1e-5
+    # a level whose range misses the gt has no positives
+    _, _, pos4 = _level_targets(head, 4, (1, 1), gt, labels, valid)
+    assert float(pos4.sum()) == 0
+
+    cfg = dict(
+        type="FOVEA",
+        backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1,
+                  add_extra_convs="on_input", num_outs=5),
+        bbox_head=dict(type="FoveaHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128]),
+        test_cfg=dict(nms_pre=100, score_thr=0.05,
+                      nms=dict(iou_threshold=0.5), max_per_img=10))
+    det = build_detector(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    batch = _batch()
+    total, logs = jax.jit(lambda v, b: detector_loss(det, v, b))(
+        variables, batch)
+    assert np.isfinite(float(total))
+    dets, labels2, valid2 = jax.jit(lambda v, im: detector_predict(
+        det, v, im, img_shapes=jnp.asarray([[64.0, 64.0]] * 2),
+        scale_factors=jnp.ones((2, 4))))(variables, batch["images"])
+    assert dets.shape == (2, 10, 5)
