@@ -189,3 +189,45 @@ def bbox_flip(boxes: jnp.ndarray, img_shape: tuple[int, int],
         y2 = h - boxes[..., 1]
         return jnp.stack([boxes[..., 0], y1, boxes[..., 2], y2], axis=-1)
     raise ValueError(direction)
+
+
+def bboxes2tblr(priors: jnp.ndarray, gts: jnp.ndarray,
+                normalizer=4.0, normalize_by_wh: bool = True) -> jnp.ndarray:
+    """Encode gt boxes as (top, bottom, left, right) distances from the
+    prior center, wh-normalized (``mmdet/core/bbox/coder/tblr_bbox_coder.py``
+    bboxes2tblr)."""
+    cx = (priors[..., 0] + priors[..., 2]) / 2
+    cy = (priors[..., 1] + priors[..., 3]) / 2
+    top = cy - gts[..., 1]
+    bottom = gts[..., 3] - cy
+    left = cx - gts[..., 0]
+    right = gts[..., 2] - cx
+    loc = jnp.stack([top, bottom, left, right], axis=-1)
+    if normalize_by_wh:
+        w = priors[..., 2] - priors[..., 0]
+        h = priors[..., 3] - priors[..., 1]
+        loc = jnp.concatenate(
+            [loc[..., :2] / jnp.maximum(h, EPS)[..., None],
+             loc[..., 2:] / jnp.maximum(w, EPS)[..., None]], axis=-1)
+    return loc / jnp.asarray(normalizer)
+
+
+def tblr2bboxes(priors: jnp.ndarray, tblr: jnp.ndarray, normalizer=4.0,
+                normalize_by_wh: bool = True,
+                max_shape: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Decode (t, b, l, r) predictions back to xyxy (tblr2bboxes)."""
+    loc = tblr * jnp.asarray(normalizer)
+    cx = (priors[..., 0] + priors[..., 2]) / 2
+    cy = (priors[..., 1] + priors[..., 3]) / 2
+    if normalize_by_wh:
+        w = priors[..., 2] - priors[..., 0]
+        h = priors[..., 3] - priors[..., 1]
+        loc = jnp.concatenate([loc[..., :2] * h[..., None],
+                               loc[..., 2:] * w[..., None]], axis=-1)
+    top, bottom, left, right = (loc[..., 0], loc[..., 1], loc[..., 2],
+                                loc[..., 3])
+    boxes = jnp.stack([cx - left, cy - top, cx + right, cy + bottom],
+                      axis=-1)
+    if max_shape is not None:
+        boxes = clip_boxes(boxes, max_shape)
+    return boxes

@@ -9,3 +9,5 @@ from dsl_tpu.data.datasets.wrappers import (  # noqa: F401
     ClassBalancedDataset, ConcatDataset, RepeatDataset)
 from dsl_tpu.data.datasets.lvis import (  # noqa: F401
     CityscapesDataset, LVISDataset, LVISEval)
+from dsl_tpu.data.datasets.lvis import DeepFashionDataset  # noqa: F401
+from dsl_tpu.data.datasets.voc import WIDERFaceDataset  # noqa: F401

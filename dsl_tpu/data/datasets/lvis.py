@@ -131,3 +131,13 @@ class CityscapesDataset(CocoDataset):
             valid.append(i)
         self.img_ids = [self.data_infos[i]["id"] for i in valid]
         return valid
+
+
+@DATASETS.register(name="DeepFashionDataset")
+class DeepFashionDataset(CocoDataset):
+    """DeepFashion landmark/clothes detection in COCO format
+    (``mmdet/datasets/deepfashion.py``)."""
+
+    CLASSES = ("top", "skirt", "leggings", "dress", "outer", "pants", "bag",
+               "neckwear", "headwear", "eyeglass", "belt", "footwear",
+               "hair", "skin", "face")

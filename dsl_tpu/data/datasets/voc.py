@@ -128,3 +128,32 @@ class XMLDataset(CustomDataset):
 @DATASETS.register(name="VOCDataset")
 class VOCDataset(XMLDataset):
     CLASSES = VOC_CLASSES
+
+
+@DATASETS.register(name="WIDERFaceDataset")
+class WIDERFaceDataset(XMLDataset):
+    """WIDER Face in PASCAL-VOC XML format
+    (``mmdet/datasets/wider_face.py``): one 'face' class; image files live
+    under the XML's <folder>; the ann_file is a plain id list."""
+
+    CLASSES = ("face",)
+
+    def load_annotations(self, ann_file):
+        import os.path as osp
+        import xml.etree.ElementTree as ET
+
+        data_infos = []
+        with open(ann_file) as f:
+            img_ids = [l.strip() for l in f if l.strip()]
+        for img_id in img_ids:
+            xml_path = osp.join(self.img_prefix, "Annotations",
+                                f"{img_id}.xml")
+            root = ET.parse(xml_path).getroot()
+            size = root.find("size")
+            folder = root.find("folder").text
+            data_infos.append(dict(
+                id=img_id,
+                filename=osp.join(folder, f"{img_id}.jpg"),
+                width=int(size.find("width").text),
+                height=int(size.find("height").text)))
+        return data_infos

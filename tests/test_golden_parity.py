@@ -253,3 +253,31 @@ def test_coco_eval_crowd_ignore_golden():
                     score=0.8))
     stats2 = COCOEval(gt, dts).evaluate()
     assert stats2["mAP"] == 1.0 and stats2["AR_100"] == 1.0
+
+
+def test_tblr_coder_matches_mmdet_golden():
+    """TBLRBBoxCoder(normalizer=15) decode golden (test_coder.py:78-95)."""
+    from dsl_tpu.core.boxes import bboxes2tblr, tblr2bboxes
+
+    rois = jnp.asarray([[0., 0., 1., 1.], [0., 0., 1., 1.],
+                        [0., 0., 1., 1.], [5., 5., 5., 5.]])
+    deltas = jnp.asarray([[0., 0., 0., 0.], [1., 1., 1., 1.],
+                          [0., 0., 2., -1.], [0.7, -1.9, -0.5, 0.3]])
+    expected = np.asarray([[0.5, 0.5, 0.5, 0.5],
+                           [0.0, 0.0, 12.0, 13.0],
+                           [0.0, 0.5, 0.0, 0.5],
+                           [5.0, 5.0, 5.0, 5.0]])
+    out = np.asarray(tblr2bboxes(rois, deltas, normalizer=15.0,
+                                 max_shape=(13, 12)))
+    np.testing.assert_allclose(out, expected, atol=1e-4)
+    # batched path agrees
+    b_out = np.asarray(tblr2bboxes(jnp.tile(rois, (2, 1, 1)),
+                                   jnp.tile(deltas, (2, 1, 1)),
+                                   normalizer=15.0, max_shape=(13, 12)))
+    np.testing.assert_allclose(b_out[0], expected, atol=1e-4)
+    # encode/decode round trip
+    gts = jnp.asarray([[0.2, 0.1, 0.8, 0.9]])
+    pri = jnp.asarray([[0.0, 0.0, 1.0, 1.0]])
+    enc = bboxes2tblr(pri, gts, normalizer=4.0)
+    dec = np.asarray(tblr2bboxes(pri, enc, normalizer=4.0))
+    np.testing.assert_allclose(dec[0], np.asarray(gts)[0], atol=1e-6)
