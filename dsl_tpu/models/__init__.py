@@ -54,3 +54,9 @@ from dsl_tpu.models.dense_heads.detr_head import (  # noqa: F401
     DETRHead, detr_get_bboxes, detr_loss)
 from dsl_tpu.models.dense_heads.fovea_head import (  # noqa: F401
     FoveaHead, fovea_get_bboxes, fovea_loss)
+from dsl_tpu.models.dense_heads.fsaf_head import (  # noqa: F401
+    FSAFHead, fsaf_get_bboxes, fsaf_loss)
+from dsl_tpu.models.dense_heads.free_anchor_head import (  # noqa: F401
+    FreeAnchorRetinaHead, free_anchor_loss)
+from dsl_tpu.models.dense_heads.yolof_head import (  # noqa: F401
+    DilatedEncoder, YOLOFHead, yolof_get_bboxes, yolof_loss)

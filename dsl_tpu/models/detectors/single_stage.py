@@ -111,6 +111,16 @@ class FOVEA(SingleStageDetector):
 
 
 @DETECTORS.register
+class FSAF(SingleStageDetector):
+    """FSAF (``mmdet/models/detectors/fsaf.py``)."""
+
+
+@DETECTORS.register
+class YOLOF(SingleStageDetector):
+    """YOLOF (``mmdet/models/detectors/yolof.py``)."""
+
+
+@DETECTORS.register
 class DETR(SingleStageDetector):
     """DETR (``mmdet/models/detectors/detr.py``): backbone + set
     prediction head (no neck)."""
@@ -268,6 +278,25 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = fovea_loss(head, cls_scores, bbox_preds, batch,
                             axis_name=axis_name)
+    elif type(head).__name__ == "FSAFHead":
+        from dsl_tpu.models.dense_heads.fsaf_head import fsaf_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = fsaf_loss(head, cls_scores, bbox_preds, batch,
+                           axis_name=axis_name)
+    elif type(head).__name__ == "FreeAnchorRetinaHead":
+        from dsl_tpu.models.dense_heads.free_anchor_head import \
+            free_anchor_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = free_anchor_loss(head, cls_scores, bbox_preds, batch,
+                                  axis_name=axis_name)
+    elif type(head).__name__ == "YOLOFHead":
+        from dsl_tpu.models.dense_heads.yolof_head import yolof_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = yolof_loss(head, cls_scores, bbox_preds, batch,
+                            axis_name=axis_name)
     else:
         cls_scores, bbox_preds, centernesses = outputs
         losses = fcos_loss(head, cls_scores, bbox_preds, centernesses,
@@ -301,7 +330,7 @@ def detector_predict(detector, variables, images, img_shapes=None,
                   score_thr=tc.get("score_thr", 0.05),
                   iou_threshold=nms_cfg.get("iou_threshold", 0.6),
                   max_per_img=tc.get("max_per_img", 100))
-    if type(head).__name__ == "RetinaHead":
+    if type(head).__name__ in ("RetinaHead", "FreeAnchorRetinaHead"):
         from dsl_tpu.models.dense_heads.retina_head import retina_get_bboxes
 
         cls_scores, bbox_preds = outputs
@@ -367,6 +396,16 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_preds = outputs
         return fovea_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "FSAFHead":
+        from dsl_tpu.models.dense_heads.fsaf_head import fsaf_get_bboxes
+
+        cls_scores, bbox_preds = outputs
+        return fsaf_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "YOLOFHead":
+        from dsl_tpu.models.dense_heads.yolof_head import yolof_get_bboxes
+
+        cls_scores, bbox_preds = outputs
+        return yolof_get_bboxes(head, cls_scores, bbox_preds, **common)
     cls_scores, bbox_preds, centernesses = outputs
     return fcos_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                            **common)

@@ -240,3 +240,70 @@ def test_fovea_targets_and_e2e():
         det, v, im, img_shapes=jnp.asarray([[64.0, 64.0]] * 2),
         scale_factors=jnp.ones((2, 4))))(variables, batch["images"])
     assert dets.shape == (2, 10, 5)
+
+
+FSAF_CFG = dict(
+    type="FSAF",
+    backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3)),
+    neck=dict(type="FPN", in_channels=[64, 128, 256, 512], out_channels=32,
+              start_level=1, add_extra_convs="on_input", num_outs=5),
+    bbox_head=dict(type="FSAFHead", num_classes=4, in_channels=32,
+                   feat_channels=32, stacked_convs=1,
+                   strides=[8, 16, 32, 64, 128]),
+    test_cfg=dict(nms_pre=100, score_thr=0.05,
+                  nms=dict(iou_threshold=0.5), max_per_img=10))
+
+FA_CFG = dict(
+    type="RetinaNet",
+    backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3)),
+    neck=dict(type="FPN", in_channels=[64, 128, 256, 512], out_channels=32,
+              start_level=1, add_extra_convs="on_input", num_outs=5),
+    bbox_head=dict(type="FreeAnchorRetinaHead", num_classes=4,
+                   in_channels=32, feat_channels=32, stacked_convs=1,
+                   strides=[8, 16, 32, 64, 128], pre_anchor_topk=8),
+    test_cfg=dict(nms_pre=100, score_thr=0.05,
+                  nms=dict(iou_threshold=0.5), max_per_img=10))
+
+YOLOF_CFG = dict(
+    type="YOLOF",
+    backbone=dict(type="ResNet", depth=18, out_indices=(3,)),
+    neck=dict(type="DilatedEncoder", in_channels=512, out_channels=64,
+              block_mid_channels=32, num_residual_blocks=2),
+    bbox_head=dict(type="YOLOFHead", num_classes=4, in_channels=64,
+                   strides=[32], anchor_scales=[1, 2, 4]),
+    test_cfg=dict(nms_pre=50, score_thr=0.05,
+                  nms=dict(iou_threshold=0.6), max_per_img=10))
+
+
+@pytest.mark.parametrize("cfg", [FSAF_CFG, FA_CFG, YOLOF_CFG],
+                         ids=["FSAF", "FreeAnchor", "YOLOF"])
+def test_tranche3_forward_loss_predict(cfg):
+    det = build_detector(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    batch = _batch()
+    total, logs = jax.jit(lambda v, b: detector_loss(det, v, b))(
+        variables, batch)
+    assert np.isfinite(float(total)), logs
+    assert all(np.isfinite(float(v)) for v in logs.values()), logs
+    g = jax.grad(lambda v: detector_loss(det, v, batch)[0])(variables)
+    gsum = sum(float(jnp.abs(l).sum())
+               for l in jax.tree_util.tree_leaves(g["params"]["bbox_head"]))
+    assert gsum > 0
+
+    dets, labels, valid = jax.jit(lambda v, im: detector_predict(
+        det, v, im, img_shapes=jnp.asarray([[64.0, 64.0]] * 2),
+        scale_factors=jnp.ones((2, 4))))(variables, batch["images"])
+    assert dets.shape == (2, 10, 5)
+
+
+def test_free_anchor_mean_max_property():
+    """Mean-max weighting concentrates on high-prob bag members."""
+    from dsl_tpu.models.dense_heads.free_anchor_head import \
+        FreeAnchorRetinaHead  # noqa: F401  (registered)
+
+    p = jnp.asarray([[0.9, 0.1, 0.1]])
+    w = 1.0 / jnp.clip(1.0 - p, 1e-12, None)
+    w = w / w.sum(axis=-1, keepdims=True)
+    bag = float((w * p).sum())
+    assert bag > 0.7        # dominated by the 0.9 member
