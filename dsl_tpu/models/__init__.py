@@ -60,3 +60,8 @@ from dsl_tpu.models.dense_heads.free_anchor_head import (  # noqa: F401
     FreeAnchorRetinaHead, free_anchor_loss)
 from dsl_tpu.models.dense_heads.yolof_head import (  # noqa: F401
     DilatedEncoder, YOLOFHead, yolof_get_bboxes, yolof_loss)
+from dsl_tpu.models.roi_heads.maskiou_head import (  # noqa: F401
+    MaskIoUHead, mask_iou_loss, mask_iou_target)
+from dsl_tpu.models.detectors.two_stage import MaskScoringRCNN  # noqa: F401
+from dsl_tpu.ops.misc_ops import (  # noqa: F401
+    carafe, corner_pool, nms_match, point_sample)

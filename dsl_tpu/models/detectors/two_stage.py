@@ -60,6 +60,17 @@ class MaskRCNN(TwoStageDetector):
         return self.mask_head(roi_feats)
 
 
+@DETECTORS.register
+class MaskScoringRCNN(MaskRCNN):
+    """Mask Scoring R-CNN (``mmdet/models/detectors/mask_scoring_rcnn.py``):
+    Mask R-CNN + a MaskIoU head whose prediction rescales mask scores."""
+
+    mask_iou_head: nn.Module = None
+
+    def mask_iou_forward(self, mask_feats, mask_pred):
+        return self.mask_iou_head(mask_feats, mask_pred)
+
+
 def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     cfg = dict(cfg)
     det_type = cfg.pop("type", "FasterRCNN")
@@ -72,6 +83,9 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     mask_cfg = cfg.pop("mask_head", None)
     if mask_cfg is not None:
         kwargs["mask_head"] = build_from_cfg(mask_cfg, MODELS)
+    miou_cfg = cfg.pop("mask_iou_head", None)
+    if miou_cfg is not None:
+        kwargs["mask_iou_head"] = build_from_cfg(miou_cfg, MODELS)
     return det_cls(backbone=backbone, neck=neck, rpn_head=rpn, bbox_head=roi,
                    train_cfg=cfg.pop("train_cfg", None),
                    test_cfg=cfg.pop("test_cfg", None), **kwargs)
@@ -100,6 +114,15 @@ def init_two_stage_variables(detector, rng, images):
         mask_vars = detector.init(jax.random.fold_in(rng, 2), mask_feats,
                                   method=detector.mask_forward)
         params.update(mask_vars["params"])
+    mih = getattr(detector, "mask_iou_head", None)
+    if mih is not None:
+        s = mh.roi_size
+        miou_vars = detector.init(
+            jax.random.fold_in(rng, 3),
+            jnp.zeros((1, s, s, mih.in_channels)),
+            jnp.zeros((1, 2 * s, 2 * s)),
+            method=detector.mask_iou_forward)
+        params.update(miou_vars["params"])
     return {**variables, "params": params}
 
 
@@ -142,15 +165,19 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
 
     if getattr(detector, "mask_head", None) is not None \
             and "gt_mask_crops" in batch:
-        losses["loss_mask"] = _mask_branch_loss(
+        loss_mask, loss_miou = _mask_branch_loss(
             detector, variables, feats, samples, batch,
             num_samples=num_samples)
+        losses["loss_mask"] = loss_mask
+        if loss_miou is not None:
+            losses["loss_mask_iou"] = loss_miou
     return _parse_losses(losses)
 
 
 def _mask_branch_loss(detector, variables, feats, samples, batch,
                       num_samples: int):
-    """Mask loss on the positive rois of the shared sampling results."""
+    """Mask loss on the positive rois of the shared sampling results;
+    returns (loss_mask, loss_mask_iou-or-None)."""
     from dsl_tpu.models.roi_heads.mask_head import (
         mask_head_loss, mask_targets_from_crops, select_positive_rois)
     from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
@@ -175,8 +202,24 @@ def _mask_branch_loss(detector, variables, feats, samples, batch,
         batch["gt_mask_crops"], batch["gt_bboxes"], rois.reshape(-1, 4),
         batch_idx.reshape(-1), assigned.reshape(-1),
         mask_size=2 * mh.roi_size)
-    return mask_head_loss(logits, targets, labels.reshape(-1),
-                          pos.astype(jnp.float32), mh.num_classes)
+    loss_mask = mask_head_loss(logits, targets, labels.reshape(-1),
+                               pos.astype(jnp.float32), mh.num_classes)
+    if getattr(detector, "mask_iou_head", None) is None:
+        return loss_mask, None
+
+    from dsl_tpu.models.roi_heads.maskiou_head import (
+        mask_iou_loss, mask_iou_target)
+
+    cls = jnp.clip(labels.reshape(-1), 0, mh.num_classes - 1)
+    pred_prob = jax.nn.sigmoid(jnp.take_along_axis(
+        logits, cls[:, None, None, None], axis=-1)[..., 0])
+    posf = pos.astype(jnp.float32)
+    iou_t = mask_iou_target(pred_prob, targets, posf)
+    iou_pred = detector.apply(variables, roi_feats, pred_prob,
+                              method=detector.mask_iou_forward)
+    loss_miou = mask_iou_loss(iou_pred, labels.reshape(-1), iou_t, posf,
+                              detector.mask_iou_head.num_classes)
+    return loss_mask, loss_miou
 
 
 def two_stage_predict(detector, variables, images, img_shapes=None,

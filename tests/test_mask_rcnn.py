@@ -227,3 +227,53 @@ def test_segm_coco_eval_perfect_and_partial(tmp_path):
                      verbose=False)
     assert 0.0 < m2["segm_mAP"] < 0.2
     assert m2["segm_mAP_50"] > 0.99   # IoU 0.5 still matches at thr .5
+
+
+def test_corner_pool_and_carafe_and_point_sample():
+    from dsl_tpu.ops.misc_ops import carafe, corner_pool, point_sample
+
+    x = jnp.asarray(np.arange(16, dtype=np.float32).reshape(1, 4, 4, 1))
+    # bottom pool: running max downward
+    bp = np.asarray(corner_pool(x, "bottom"))[0, :, 0, 0]
+    np.testing.assert_array_equal(bp, [0, 4, 8, 12])
+    tp = np.asarray(corner_pool(x, "top"))[0, :, 0, 0]
+    np.testing.assert_array_equal(tp, [12, 12, 12, 12])
+    rp = np.asarray(corner_pool(x, "right"))[0, 0, :, 0]
+    np.testing.assert_array_equal(rp, [0, 1, 2, 3])
+    lp = np.asarray(corner_pool(x, "left"))[0, 0, :, 0]
+    np.testing.assert_array_equal(lp, [3, 3, 3, 3])
+
+    # CARAFE with a delta kernel at the center tap == nearest upsample
+    masks = jnp.zeros((1, 8, 8, 25)).at[..., 12].set(1.0)
+    up = np.asarray(carafe(x, masks, kernel_size=5, scale=2))
+    np.testing.assert_allclose(up[0, ::2, ::2, 0],
+                               np.asarray(x)[0, :, :, 0])
+
+    pts = jnp.asarray([[[0.5, 0.5]]])     # center of a 4x4 map
+    v = float(point_sample(x, pts)[0, 0, 0])
+    assert abs(v - np.asarray(x)[0].mean()) < 3.0   # near the map center
+
+
+def test_mask_scoring_rcnn_train_and_iou_target():
+    from dsl_tpu.models.roi_heads.maskiou_head import mask_iou_target
+
+    # iou target: identical masks -> 1; disjoint -> 0
+    pred = jnp.ones((1, 4, 4))
+    tgt = jnp.ones((1, 4, 4))
+    assert float(mask_iou_target(pred, tgt, jnp.ones(1))[0]) == 1.0
+    assert float(mask_iou_target(pred, jnp.zeros((1, 4, 4)),
+                                 jnp.ones(1))[0]) == 0.0
+
+    cfg = dict(CFG)
+    cfg["type"] = "MaskScoringRCNN"
+    cfg["mask_iou_head"] = dict(type="MaskIoUHead", num_classes=4,
+                                in_channels=32, conv_out_channels=32,
+                                num_convs=2, fc_out_channels=64)
+    det = build_two_stage_detector(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = init_two_stage_variables(det, jax.random.PRNGKey(0), imgs)
+    total, logs = jax.jit(lambda v, b: two_stage_loss(
+        det, v, b, rng_key=jax.random.PRNGKey(0), num_proposals=64,
+        num_samples=32))(variables, _batch())
+    assert np.isfinite(float(total))
+    assert "loss_mask_iou" in logs and np.isfinite(float(logs["loss_mask_iou"]))
