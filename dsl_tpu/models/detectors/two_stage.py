@@ -127,7 +127,8 @@ def init_two_stage_variables(detector, rng, images):
 
 
 def two_stage_loss(detector, variables, batch, rng_key=None,
-                   num_proposals: int = 512, num_samples: int = 256):
+                   num_proposals: int = 512, num_samples: int = 256,
+                   ohem: bool = False):
     """Full two-stage training loss (jittable; rng drives roi sampling).
 
     When the detector has a mask head (MaskRCNN) and the batch carries
@@ -151,11 +152,18 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
     def roi_apply(v, roi_feats):
         return detector.apply(v, roi_feats, method=detector.roi_forward)
 
-    from dsl_tpu.models.roi_heads.standard_roi_head import sample_batch_rois
+    from dsl_tpu.models.roi_heads.standard_roi_head import (
+        ohem_hardness, sample_batch_rois)
 
+    neg_hardness = None
+    if ohem:
+        neg_hardness = ohem_hardness(
+            detector.bbox_head, roi_apply, variables, feats, proposals,
+            prop_valid, batch, strides=_strides_from(detector))
     samples = sample_batch_rois(proposals, prop_valid, batch, rng_key,
                                 detector.bbox_head.num_classes,
-                                num_samples=num_samples)
+                                num_samples=num_samples,
+                                neg_hardness=neg_hardness)
     roi_losses = roi_head_loss(
         detector.bbox_head, roi_apply, variables, feats, proposals,
         prop_valid, batch, rng_key, strides=_strides_from(detector),

@@ -79,11 +79,15 @@ def extract_roi_feats(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
 def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
                 num_classes: int, num_samples: int = 512,
                 pos_fraction: float = 0.25, pos_iou_thr: float = 0.5,
-                neg_iou_thr: float = 0.5):
+                neg_iou_thr: float = 0.5, neg_hardness=None):
     """Fixed-shape RandomSampler: assign proposals (+gt boxes as extra
     candidates, mmdet ``add_gt_as_proposals``), then take ``num_samples`` by
     priority = (pos with random tiebreak first, capped at
-    ``num_samples*pos_fraction``), negatives fill the rest."""
+    ``num_samples*pos_fraction``), negatives fill the rest.
+
+    ``neg_hardness``: optional per-candidate score (higher = harder); when
+    given, negatives are ranked hardest-first instead of randomly — the
+    OHEMSampler (``mmdet/core/bbox/samplers/ohem_sampler.py``) semantics."""
     cand = jnp.concatenate([proposals, gt_bboxes], axis=0)
     cand_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
     labels, assigned, _, max_iou = _max_iou_assign_single(
@@ -94,6 +98,12 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
     is_neg = (labels == num_classes) & cand_valid & (max_iou >= 0)
 
     r = jax.random.uniform(key, (cand.shape[0],))
+    if neg_hardness is not None:
+        # hardest negatives get the smallest in-band rank
+        nh = jax.lax.stop_gradient(neg_hardness)
+        r_neg = 1.0 - (nh - nh.min()) / jnp.maximum(nh.max() - nh.min(),
+                                                    1e-12)
+        r = jnp.where(is_neg, r_neg, r)
     max_pos = int(num_samples * pos_fraction)
     # rank positives first (random order), then negatives (random order);
     # invalid last. Cap positives by limiting their priority band size via
@@ -110,22 +120,55 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
 
 
 def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,
-                      num_samples: int = 512):
+                      num_samples: int = 512, neg_hardness=None):
     """Batched fixed-shape roi sampling (shared by bbox + mask branches,
     as the reference's StandardRoIHead passes one ``sampling_results`` to
-    both, ``standard_roi_head.py:180-266``)."""
+    both, ``standard_roi_head.py:180-266``). ``neg_hardness`` (B, P+K)
+    enables OHEM negative mining."""
     b = proposals.shape[0]
     keys = jax.random.split(rng_key, b)
 
-    def per_image(key, props, pvalid, gtb, gtl, gtv):
+    def per_image(key, props, pvalid, gtb, gtl, gtv, nh):
         return sample_rois(key, props, pvalid, gtb, gtl, gtv, num_classes,
-                           num_samples=num_samples)
+                           num_samples=num_samples, neg_hardness=nh)
 
-    rois, labels, assigned, valid, is_pos = jax.vmap(per_image)(
-        keys, proposals, prop_valid, batch["gt_bboxes"],
-        batch["gt_labels"], batch["gt_valid"])          # (B, S, ...)
+    if neg_hardness is None:
+        per = lambda key, props, pvalid, gtb, gtl, gtv: per_image(
+            key, props, pvalid, gtb, gtl, gtv, None)
+        rois, labels, assigned, valid, is_pos = jax.vmap(per)(
+            keys, proposals, prop_valid, batch["gt_bboxes"],
+            batch["gt_labels"], batch["gt_valid"])      # (B, S, ...)
+    else:
+        rois, labels, assigned, valid, is_pos = jax.vmap(per_image)(
+            keys, proposals, prop_valid, batch["gt_bboxes"],
+            batch["gt_labels"], batch["gt_valid"], neg_hardness)
     return dict(rois=rois, labels=labels, assigned=assigned, valid=valid,
                 is_pos=is_pos)
+
+
+def ohem_hardness(bbox_head, apply_fn, variables, feats, proposals,
+                  prop_valid, batch, strides=(4, 8, 16, 32)):
+    """Per-candidate classification loss under the CURRENT head — the OHEM
+    ranking signal (reference ``ohem_sampler.py hard_mining``: runs the bbox
+    head on the candidates and ranks by loss). Candidates = proposals + the
+    gt-augmented rows, matching ``sample_rois``."""
+    b, p = proposals.shape[:2]
+    cand = jnp.concatenate([proposals, batch["gt_bboxes"]], axis=1)
+    cand_valid = jnp.concatenate(
+        [prop_valid, batch["gt_valid"]], axis=1)
+    n = cand.shape[1]
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(b)[:, None], (b, n)).reshape(-1, 1)
+    flat = jnp.concatenate(
+        [batch_idx.astype(jnp.float32), cand.reshape(-1, 4)], axis=1)
+    roi_feats = extract_roi_feats(feats, flat, cand_valid.reshape(-1),
+                                  strides, bbox_head.roi_size)
+    cls_logits, _ = apply_fn(variables, roi_feats)
+    nc = bbox_head.num_classes
+    # negatives' loss = CE against background
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    loss_bg = -logp[:, nc].reshape(b, n)
+    return jax.lax.stop_gradient(loss_bg)
 
 
 def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,

@@ -87,3 +87,40 @@ def test_two_stage_predict_shapes():
         scale_factors=jnp.ones((2, 4)), num_proposals=64)
     assert dets.shape == (2, 10, 5)
     assert labels.shape == (2, 10)
+
+
+def test_ohem_sampling_prefers_hard_negatives():
+    """With OHEM, high-loss negatives (confident wrong class) are sampled
+    ahead of easy ones."""
+    from dsl_tpu.models.roi_heads.standard_roi_head import sample_rois
+
+    # 8 proposals far from the single gt -> all negatives
+    props = jnp.asarray([[40.0 + 2 * i, 40.0, 50.0 + 2 * i, 50.0]
+                         for i in range(8)])
+    pvalid = jnp.ones((8,), bool)
+    gtb = jnp.asarray([[0.0, 0.0, 10.0, 10.0]])
+    gtl = jnp.asarray([0])
+    gtv = jnp.asarray([True])
+    hardness = jnp.asarray([0., 0., 0., 0., 0., 0., 0., 9.9]
+                           + [0.0])                 # + gt-augmented row
+    rois, labels, assigned, valid, is_pos = sample_rois(
+        jax.random.PRNGKey(0), props, pvalid, gtb, gtl, gtv,
+        num_classes=4, num_samples=3, neg_hardness=hardness)
+    # the hardest negative (proposal 7) must be among the sampled rows
+    sampled = np.asarray(rois)
+    assert any(np.allclose(s, np.asarray(props[7])) for s in sampled)
+
+
+def test_two_stage_loss_ohem_path_jits():
+    det, variables, imgs = _setup()
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.asarray([[[4.0, 4.0, 30.0, 30.0]]] * 2),
+        gt_labels=jnp.zeros((2, 1), jnp.int32),
+        gt_valid=jnp.ones((2, 1), bool),
+        ignore_bboxes=jnp.zeros((2, 1, 4), jnp.float32),
+        ignore_valid=jnp.zeros((2, 1), bool))
+    total, logs = jax.jit(lambda v, b: two_stage_loss(
+        det, v, b, rng_key=jax.random.PRNGKey(0), num_proposals=32,
+        num_samples=16, ohem=True))(variables, batch)
+    assert np.isfinite(float(total))
