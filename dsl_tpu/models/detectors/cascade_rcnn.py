@@ -36,6 +36,7 @@ class CascadeRCNN(nn.Module):
     neck: nn.Module
     rpn_head: nn.Module
     bbox_heads: Sequence[nn.Module]      # one Shared2FCBBoxHead per stage
+    mask_head: nn.Module = None          # Cascade Mask R-CNN when set
     train_cfg: Any = None
     test_cfg: Any = None
 
@@ -49,6 +50,9 @@ class CascadeRCNN(nn.Module):
     def roi_forward(self, roi_feats, stage: int = 0):
         return self.bbox_heads[stage](roi_feats)
 
+    def mask_forward(self, roi_feats):
+        return self.mask_head(roi_feats)
+
 
 def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     cfg = dict(cfg)
@@ -58,8 +62,11 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     rpn = build_from_cfg(cfg.pop("rpn_head"), MODELS)
     head_cfgs = cfg.pop("bbox_heads")
     heads = tuple(build_from_cfg(dict(c), MODELS) for c in head_cfgs)
+    mask_cfg = cfg.pop("mask_head", None)
+    mask_head = build_from_cfg(mask_cfg, MODELS) if mask_cfg else None
     return CascadeRCNN(backbone=backbone, neck=neck, rpn_head=rpn,
-                      bbox_heads=heads, test_cfg=cfg.pop("test_cfg", None),
+                      bbox_heads=heads, mask_head=mask_head,
+                      test_cfg=cfg.pop("test_cfg", None),
                       train_cfg=cfg.pop("train_cfg", None))
 
 
@@ -92,15 +99,30 @@ def cascade_rcnn_loss(detector, variables, batch, rng_key=None,
     proposals = jax.lax.stop_gradient(proposals)
     strides = tuple(detector.rpn_head.strides)[:4]
 
+    from dsl_tpu.models.roi_heads.standard_roi_head import sample_batch_rois
+
     keys = jax.random.split(rng_key, len(detector.bbox_heads))
     for stage, head in enumerate(detector.bbox_heads):
         def roi_apply(v, rf, _stage=stage):
             return detector.apply(v, rf, _stage,
                                   method=detector.roi_forward)
 
+        samples = sample_batch_rois(
+            proposals, prop_valid, batch, keys[stage], head.num_classes,
+            num_samples=num_samples)
         stage_losses = roi_head_loss(
             head, roi_apply, variables, feats, proposals, prop_valid,
-            batch, keys[stage], strides=strides, num_samples=num_samples)
+            batch, keys[stage], strides=strides, num_samples=num_samples,
+            samples=samples)
+        if detector.mask_head is not None and "gt_mask_crops" in batch:
+            # per-stage mask loss with the shared mask head (Cascade Mask
+            # R-CNN; the reference keeps one mask head per stage — shared
+            # parameters here, same loss schedule)
+            from dsl_tpu.models.detectors.two_stage import _mask_branch_loss
+
+            lm, _ = _mask_branch_loss(detector, variables, feats, samples,
+                                      batch, num_samples=num_samples)
+            losses[f"s{stage}.loss_mask"] = lm * CASCADE_WEIGHTS[stage]
         w = CASCADE_WEIGHTS[stage]
         for k, v in stage_losses.items():
             key = f"s{stage}.{k}"

@@ -163,12 +163,30 @@ def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
 
 def init_detector_variables(detector, rng, images):
     """Initialize a detector's full variable tree regardless of family —
-    two-stage detectors carry RoI-side submodules outside ``__call__``."""
+    two-stage/cascade detectors carry RoI-side submodules outside
+    ``__call__``."""
+    import jax
+
     from dsl_tpu.models.detectors.two_stage import (
         TwoStageDetector, init_two_stage_variables)
 
     if isinstance(detector, TwoStageDetector):
         return init_two_stage_variables(detector, rng, images)
+    if type(detector).__name__ == "CascadeRCNN":
+        variables = detector.init(rng, images)
+        params = dict(variables["params"])
+        for stage, bh in enumerate(detector.bbox_heads):
+            rf = jnp.zeros((1, bh.roi_size, bh.roi_size, bh.in_channels))
+            sv = detector.init(jax.random.fold_in(rng, stage + 1), rf,
+                               stage, method=detector.roi_forward)
+            params.update(sv["params"])
+        mh = getattr(detector, "mask_head", None)
+        if mh is not None:
+            mf = jnp.zeros((1, mh.roi_size, mh.roi_size, mh.in_channels))
+            mv = detector.init(jax.random.fold_in(rng, 99), mf,
+                               method=detector.mask_forward)
+            params.update(mv["params"])
+        return {**variables, "params": params}
     return detector.init(rng, images)
 
 

@@ -65,3 +65,36 @@ def test_cascade_predict():
         scale_factors=jnp.ones((2, 4)), num_proposals=64)
     assert dets.shape == (2, 10, 5)
     assert labels.shape == (2, 10)
+
+
+def test_cascade_mask_rcnn():
+    """Cascade + shared mask head: per-stage mask losses, full-tree init."""
+    from dsl_tpu.models.detectors.cascade_rcnn import (
+        build_cascade_rcnn, cascade_rcnn_loss)
+    from dsl_tpu.models.detectors.single_stage import init_detector_variables
+    from dsl_tpu.models.roi_heads.mask_head import GT_MASK_CROP_SIZE
+
+    cfg = dict(CFG)
+    cfg["mask_head"] = dict(type="FCNMaskHead", num_classes=4,
+                            in_channels=32, conv_out_channels=32,
+                            num_convs=2, roi_size=14)
+    det = build_cascade_rcnn(cfg)
+    imgs = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    variables = init_detector_variables(det, jax.random.PRNGKey(0), imgs)
+    assert "mask_head" in variables["params"]
+
+    crops = np.zeros((2, 2, GT_MASK_CROP_SIZE, GT_MASK_CROP_SIZE), np.uint8)
+    crops[:, 0] = 1
+    batch = dict(
+        images=imgs,
+        gt_bboxes=jnp.asarray([[[4.0, 4.0, 30.0, 30.0], [0.0] * 4]] * 2),
+        gt_labels=jnp.zeros((2, 2), jnp.int32),
+        gt_valid=jnp.asarray([[True, False]] * 2),
+        ignore_bboxes=jnp.zeros((2, 1, 4), jnp.float32),
+        ignore_valid=jnp.zeros((2, 1), bool),
+        gt_mask_crops=jnp.asarray(crops))
+    total, logs = jax.jit(lambda v, b: cascade_rcnn_loss(
+        det, v, b, rng_key=jax.random.PRNGKey(0), num_proposals=32,
+        num_samples=16))(variables, batch)
+    assert np.isfinite(float(total))
+    assert {"s0.loss_mask", "s1.loss_mask"} <= set(logs)  # 2-stage test cfg
