@@ -23,7 +23,8 @@ def test_config_parses_and_builds(path):
     cfg = Config.fromfile(path)
     assert "model" in cfg
     det = build_detector(dict(cfg.model))
-    assert det.bbox_head.num_classes > 0
+    head = det.bbox_heads[0] if hasattr(det, "bbox_heads") else det.bbox_head
+    assert head.num_classes > 0
     # data / schedule sections well-formed
     assert "data" in cfg and "train" in cfg.data
     assert "optimizer" in cfg
