@@ -383,3 +383,36 @@ def seesaw_loss(cls_score: jnp.ndarray, labels: jnp.ndarray,
         reduction="mean",
         avg_factor=jnp.maximum(pos_w.sum(), 1.0))
     return loss_classes, loss_obj, new_cum
+
+
+def ae_loss(tl_emb: jnp.ndarray, br_emb: jnp.ndarray, valid: jnp.ndarray,
+            pull_weight: float = 0.25, push_weight: float = 0.25,
+            margin: float = 1.0):
+    """Associative Embedding loss (CornerNet), K-padded.
+
+    Reference ``mmdet/models/losses/ae_loss.py:10-102`` works per image on a
+    python list of matched corner coords; here the caller gathers the
+    embeddings at the (K-padded) GT corner pixels so the loss is dense masked
+    arithmetic over fixed shapes.
+
+    Args:
+      tl_emb, br_emb: (..., K, M) embeddings at top-left / bottom-right GT
+        corners.  valid: (..., K) float validity mask.
+    Returns (pull, push) summed over the batch dims (reference sums over
+    images with per-image 1/N and 1/(N(N-1)) normalizers).
+    """
+    v = valid.astype(tl_emb.dtype)
+    n = jnp.maximum(v.sum(-1), 1.0)                       # objects per image
+    mean = (tl_emb + br_emb) / 2.0
+    pull = ((tl_emb - mean) ** 2 + (br_emb - mean) ** 2).sum(-1)
+    pull = (pull * v).sum(-1) / n
+
+    # push: margin - |mean_i - mean_j| over valid i != j pairs
+    diff = jnp.abs((mean[..., :, None, :] - mean[..., None, :, :]).sum(-1))
+    pair_v = v[..., :, None] * v[..., None, :]
+    k = v.shape[-1]
+    pair_v = pair_v * (1.0 - jnp.eye(k, dtype=tl_emb.dtype))
+    push = jnp.maximum(margin - diff, 0.0) * pair_v
+    denom = jnp.maximum(n * (n - 1.0), 1.0)
+    push = jnp.where(n > 1, push.sum((-1, -2)) / denom, 0.0)
+    return pull_weight * pull.sum(), push_weight * push.sum()

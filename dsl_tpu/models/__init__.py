@@ -65,3 +65,7 @@ from dsl_tpu.models.roi_heads.maskiou_head import (  # noqa: F401
 from dsl_tpu.models.detectors.two_stage import MaskScoringRCNN  # noqa: F401
 from dsl_tpu.ops.misc_ops import (  # noqa: F401
     carafe, corner_pool, nms_match, point_sample)
+from dsl_tpu.models.backbones.hourglass import HourglassNet  # noqa: F401
+from dsl_tpu.models.dense_heads.corner_head import (  # noqa: F401
+    CentripetalHead, CornerHead, centripetal_loss, corner_get_bboxes,
+    corner_loss)

@@ -126,6 +126,35 @@ class DETR(SingleStageDetector):
     prediction head (no neck)."""
 
 
+@DETECTORS.register
+class YOLACT(SingleStageDetector):
+    """YOLACT (``mmdet/models/detectors/yolact.py:9-116``): single-stage
+    detector with a protonet (mask_head) and a training-only segm head."""
+
+    segm_head: nn.Module | None = None
+    proto_head: nn.Module | None = None
+
+    def __call__(self, images, training: bool = False):
+        feats = self.extract_feat(images)
+        cls_scores, bbox_preds, coeff_preds = self.bbox_head(
+            feats, training=training)
+        protos = self.proto_head(feats[0])
+        segm = self.segm_head(feats[0])
+        return cls_scores, bbox_preds, coeff_preds, protos, segm
+
+
+@DETECTORS.register
+class CornerNet(SingleStageDetector):
+    """CornerNet (``mmdet/models/detectors/cornernet.py``): HourglassNet +
+    CornerHead, no neck."""
+
+
+@DETECTORS.register
+class CentripetalNet(SingleStageDetector):
+    """CentripetalNet — CornerNet with a CentripetalHead
+    (``configs/centripetalnet``)."""
+
+
 def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     """Build a detector module tree from a model config dict.
 
@@ -156,9 +185,15 @@ def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     det_cls = MODELS.get(det_type)
     if det_cls is None:
         raise KeyError(f"unknown detector type {det_type}")
+    extra = {}
+    if det_type == "YOLACT":
+        extra["segm_head"] = build_from_cfg(cfg.pop("segm_head"), MODELS)
+        # reference calls the protonet "mask_head"
+        extra["proto_head"] = build_from_cfg(
+            cfg.pop("mask_head", cfg.pop("proto_head", None)), MODELS)
     return det_cls(backbone=backbone, neck=neck, bbox_head=head,
                    train_cfg=train_cfg or cfg.pop("train_cfg", None),
-                   test_cfg=test_cfg or cfg.pop("test_cfg", None))
+                   test_cfg=test_cfg or cfg.pop("test_cfg", None), **extra)
 
 
 def init_detector_variables(detector, rng, images):
@@ -309,6 +344,18 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = free_anchor_loss(head, cls_scores, bbox_preds, batch,
                                   axis_name=axis_name)
+    elif type(head).__name__ == "YOLACTHead":
+        from dsl_tpu.models.dense_heads.yolact_head import yolact_loss
+
+        losses = yolact_loss(head, outputs, batch, axis_name=axis_name)
+    elif type(head).__name__ == "CornerHead":
+        from dsl_tpu.models.dense_heads.corner_head import corner_loss
+
+        losses = corner_loss(head, outputs, batch, axis_name=axis_name)
+    elif type(head).__name__ == "CentripetalHead":
+        from dsl_tpu.models.dense_heads.corner_head import centripetal_loss
+
+        losses = centripetal_loss(head, outputs, batch, axis_name=axis_name)
     elif type(head).__name__ == "YOLOFHead":
         from dsl_tpu.models.dense_heads.yolof_head import yolof_loss
 
@@ -419,6 +466,23 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_preds = outputs
         return fsaf_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "YOLACTHead":
+        from dsl_tpu.models.dense_heads.yolact_head import yolact_predict
+
+        dets, labels, valid, _ = yolact_predict(
+            head, outputs, img_hw=images.shape[1:3], **common)
+        return dets, labels, valid
+    if type(head).__name__ in ("CornerHead", "CentripetalHead"):
+        from dsl_tpu.models.dense_heads.corner_head import corner_get_bboxes
+
+        return corner_get_bboxes(
+            head, outputs, img_shapes=img_shapes,
+            scale_factors=scale_factors, score_thr=common["score_thr"],
+            iou_threshold=common["iou_threshold"],
+            max_per_img=common["max_per_img"],
+            corner_topk=tc.get("corner_topk", 100),
+            local_maximum_kernel=tc.get("local_maximum_kernel", 3),
+            distance_threshold=tc.get("distance_threshold", 0.5))
     if type(head).__name__ == "YOLOFHead":
         from dsl_tpu.models.dense_heads.yolof_head import yolof_get_bboxes
 
