@@ -73,10 +73,18 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
     full-resolution binary masks pasted on host (reference
     ``simple_test_mask``); ``dataset.evaluate(metric=["bbox", "segm"])``
     consumes them."""
-    with_masks = type(detector).__name__ == "MaskRCNN"
+    det_name = type(detector).__name__
+    with_masks = det_name in ("MaskRCNN", "MaskScoringRCNN", "YOLACT")
 
     @jax.jit
     def predict(variables, images, shapes, sfs):
+        if det_name == "YOLACT":
+            from dsl_tpu.models.dense_heads.yolact_head import \
+                yolact_full_predict
+
+            return yolact_full_predict(detector, variables, images,
+                                       img_shapes=shapes, scale_factors=sfs,
+                                       test_cfg=test_cfg)
         if with_masks:
             from dsl_tpu.models.detectors.two_stage import mask_rcnn_predict
 

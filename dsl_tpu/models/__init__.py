@@ -69,3 +69,7 @@ from dsl_tpu.models.backbones.hourglass import HourglassNet  # noqa: F401
 from dsl_tpu.models.dense_heads.corner_head import (  # noqa: F401
     CentripetalHead, CornerHead, centripetal_loss, corner_get_bboxes,
     corner_loss)
+from dsl_tpu.models.dense_heads.yolact_head import (  # noqa: F401
+    YOLACTHead, YOLACTProtonet, YOLACTSegmHead, yolact_full_predict,
+    yolact_loss, yolact_predict)
+from dsl_tpu.models.detectors.single_stage import YOLACT  # noqa: F401
