@@ -128,3 +128,44 @@ def atss_assign(anchors, num_anchors_per_level, gt_bboxes, gt_labels,
                      tuple(num_anchors_per_level), topk,
                      num_classes=num_classes)
     return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)
+
+
+def _approx_max_iou_assign_single(approxs, gt_bboxes, gt_labels, gt_valid,
+                                  pos_iou_thr, neg_iou_thr, min_pos_iou,
+                                  num_classes):
+    """ApproxMaxIoUAssigner (``approx_max_iou_assigner.py``): the IoU of a
+    square location is the max over its G approx anchors; the rest is
+    MaxIoU."""
+    a, g, _ = approxs.shape
+    ious = bbox_overlaps(approxs.reshape(a * g, 4), gt_bboxes)
+    ious = ious.reshape(a, g, -1).max(axis=1)            # (A, K)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    max_iou = jnp.max(ious, axis=1)
+    argmax = jnp.argmax(ious, axis=1)
+    is_pos = max_iou >= pos_iou_thr
+    is_neg = (max_iou < neg_iou_thr) & (max_iou >= 0)
+    gt_best_iou = jnp.max(ious, axis=0)
+    is_best = (ious == gt_best_iou[None, :]) & \
+        (gt_best_iou[None, :] >= min_pos_iou) & gt_valid[None, :]
+    forced = jnp.any(is_best, axis=1)
+    forced_gt = jnp.argmax(is_best, axis=1)
+    argmax = jnp.where(forced & ~is_pos, forced_gt, argmax)
+    is_pos = is_pos | forced
+    is_neg = is_neg & ~forced
+    labels = jnp.where(is_pos, gt_labels[argmax], num_classes)
+    weights = jnp.where(is_pos | is_neg, 1.0, 0.0)
+    assigned = jnp.where(is_pos, argmax, -1)
+    return labels.astype(jnp.int32), assigned.astype(jnp.int32), \
+        weights.astype(jnp.float32), max_iou
+
+
+@partial(jax.jit, static_argnames=("pos_iou_thr", "neg_iou_thr",
+                                   "min_pos_iou", "num_classes"))
+def approx_max_iou_assign(approxs, gt_bboxes, gt_labels, gt_valid,
+                          pos_iou_thr=0.5, neg_iou_thr=0.4,
+                          min_pos_iou=0.0, num_classes=80):
+    """approxs: (A, G, 4) — G approx anchors per square location."""
+    single = partial(_approx_max_iou_assign_single, approxs,
+                     pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+                     min_pos_iou=min_pos_iou, num_classes=num_classes)
+    return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)

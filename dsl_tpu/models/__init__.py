@@ -73,3 +73,5 @@ from dsl_tpu.models.dense_heads.yolact_head import (  # noqa: F401
     YOLACTHead, YOLACTProtonet, YOLACTSegmHead, yolact_full_predict,
     yolact_loss, yolact_predict)
 from dsl_tpu.models.detectors.single_stage import YOLACT  # noqa: F401
+from dsl_tpu.models.dense_heads.sabl_retina_head import (  # noqa: F401
+    SABLRetinaHead, sabl_get_bboxes, sabl_loss)

@@ -344,6 +344,12 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = free_anchor_loss(head, cls_scores, bbox_preds, batch,
                                   axis_name=axis_name)
+    elif type(head).__name__ == "SABLRetinaHead":
+        from dsl_tpu.models.dense_heads.sabl_retina_head import sabl_loss
+
+        cls_scores, bucket_cls, bucket_reg = outputs
+        losses = sabl_loss(head, cls_scores, bucket_cls, bucket_reg, batch,
+                           axis_name=axis_name)
     elif type(head).__name__ == "YOLACTHead":
         from dsl_tpu.models.dense_heads.yolact_head import yolact_loss
 
@@ -466,6 +472,13 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_preds = outputs
         return fsaf_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "SABLRetinaHead":
+        from dsl_tpu.models.dense_heads.sabl_retina_head import \
+            sabl_get_bboxes
+
+        cls_scores, bucket_cls, bucket_reg = outputs
+        return sabl_get_bboxes(head, cls_scores, bucket_cls, bucket_reg,
+                               **common)
     if type(head).__name__ == "YOLACTHead":
         from dsl_tpu.models.dense_heads.yolact_head import yolact_predict
 
