@@ -416,3 +416,33 @@ def ae_loss(tl_emb: jnp.ndarray, br_emb: jnp.ndarray, valid: jnp.ndarray,
     denom = jnp.maximum(n * (n - 1.0), 1.0)
     push = jnp.where(n > 1, push.sum((-1, -2)) / denom, 0.0)
     return pull_weight * pull.sum(), push_weight * push.sum()
+
+
+def bounded_iou_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                     beta: float = 0.2, eps: float = 1e-3,
+                     weight: jnp.ndarray | None = None,
+                     reduction: str = "mean", avg_factor=None):
+    """Bounded IoU loss (``mmdet/models/losses/iou_loss.py:41-85``), the
+    GuidedAnchoring shape loss. Returns a per-box 4-vector loss
+    [dx, dy, dw, dh] passed through a smooth-L1 envelope."""
+    pcx = (pred[..., 0] + pred[..., 2]) * 0.5
+    pcy = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0]
+    ph = pred[..., 3] - pred[..., 1]
+    t = jax.lax.stop_gradient(target)
+    tcx = (t[..., 0] + t[..., 2]) * 0.5
+    tcy = (t[..., 1] + t[..., 3]) * 0.5
+    tw = t[..., 2] - t[..., 0]
+    th = t[..., 3] - t[..., 1]
+    dx = tcx - pcx
+    dy = tcy - pcy
+    loss_dx = 1 - jnp.maximum(
+        (tw - 2 * jnp.abs(dx)) / (tw + 2 * jnp.abs(dx) + eps), 0.0)
+    loss_dy = 1 - jnp.maximum(
+        (th - 2 * jnp.abs(dy)) / (th + 2 * jnp.abs(dy) + eps), 0.0)
+    loss_dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    loss_dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)

@@ -75,3 +75,5 @@ from dsl_tpu.models.dense_heads.yolact_head import (  # noqa: F401
 from dsl_tpu.models.detectors.single_stage import YOLACT  # noqa: F401
 from dsl_tpu.models.dense_heads.sabl_retina_head import (  # noqa: F401
     SABLRetinaHead, sabl_get_bboxes, sabl_loss)
+from dsl_tpu.models.dense_heads.ga_retina_head import (  # noqa: F401
+    GARetinaHead, ga_retina_get_bboxes, ga_retina_loss)

@@ -344,6 +344,10 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = free_anchor_loss(head, cls_scores, bbox_preds, batch,
                                   axis_name=axis_name)
+    elif type(head).__name__ == "GARetinaHead":
+        from dsl_tpu.models.dense_heads.ga_retina_head import ga_retina_loss
+
+        losses = ga_retina_loss(head, outputs, batch, axis_name=axis_name)
     elif type(head).__name__ == "SABLRetinaHead":
         from dsl_tpu.models.dense_heads.sabl_retina_head import sabl_loss
 
@@ -472,6 +476,11 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_preds = outputs
         return fsaf_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "GARetinaHead":
+        from dsl_tpu.models.dense_heads.ga_retina_head import \
+            ga_retina_get_bboxes
+
+        return ga_retina_get_bboxes(head, outputs, **common)
     if type(head).__name__ == "SABLRetinaHead":
         from dsl_tpu.models.dense_heads.sabl_retina_head import \
             sabl_get_bboxes
