@@ -77,3 +77,7 @@ from dsl_tpu.models.dense_heads.sabl_retina_head import (  # noqa: F401
     SABLRetinaHead, sabl_get_bboxes, sabl_loss)
 from dsl_tpu.models.dense_heads.ga_retina_head import (  # noqa: F401
     GARetinaHead, ga_retina_get_bboxes, ga_retina_loss)
+from dsl_tpu.models.roi_heads.grid_head import (  # noqa: F401
+    GridHead, grid_decode, grid_loss, grid_targets)
+from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
+    GridRCNN, grid_rcnn_predict)

@@ -389,6 +389,13 @@ def detector_predict(detector, variables, images, img_shapes=None,
         TwoStageDetector, two_stage_predict)
 
     if isinstance(detector, TwoStageDetector):
+        if type(detector).__name__ == "GridRCNN":
+            from dsl_tpu.models.detectors.two_stage import grid_rcnn_predict
+
+            return grid_rcnn_predict(detector, variables, images,
+                                     img_shapes=img_shapes,
+                                     scale_factors=scale_factors,
+                                     test_cfg=test_cfg)
         return two_stage_predict(detector, variables, images,
                                  img_shapes=img_shapes,
                                  scale_factors=scale_factors,

@@ -61,6 +61,18 @@ class MaskRCNN(TwoStageDetector):
 
 
 @DETECTORS.register
+class GridRCNN(TwoStageDetector):
+    """Grid R-CNN (``mmdet/models/detectors/grid_rcnn.py`` +
+    ``grid_roi_head.py``): cls-only bbox head; localization comes from the
+    grid-point head."""
+
+    grid_head: nn.Module = None
+
+    def grid_forward(self, roi_feats):
+        return self.grid_head(roi_feats)
+
+
+@DETECTORS.register
 class MaskScoringRCNN(MaskRCNN):
     """Mask Scoring R-CNN (``mmdet/models/detectors/mask_scoring_rcnn.py``):
     Mask R-CNN + a MaskIoU head whose prediction rescales mask scores."""
@@ -86,6 +98,9 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     miou_cfg = cfg.pop("mask_iou_head", None)
     if miou_cfg is not None:
         kwargs["mask_iou_head"] = build_from_cfg(miou_cfg, MODELS)
+    grid_cfg = cfg.pop("grid_head", None)
+    if grid_cfg is not None:
+        kwargs["grid_head"] = build_from_cfg(grid_cfg, MODELS)
     return det_cls(backbone=backbone, neck=neck, rpn_head=rpn, bbox_head=roi,
                    train_cfg=cfg.pop("train_cfg", None),
                    test_cfg=cfg.pop("test_cfg", None), **kwargs)
@@ -114,6 +129,12 @@ def init_two_stage_variables(detector, rng, images):
         mask_vars = detector.init(jax.random.fold_in(rng, 2), mask_feats,
                                   method=detector.mask_forward)
         params.update(mask_vars["params"])
+    gh = getattr(detector, "grid_head", None)
+    if gh is not None:
+        grid_feats = jnp.zeros((1, gh.roi_size, gh.roi_size, gh.in_channels))
+        grid_vars = detector.init(jax.random.fold_in(rng, 4), grid_feats,
+                                  method=detector.grid_forward)
+        params.update(grid_vars["params"])
     mih = getattr(detector, "mask_iou_head", None)
     if mih is not None:
         s = mh.roi_size
@@ -171,6 +192,11 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
     for k, v in roi_losses.items():
         losses[k] = v
 
+    if getattr(detector, "grid_head", None) is not None:
+        losses["loss_grid"] = _grid_branch_loss(
+            detector, variables, feats, samples, batch, rng_key,
+            num_samples=num_samples)
+
     if getattr(detector, "mask_head", None) is not None \
             and "gt_mask_crops" in batch:
         loss_mask, loss_miou = _mask_branch_loss(
@@ -180,6 +206,109 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
         if loss_miou is not None:
             losses["loss_mask_iou"] = loss_miou
     return _parse_losses(losses)
+
+
+def _grid_branch_loss(detector, variables, feats, samples, batch, rng_key,
+                      num_samples: int):
+    """Grid branch on jittered positive rois (reference
+    ``grid_roi_head.py:27-115``)."""
+    from dsl_tpu.models.roi_heads.grid_head import grid_loss, grid_targets
+    from dsl_tpu.models.roi_heads.mask_head import select_positive_rois
+    from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
+
+    gh = detector.grid_head
+    b = samples["rois"].shape[0]
+    max_pos = max(1, num_samples // 4)
+    rois, labels, assigned, is_pos = select_positive_rois(
+        samples["rois"], samples["labels"], samples["assigned"],
+        samples["is_pos"], max_pos)
+
+    # random jitter (amplitude 0.15, reference ``_random_jitter`` :27-50)
+    amp = 0.15
+    off = jax.random.uniform(jax.random.fold_in(rng_key, 7),
+                             (b, max_pos, 4), minval=-amp, maxval=amp)
+    cxcy = (rois[..., 2:4] + rois[..., :2]) / 2
+    wh = jnp.abs(rois[..., 2:4] - rois[..., :2])
+    new_cxcy = cxcy + wh * off[..., :2]
+    new_wh = wh * (1 + off[..., 2:])
+    rois = jnp.concatenate([new_cxcy - new_wh / 2, new_cxcy + new_wh / 2],
+                           axis=-1)
+    if "img_shapes" in batch:
+        lim = batch["img_shapes"][:, None, :]           # (B, 1, 2) [h, w]
+        rois = jnp.stack([jnp.clip(rois[..., 0], 0, lim[..., 1] - 1),
+                          jnp.clip(rois[..., 1], 0, lim[..., 0] - 1),
+                          jnp.clip(rois[..., 2], 0, lim[..., 1] - 1),
+                          jnp.clip(rois[..., 3], 0, lim[..., 0] - 1)],
+                         axis=-1)
+
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, max_pos))
+    flat_rois = jnp.concatenate(
+        [batch_idx.reshape(-1, 1).astype(jnp.float32),
+         rois.reshape(-1, 4)], axis=1)
+    pos = is_pos.reshape(-1)
+    roi_feats = extract_roi_feats(
+        feats, flat_rois, pos, _strides_from(detector), gh.roi_size)
+    pred = detector.apply(variables, roi_feats, method=detector.grid_forward)
+    gt = jnp.take_along_axis(batch["gt_bboxes"],
+                             jnp.maximum(assigned, 0)[..., None],
+                             axis=1).reshape(-1, 4)
+    targets = grid_targets(gh, rois.reshape(-1, 4), gt,
+                           pos.astype(jnp.float32))
+    return grid_loss(gh, pred, targets, pos.astype(jnp.float32))
+
+
+def grid_rcnn_predict(detector, variables, images, img_shapes=None,
+                      scale_factors=None, test_cfg: dict | None = None,
+                      num_proposals: int = 1000):
+    """Two-stage predict + grid refinement of the detected boxes
+    (reference ``grid_roi_head.py simple_test`` :117-169)."""
+    from dsl_tpu.models.roi_heads.grid_head import grid_decode
+    from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
+
+    tc = dict(test_cfg or detector.test_cfg or {})
+    rcnn = dict(tc.get("rcnn", {}) or {})
+    nms_cfg = dict(rcnn.get("nms", {}) or {})
+    feats, (rpn_scores, rpn_deltas) = detector.apply(
+        variables, images, training=False)
+    proposals, _, prop_valid = rpn_proposals(
+        detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
+        nms_pre=num_proposals, num_proposals=num_proposals)
+
+    def roi_apply(v, roi_feats):
+        return detector.apply(v, roi_feats, method=detector.roi_forward)
+
+    dets, labels, valid = roi_head_predict(
+        detector.bbox_head, roi_apply, variables, feats, proposals,
+        prop_valid, img_shapes=img_shapes, scale_factors=None,
+        strides=_strides_from(detector),
+        score_thr=rcnn.get("score_thr", 0.05),
+        iou_threshold=nms_cfg.get("iou_threshold", 0.5),
+        max_per_img=rcnn.get("max_per_img", 100))
+    gh = detector.grid_head
+    b, n = dets.shape[:2]
+    boxes_in = dets[..., :4]                             # input-frame coords
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    flat_rois = jnp.concatenate(
+        [batch_idx.reshape(-1, 1).astype(jnp.float32),
+         boxes_in.reshape(-1, 4)], axis=1)
+    roi_feats = extract_roi_feats(
+        feats, flat_rois, valid.reshape(-1),
+        strides=_strides_from(detector), roi_size=gh.roi_size)
+    pred = detector.apply(variables, roi_feats, method=detector.grid_forward)
+
+    def per_image(bx, hm, shape):
+        return grid_decode(gh, bx, hm, img_shapes=shape)
+
+    hm = pred["fused"].reshape(b, n, *pred["fused"].shape[1:])
+    if img_shapes is None:
+        refined = jax.vmap(lambda bx, h_: grid_decode(gh, bx, h_))(
+            boxes_in, hm)
+    else:
+        refined = jax.vmap(per_image)(boxes_in, hm, img_shapes)
+    if scale_factors is not None:
+        refined = refined / scale_factors[:, None, :]
+    dets = jnp.concatenate([refined, dets[..., 4:5]], axis=-1)
+    return dets, labels, valid
 
 
 def _mask_branch_loss(detector, variables, feats, samples, batch,

@@ -34,6 +34,7 @@ class Shared2FCBBoxHead(nn.Module):
     fc_channels: int = 1024
     target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
+    with_reg: bool = True     # Grid R-CNN uses a cls-only bbox head
 
     @nn.compact
     def __call__(self, roi_feats):
@@ -45,6 +46,8 @@ class Shared2FCBBoxHead(nn.Module):
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
         cls = nn.Dense(self.num_classes + 1,
                        kernel_init=normal_init(0.01), name="fc_cls")(x)
+        if not self.with_reg:
+            return cls, jnp.zeros((n, self.num_classes * 4), cls.dtype)
         reg = nn.Dense(self.num_classes * 4,
                        kernel_init=normal_init(0.001), name="fc_reg")(x)
         return cls, reg
@@ -217,9 +220,10 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
         reg, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
     loss_reg = L.smooth_l1_loss(reg_sel, tgt, weight=flat_pos[:, None],
                                 avg_factor=num_pos)
-    acc_mask = flat_valid > 0
     acc = jnp.sum((jnp.argmax(cls_logits, -1) == flat_labels) * flat_valid) \
         / num_valid
+    if not getattr(bbox_head, "with_reg", True):
+        return dict(loss_cls=loss_cls, acc=acc)
     return dict(loss_cls=loss_cls, loss_bbox=loss_reg, acc=acc)
 
 
@@ -237,10 +241,13 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
                                   strides, bbox_head.roi_size)
     cls_logits, reg = apply_fn(variables, roi_feats)
     scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
-    boxes = delta2bbox(
-        proposals.reshape(-1, 4)[:, None, :].repeat(nc, 1),
-        reg.reshape(-1, nc, 4), bbox_head.target_means,
-        bbox_head.target_stds).reshape(b, p, nc, 4)
+    if getattr(bbox_head, "with_reg", True):
+        boxes = delta2bbox(
+            proposals.reshape(-1, 4)[:, None, :].repeat(nc, 1),
+            reg.reshape(-1, nc, 4), bbox_head.target_means,
+            bbox_head.target_stds).reshape(b, p, nc, 4)
+    else:                        # Grid R-CNN: proposals are the boxes
+        boxes = jnp.broadcast_to(proposals[:, :, None, :], (b, p, nc, 4))
     if img_shapes is not None:
         xlim = img_shapes[:, None, None, 1:2]
         ylim = img_shapes[:, None, None, 0:1]
