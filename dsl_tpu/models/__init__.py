@@ -81,3 +81,7 @@ from dsl_tpu.models.roi_heads.grid_head import (  # noqa: F401
     GridHead, grid_decode, grid_loss, grid_targets)
 from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
     GridRCNN, grid_rcnn_predict)
+from dsl_tpu.models.roi_heads.point_rend import (  # noqa: F401
+    CoarseMaskHead, MaskPointHead, point_rend_refine,
+    point_targets_from_crops, uncertain_points_train)
+from dsl_tpu.models.detectors.two_stage import PointRend  # noqa: F401

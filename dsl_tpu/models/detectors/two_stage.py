@@ -61,6 +61,18 @@ class MaskRCNN(TwoStageDetector):
 
 
 @DETECTORS.register
+class PointRend(MaskRCNN):
+    """PointRend (``mmdet/models/detectors/point_rend.py`` +
+    ``point_rend_roi_head.py``): Mask R-CNN whose mask head is a coarse
+    grid refined by an uncertainty-driven point head."""
+
+    point_head: nn.Module = None
+
+    def point_forward(self, fine_feats, coarse_feats):
+        return self.point_head(fine_feats, coarse_feats)
+
+
+@DETECTORS.register
 class GridRCNN(TwoStageDetector):
     """Grid R-CNN (``mmdet/models/detectors/grid_rcnn.py`` +
     ``grid_roi_head.py``): cls-only bbox head; localization comes from the
@@ -101,6 +113,9 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     grid_cfg = cfg.pop("grid_head", None)
     if grid_cfg is not None:
         kwargs["grid_head"] = build_from_cfg(grid_cfg, MODELS)
+    point_cfg = cfg.pop("point_head", None)
+    if point_cfg is not None:
+        kwargs["point_head"] = build_from_cfg(point_cfg, MODELS)
     return det_cls(backbone=backbone, neck=neck, rpn_head=rpn, bbox_head=roi,
                    train_cfg=cfg.pop("train_cfg", None),
                    test_cfg=cfg.pop("test_cfg", None), **kwargs)
@@ -129,6 +144,14 @@ def init_two_stage_variables(detector, rng, images):
         mask_vars = detector.init(jax.random.fold_in(rng, 2), mask_feats,
                                   method=detector.mask_forward)
         params.update(mask_vars["params"])
+    ph = getattr(detector, "point_head", None)
+    if ph is not None:
+        pt_vars = detector.init(
+            jax.random.fold_in(rng, 5),
+            jnp.zeros((1, 4, ph.in_channels)),
+            jnp.zeros((1, 4, ph.num_classes)),
+            method=detector.point_forward)
+        params.update(pt_vars["params"])
     gh = getattr(detector, "grid_head", None)
     if gh is not None:
         grid_feats = jnp.zeros((1, gh.roi_size, gh.roi_size, gh.in_channels))
@@ -199,12 +222,14 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
 
     if getattr(detector, "mask_head", None) is not None \
             and "gt_mask_crops" in batch:
-        loss_mask, loss_miou = _mask_branch_loss(
+        loss_mask, loss_miou, loss_point = _mask_branch_loss(
             detector, variables, feats, samples, batch,
-            num_samples=num_samples)
+            num_samples=num_samples, rng_key=rng_key)
         losses["loss_mask"] = loss_mask
         if loss_miou is not None:
             losses["loss_mask_iou"] = loss_miou
+        if loss_point is not None:
+            losses["loss_point"] = loss_point
     return _parse_losses(losses)
 
 
@@ -312,9 +337,9 @@ def grid_rcnn_predict(detector, variables, images, img_shapes=None,
 
 
 def _mask_branch_loss(detector, variables, feats, samples, batch,
-                      num_samples: int):
+                      num_samples: int, rng_key=None):
     """Mask loss on the positive rois of the shared sampling results;
-    returns (loss_mask, loss_mask_iou-or-None)."""
+    returns (loss_mask, loss_mask_iou-or-None, loss_point-or-None)."""
     from dsl_tpu.models.roi_heads.mask_head import (
         mask_head_loss, mask_targets_from_crops, select_positive_rois)
     from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
@@ -338,11 +363,18 @@ def _mask_branch_loss(detector, variables, feats, samples, batch,
     targets = mask_targets_from_crops(
         batch["gt_mask_crops"], batch["gt_bboxes"], rois.reshape(-1, 4),
         batch_idx.reshape(-1), assigned.reshape(-1),
-        mask_size=2 * mh.roi_size)
+        mask_size=logits.shape[1])
     loss_mask = mask_head_loss(logits, targets, labels.reshape(-1),
                                pos.astype(jnp.float32), mh.num_classes)
+
+    loss_point = None
+    if getattr(detector, "point_head", None) is not None:
+        loss_point = _point_branch_loss(
+            detector, variables, feats, logits, rois, labels, assigned,
+            is_pos, batch, batch_idx,
+            rng_key if rng_key is not None else jax.random.PRNGKey(0))
     if getattr(detector, "mask_iou_head", None) is None:
-        return loss_mask, None
+        return loss_mask, None, loss_point
 
     from dsl_tpu.models.roi_heads.maskiou_head import (
         mask_iou_loss, mask_iou_target)
@@ -356,7 +388,55 @@ def _mask_branch_loss(detector, variables, feats, samples, batch,
                               method=detector.mask_iou_forward)
     loss_miou = mask_iou_loss(iou_pred, labels.reshape(-1), iou_t, posf,
                               detector.mask_iou_head.num_classes)
-    return loss_mask, loss_miou
+    return loss_mask, loss_miou, loss_point
+
+
+def _point_branch_loss(detector, variables, feats, coarse_logits, rois,
+                       labels, assigned, is_pos, batch, batch_idx, rng_key,
+                       num_points: int = 196):
+    """PointRend train-time point loss (reference
+    ``point_rend_roi_head.py:46-66``): importance-sampled roi points, point
+    head on fine P2 features + coarse logits, BCE at the gt class against
+    GT occupancy sampled from the mask crops."""
+    from dsl_tpu.models.roi_heads.point_rend import (
+        fine_grained_point_feats, point_targets_from_crops,
+        uncertain_points_train)
+
+    b, p = rois.shape[:2]
+    flat_labels = labels.reshape(-1)
+    s = coarse_logits.shape[1]
+    nc = detector.point_head.num_classes
+    coarse = coarse_logits.reshape(b * p, s, s, nc)
+    rel = uncertain_points_train(jax.random.fold_in(rng_key, 11), coarse,
+                                 flat_labels, num_points)   # (BP, Pt, 2)
+    rel_b = rel.reshape(b, p, num_points, 2)
+    fine = fine_grained_point_feats(
+        feats[0], rois, rel_b, stride=_strides_from(detector)[0])
+    from dsl_tpu.models.roi_heads.point_rend import _sample_chw
+    coarse_pts = jax.vmap(_sample_chw)(coarse, rel)         # (BP, Pt, C)
+    point_logits = detector.apply(
+        variables, fine.reshape(b * p, num_points, -1), coarse_pts,
+        method=detector.point_forward)                      # (BP, Pt, C)
+
+    gt_boxes = jnp.take_along_axis(
+        batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None],
+        axis=1).reshape(-1, 4)
+    crops = jnp.take_along_axis(
+        batch["gt_mask_crops"],
+        jnp.maximum(assigned, 0)[..., None, None].astype(jnp.int32),
+        axis=1).reshape(-1, *batch["gt_mask_crops"].shape[2:])
+    targets = point_targets_from_crops(crops, gt_boxes, rois.reshape(-1, 4),
+                                       rel)                 # (BP, Pt)
+
+    cls = jnp.clip(flat_labels, 0, nc - 1)
+    sel = jnp.take_along_axis(point_logits, cls[:, None, None],
+                              axis=-1)[..., 0]              # (BP, Pt)
+    logp = jax.nn.log_sigmoid(sel)
+    logq = jax.nn.log_sigmoid(-sel)
+    bce = -targets * logp - (1 - targets) * logq
+    posf = is_pos.reshape(-1).astype(jnp.float32)
+    return jnp.sum(bce * posf[:, None]) / jnp.maximum(
+        posf.sum() * num_points, 1.0)
 
 
 def two_stage_predict(detector, variables, images, img_shapes=None,
@@ -431,8 +511,22 @@ def mask_rcnn_predict(detector, variables, images, img_shapes=None,
                                   _strides_from(detector), mh.roi_size)
     logits = detector.apply(variables, roi_feats,
                             method=detector.mask_forward)   # (BN, S, S, C)
+    if getattr(detector, "point_head", None) is not None:
+        from dsl_tpu.models.roi_heads.point_rend import point_rend_refine
+
+        s0 = logits.shape[1]
+        coarse = logits.reshape(b, n, s0, s0, mh.num_classes)
+        logits = point_rend_refine(
+            coarse, feats[0], boxes_in, labels,
+            lambda fine, cpts: detector.apply(
+                variables, fine, cpts, method=detector.point_forward),
+            subdivision_steps=int(tc.get("subdivision_steps", 2)),
+            num_points=int(tc.get("subdivision_num_points", 196)),
+            stride=_strides_from(detector)[0])
+        s = logits.shape[2]
+        logits = logits.reshape(b * n, s, s, mh.num_classes)
     cls = jnp.clip(labels.reshape(-1), 0, mh.num_classes - 1)
     probs = jax.nn.sigmoid(jnp.take_along_axis(
         logits, cls[:, None, None, None], axis=-1)[..., 0])
-    s = 2 * mh.roi_size
+    s = logits.shape[1]
     return dets, labels, valid, probs.reshape(b, n, s, s)
