@@ -85,3 +85,6 @@ from dsl_tpu.models.roi_heads.point_rend import (  # noqa: F401
     CoarseMaskHead, MaskPointHead, point_rend_refine,
     point_targets_from_crops, uncertain_points_train)
 from dsl_tpu.models.detectors.two_stage import PointRend  # noqa: F401
+from dsl_tpu.models.roi_heads.double_bbox_head import (  # noqa: F401
+    DoubleConvFCBBoxHead, scale_rois)
+from dsl_tpu.models.detectors.two_stage import DoubleHeadRCNN  # noqa: F401

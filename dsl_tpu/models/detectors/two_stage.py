@@ -61,6 +61,16 @@ class MaskRCNN(TwoStageDetector):
 
 
 @DETECTORS.register
+class DoubleHeadRCNN(TwoStageDetector):
+    """Double-Head R-CNN (``mmdet/models/roi_heads/double_roi_head.py``):
+    fc branch classifies, conv branch regresses on 1.3x-scaled roi
+    features."""
+
+    def roi_forward(self, cls_feats, reg_feats):
+        return self.bbox_head(cls_feats, reg_feats)
+
+
+@DETECTORS.register
 class PointRend(MaskRCNN):
     """PointRend (``mmdet/models/detectors/point_rend.py`` +
     ``point_rend_roi_head.py``): Mask R-CNN whose mask head is a coarse
@@ -132,11 +142,21 @@ def init_two_stage_variables(detector, rng, images):
     import jax.numpy as jnp
 
     variables = detector.init(rng, images)
-    params = dict(variables["params"])
+    variables = {k: dict(v) for k, v in variables.items()}
+    params = variables["params"]
+
+    def merge(side_vars):
+        for col, tree in side_vars.items():
+            variables.setdefault(col, {}).update(tree)
+
     bh = detector.bbox_head
     roi_feats = jnp.zeros((1, bh.roi_size, bh.roi_size, bh.in_channels))
-    roi_vars = detector.init(jax.random.fold_in(rng, 1), roi_feats,
+    roi_args = (roi_feats, roi_feats) \
+        if getattr(bh, "reg_roi_scale_factor", None) is not None \
+        else (roi_feats,)
+    roi_vars = detector.init(jax.random.fold_in(rng, 1), *roi_args,
                              method=detector.roi_forward)
+    merge({k: v for k, v in roi_vars.items() if k != "params"})
     params.update(roi_vars["params"])
     mh = getattr(detector, "mask_head", None)
     if mh is not None:
@@ -167,7 +187,7 @@ def init_two_stage_variables(detector, rng, images):
             jnp.zeros((1, 2 * s, 2 * s)),
             method=detector.mask_iou_forward)
         params.update(miou_vars["params"])
-    return {**variables, "params": params}
+    return variables
 
 
 def two_stage_loss(detector, variables, batch, rng_key=None,
@@ -193,8 +213,8 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
         nms_pre=num_proposals, num_proposals=num_proposals)
     proposals = jax.lax.stop_gradient(proposals)
 
-    def roi_apply(v, roi_feats):
-        return detector.apply(v, roi_feats, method=detector.roi_forward)
+    def roi_apply(v, *roi_feats):
+        return detector.apply(v, *roi_feats, method=detector.roi_forward)
 
     from dsl_tpu.models.roi_heads.standard_roi_head import (
         ohem_hardness, sample_batch_rois)
@@ -299,8 +319,8 @@ def grid_rcnn_predict(detector, variables, images, img_shapes=None,
         detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
         nms_pre=num_proposals, num_proposals=num_proposals)
 
-    def roi_apply(v, roi_feats):
-        return detector.apply(v, roi_feats, method=detector.roi_forward)
+    def roi_apply(v, *roi_feats):
+        return detector.apply(v, *roi_feats, method=detector.roi_forward)
 
     dets, labels, valid = roi_head_predict(
         detector.bbox_head, roi_apply, variables, feats, proposals,
@@ -451,8 +471,8 @@ def two_stage_predict(detector, variables, images, img_shapes=None,
         detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
         nms_pre=num_proposals, num_proposals=num_proposals)
 
-    def roi_apply(v, roi_feats):
-        return detector.apply(v, roi_feats, method=detector.roi_forward)
+    def roi_apply(v, *roi_feats):
+        return detector.apply(v, *roi_feats, method=detector.roi_forward)
 
     return roi_head_predict(
         detector.bbox_head, roi_apply, variables, feats, proposals,
@@ -484,8 +504,8 @@ def mask_rcnn_predict(detector, variables, images, img_shapes=None,
         detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
         nms_pre=num_proposals, num_proposals=num_proposals)
 
-    def roi_apply(v, roi_feats):
-        return detector.apply(v, roi_feats, method=detector.roi_forward)
+    def roi_apply(v, *roi_feats):
+        return detector.apply(v, *roi_feats, method=detector.roi_forward)
 
     dets, labels, valid = roi_head_predict(
         detector.bbox_head, roi_apply, variables, feats, proposals,

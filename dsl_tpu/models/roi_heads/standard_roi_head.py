@@ -174,6 +174,23 @@ def ohem_hardness(bbox_head, apply_fn, variables, feats, proposals,
     return jax.lax.stop_gradient(loss_bg)
 
 
+def _apply_bbox_head(bbox_head, apply_fn, variables, feats, flat_rois,
+                     valid, strides, roi_feats):
+    """Run the bbox head. Double-Head heads additionally receive features
+    extracted at ``reg_roi_scale_factor``-scaled rois
+    (``double_roi_head.py:16-33``)."""
+    rsf = getattr(bbox_head, "reg_roi_scale_factor", None)
+    if rsf is None:
+        return apply_fn(variables, roi_feats)
+    from dsl_tpu.models.roi_heads.double_bbox_head import scale_rois
+
+    scaled = jnp.concatenate(
+        [flat_rois[:, :1], scale_rois(flat_rois[:, 1:5], rsf)], axis=1)
+    reg_feats = extract_roi_feats(feats, scaled, valid, strides,
+                                  bbox_head.roi_size)
+    return apply_fn(variables, roi_feats, reg_feats)
+
+
 def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
                   proposals, prop_valid, batch, rng_key,
                   strides=(4, 8, 16, 32), num_samples: int = 512,
@@ -198,7 +215,9 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
         [batch_idx.astype(jnp.float32), rois.reshape(-1, 4)], axis=1)
     roi_feats = extract_roi_feats(feats, flat_rois, valid.reshape(-1),
                                   strides, bbox_head.roi_size)
-    cls_logits, reg = apply_fn(variables, roi_feats)    # (BS, C+1), (BS, C*4)
+    cls_logits, reg = _apply_bbox_head(
+        bbox_head, apply_fn, variables, feats, flat_rois, valid.reshape(-1),
+        strides, roi_feats)                             # (BS, C+1), (BS, C*4)
 
     flat_labels = labels.reshape(-1)
     flat_valid = valid.reshape(-1).astype(jnp.float32)
@@ -239,7 +258,9 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
         [batch_idx.astype(jnp.float32), proposals.reshape(-1, 4)], axis=1)
     roi_feats = extract_roi_feats(feats, flat_rois, prop_valid.reshape(-1),
                                   strides, bbox_head.roi_size)
-    cls_logits, reg = apply_fn(variables, roi_feats)
+    cls_logits, reg = _apply_bbox_head(
+        bbox_head, apply_fn, variables, feats, flat_rois,
+        prop_valid.reshape(-1), strides, roi_feats)
     scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
     if getattr(bbox_head, "with_reg", True):
         boxes = delta2bbox(
