@@ -88,3 +88,7 @@ from dsl_tpu.models.detectors.two_stage import PointRend  # noqa: F401
 from dsl_tpu.models.roi_heads.double_bbox_head import (  # noqa: F401
     DoubleConvFCBBoxHead, scale_rois)
 from dsl_tpu.models.detectors.two_stage import DoubleHeadRCNN  # noqa: F401
+from dsl_tpu.models.roi_heads.htc import (  # noqa: F401
+    FusedSemanticHead, HTCMaskHead, semantic_seg_loss)
+from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
+    HTC, htc_loss, htc_predict)

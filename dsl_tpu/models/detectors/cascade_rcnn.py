@@ -56,7 +56,7 @@ class CascadeRCNN(nn.Module):
 
 def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     cfg = dict(cfg)
-    cfg.pop("type", None)
+    det_type = cfg.pop("type", "CascadeRCNN")
     backbone = build_from_cfg(cfg.pop("backbone"), MODELS)
     neck = build_from_cfg(cfg.pop("neck"), MODELS)
     rpn = build_from_cfg(cfg.pop("rpn_head"), MODELS)
@@ -64,6 +64,15 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     heads = tuple(build_from_cfg(dict(c), MODELS) for c in head_cfgs)
     mask_cfg = cfg.pop("mask_head", None)
     mask_head = build_from_cfg(mask_cfg, MODELS) if mask_cfg else None
+    if det_type == "HybridTaskCascade" or det_type == "HTC":
+        mask_heads = tuple(build_from_cfg(dict(c), MODELS)
+                           for c in cfg.pop("mask_heads"))
+        semantic = build_from_cfg(cfg.pop("semantic_head"), MODELS)
+        return HTC(backbone=backbone, neck=neck, rpn_head=rpn,
+                   bbox_heads=heads, mask_heads=mask_heads,
+                   semantic_head=semantic,
+                   test_cfg=cfg.pop("test_cfg", None),
+                   train_cfg=cfg.pop("train_cfg", None))
     return CascadeRCNN(backbone=backbone, neck=neck, rpn_head=rpn,
                       bbox_heads=heads, mask_head=mask_head,
                       test_cfg=cfg.pop("test_cfg", None),
@@ -120,8 +129,8 @@ def cascade_rcnn_loss(detector, variables, batch, rng_key=None,
             # parameters here, same loss schedule)
             from dsl_tpu.models.detectors.two_stage import _mask_branch_loss
 
-            lm, _ = _mask_branch_loss(detector, variables, feats, samples,
-                                      batch, num_samples=num_samples)
+            lm, _, _ = _mask_branch_loss(detector, variables, feats, samples,
+                                         batch, num_samples=num_samples)
             losses[f"s{stage}.loss_mask"] = lm * CASCADE_WEIGHTS[stage]
         w = CASCADE_WEIGHTS[stage]
         for k, v in stage_losses.items():
@@ -190,3 +199,223 @@ def cascade_rcnn_predict(detector, variables, images, img_shapes=None,
                               valid=vd)
 
     return jax.vmap(_single)(boxes, scores, prop_valid)
+
+
+# ---------------------------------------------------------------------------
+# HTC — Hybrid Task Cascade (reference mmdet/models/roi_heads/htc_roi_head.py
+# :1-606 + detectors/htc.py): cascade + per-stage mask heads with mask info
+# flow, a fused semantic branch whose roi features are added to both bbox and
+# mask roi features, and stage-averaged mask probs at test.
+# ---------------------------------------------------------------------------
+
+
+@DETECTORS.register
+class HTC(CascadeRCNN):
+    mask_heads: Sequence[nn.Module] = None     # one HTCMaskHead per stage
+    semantic_head: nn.Module = None
+
+    def semantic_forward(self, feats):
+        return self.semantic_head(feats)
+
+    def htc_mask_forward(self, roi_feats, stage: int, res_feat=None):
+        return self.mask_heads[stage](roi_feats, res_feat)
+
+
+def _semantic_roi_feats(semantic_feat, flat_rois, valid, roi_size,
+                        stride: int = 8):
+    """RoI-align the semantic embedding at the semantic-branch stride
+    (reference ``htc_roi_head.py _bbox_forward``: fixed stride-8 extract)."""
+    from dsl_tpu.ops.roi_align import roi_align
+
+    return roi_align(semantic_feat, flat_rois, out_size=(roi_size, roi_size),
+                     spatial_scale=1.0 / stride, sampling_ratio=2,
+                     valid=valid)
+
+
+def _htc_semantic_target(detector, batch, seg_hw):
+    """Semantic target: ``gt_semantic_seg`` when the batch carries one
+    (COCO-stuff parity); otherwise a thing-class union built from the
+    instance mask crops (documented deviation — the DSL data layer has no
+    stuff annotations)."""
+    import jax.numpy as jnp
+
+    if "gt_semantic_seg" in batch:
+        return batch["gt_semantic_seg"]
+    from dsl_tpu.models.dense_heads.yolact_head import paste_gt_crops
+
+    b = batch["images"].shape[0]
+    img_hw = (batch["images"].shape[1], batch["images"].shape[2])
+    pasted = jax.vmap(paste_gt_crops, in_axes=(0, 0, 0, None, None))(
+        batch["gt_mask_crops"], batch["gt_bboxes"], batch["gt_valid"],
+        seg_hw, img_hw)                                   # (B, K, h, w)
+    occ = pasted > 0.5
+    nc = detector.semantic_head.num_classes
+    # label = 1 + instance class where occupied (0 = background)
+    lbl = jnp.clip(batch["gt_labels"] + 1, 0, nc - 1)[:, :, None, None]
+    per_gt = jnp.where(occ, lbl, 0)
+    return per_gt.max(axis=1)                             # (B, h, w)
+
+
+def htc_loss(detector, variables, batch, rng_key=None,
+             num_proposals: int = 512, num_samples: int = 256):
+    """Cascade bbox stages with semantic fusion + per-stage mask losses with
+    info flow + semantic segmentation loss (reference ``htc_roi_head.py
+    forward_train`` :250-360)."""
+    from dsl_tpu.models.roi_heads.htc import semantic_seg_loss
+    from dsl_tpu.models.roi_heads.mask_head import (
+        mask_head_loss, mask_targets_from_crops, select_positive_rois)
+    from dsl_tpu.models.roi_heads.standard_roi_head import sample_batch_rois
+
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    feats, (rpn_scores, rpn_deltas) = detector.apply(
+        variables, batch["images"], training=True)
+    losses = rpn_loss(detector.rpn_head, rpn_scores, rpn_deltas, batch)
+
+    seg_logits, semantic_feat = detector.apply(
+        variables, feats, method=detector.semantic_forward)
+    seg_t = _htc_semantic_target(detector, batch, seg_logits.shape[1:3])
+    losses["loss_semantic_seg"] = semantic_seg_loss(
+        seg_logits, seg_t, loss_weight=detector.semantic_head.loss_weight)
+
+    proposals, _, prop_valid = rpn_proposals(
+        detector.rpn_head, rpn_scores, rpn_deltas,
+        img_shapes=batch.get("img_shapes"), nms_pre=num_proposals,
+        num_proposals=num_proposals)
+    proposals = jax.lax.stop_gradient(proposals)
+    strides = tuple(detector.rpn_head.strides)[:4]
+
+    keys = jax.random.split(rng_key, len(detector.bbox_heads))
+    for stage, head in enumerate(detector.bbox_heads):
+        w = CASCADE_WEIGHTS[stage]
+
+        def roi_apply(v, rf, _stage=stage):
+            return detector.apply(v, rf, _stage,
+                                  method=detector.roi_forward)
+
+        samples = sample_batch_rois(
+            proposals, prop_valid, batch, keys[stage], head.num_classes,
+            num_samples=num_samples)
+
+        # ---- bbox stage with semantic fusion ----
+        b = proposals.shape[0]
+        rois, labels = samples["rois"], samples["labels"]
+        valid = samples["valid"]
+        batch_idx = jnp.broadcast_to(
+            jnp.arange(b)[:, None], (b, num_samples)).reshape(-1, 1)
+        flat = jnp.concatenate(
+            [batch_idx.astype(jnp.float32), rois.reshape(-1, 4)], axis=1)
+        rfeats = extract_roi_feats(feats, flat, valid.reshape(-1), strides,
+                                   head.roi_size)
+        rfeats = rfeats + _semantic_roi_feats(
+            semantic_feat, flat, valid.reshape(-1), head.roi_size)
+        cls_logits, reg = roi_apply(variables, rfeats)
+
+        from dsl_tpu.core import losses as L
+        from dsl_tpu.core.boxes import bbox2delta
+
+        nc = head.num_classes
+        flat_labels = labels.reshape(-1)
+        flat_valid = valid.reshape(-1).astype(jnp.float32)
+        flat_pos = samples["is_pos"].reshape(-1).astype(jnp.float32)
+        num_valid = jnp.maximum(flat_valid.sum(), 1.0)
+        num_pos = jnp.maximum(flat_pos.sum(), 1.0)
+        losses[f"s{stage}.loss_cls"] = w * L.cross_entropy(
+            cls_logits, flat_labels, weight=flat_valid, avg_factor=num_valid)
+        gt = jnp.take_along_axis(
+            batch["gt_bboxes"],
+            jnp.maximum(samples["assigned"], 0)[..., None],
+            axis=1).reshape(-1, 4)
+        tgt = bbox2delta(rois.reshape(-1, 4), gt, head.target_means,
+                         head.target_stds)
+        reg_sel = jnp.take_along_axis(
+            reg.reshape(-1, nc, 4),
+            jnp.clip(flat_labels, 0, nc - 1)[:, None, None].repeat(4, -1),
+            axis=1)[:, 0]
+        losses[f"s{stage}.loss_bbox"] = w * L.smooth_l1_loss(
+            reg_sel, tgt, weight=flat_pos[:, None], avg_factor=num_pos)
+
+        # ---- mask stage with info flow ----
+        if detector.mask_heads is not None and "gt_mask_crops" in batch:
+            mh = detector.mask_heads[stage]
+            max_pos = max(1, num_samples // 4)
+            prois, plabels, passigned, ppos = select_positive_rois(
+                samples["rois"], samples["labels"], samples["assigned"],
+                samples["is_pos"], max_pos)
+            pidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, max_pos))
+            pflat = jnp.concatenate(
+                [pidx.reshape(-1, 1).astype(jnp.float32),
+                 prois.reshape(-1, 4)], axis=1)
+            pvalid = ppos.reshape(-1)
+            mfeats = extract_roi_feats(feats, pflat, pvalid, strides,
+                                       mh.roi_size)
+            mfeats = mfeats + _semantic_roi_feats(
+                semantic_feat, pflat, pvalid, mh.roi_size)
+            res_feat = None
+            logits = None
+            for j in range(stage + 1):    # info flow through earlier heads
+                logits, res_feat = detector.apply(
+                    variables, mfeats, j, res_feat,
+                    method=detector.htc_mask_forward)
+            targets = mask_targets_from_crops(
+                batch["gt_mask_crops"], batch["gt_bboxes"],
+                prois.reshape(-1, 4), pidx.reshape(-1),
+                passigned.reshape(-1), mask_size=logits.shape[1])
+            losses[f"s{stage}.loss_mask"] = w * mask_head_loss(
+                logits, targets, plabels.reshape(-1),
+                pvalid.astype(jnp.float32), mh.num_classes)
+
+        if stage < len(detector.bbox_heads) - 1:
+            _, reg_all = roi_apply(variables, extract_roi_feats(
+                feats, jnp.concatenate(
+                    [jnp.broadcast_to(
+                        jnp.arange(b)[:, None],
+                        (b, proposals.shape[1])).reshape(-1, 1).astype(
+                            jnp.float32),
+                     proposals.reshape(-1, 4)], axis=1),
+                prop_valid.reshape(-1), strides, head.roi_size))
+            proposals = jax.lax.stop_gradient(
+                _decode_stage(head, proposals, reg_all))
+    return _parse_losses(losses)
+
+
+def htc_predict(detector, variables, images, img_shapes=None,
+                scale_factors=None, test_cfg=None,
+                num_proposals: int = 1000):
+    """Cascade box predict + stage-averaged info-flow masks (reference
+    ``htc_roi_head.py simple_test`` :430-530). Returns the
+    ``mask_rcnn_predict`` contract."""
+    dets, labels, valid = cascade_rcnn_predict(
+        detector, variables, images, img_shapes=img_shapes,
+        scale_factors=None, test_cfg=test_cfg, num_proposals=num_proposals)
+    feats = detector.apply(variables, images, training=False)[0]
+    _, semantic_feat = detector.apply(variables, feats,
+                                      method=detector.semantic_forward)
+    strides = tuple(detector.rpn_head.strides)[:4]
+    mh = detector.mask_heads[0]
+    b, n = dets.shape[:2]
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    flat = jnp.concatenate(
+        [batch_idx.reshape(-1, 1).astype(jnp.float32),
+         dets[..., :4].reshape(-1, 4)], axis=1)
+    mfeats = extract_roi_feats(feats, flat, valid.reshape(-1), strides,
+                               mh.roi_size)
+    mfeats = mfeats + _semantic_roi_feats(
+        semantic_feat, flat, valid.reshape(-1), mh.roi_size)
+    res_feat = None
+    prob_sum = None
+    cls = jnp.clip(labels.reshape(-1), 0, mh.num_classes - 1)
+    for j in range(len(detector.mask_heads)):
+        logits, res_feat = detector.apply(
+            variables, mfeats, j, res_feat,
+            method=detector.htc_mask_forward)
+        p = jax.nn.sigmoid(jnp.take_along_axis(
+            logits, cls[:, None, None, None], axis=-1)[..., 0])
+        prob_sum = p if prob_sum is None else prob_sum + p
+    probs = prob_sum / len(detector.mask_heads)
+    if scale_factors is not None:
+        dets = jnp.concatenate(
+            [dets[..., :4] / scale_factors[:, None, :], dets[..., 4:]],
+            axis=-1)
+    s = probs.shape[1]
+    return dets, labels, valid, probs.reshape(b, n, s, s)

@@ -207,7 +207,8 @@ def init_detector_variables(detector, rng, images):
 
     if isinstance(detector, TwoStageDetector):
         return init_two_stage_variables(detector, rng, images)
-    if type(detector).__name__ == "CascadeRCNN":
+    if type(detector).__name__ in ("CascadeRCNN", "HTC",
+                                   "HybridTaskCascade"):
         variables = detector.init(rng, images)
         params = dict(variables["params"])
         for stage, bh in enumerate(detector.bbox_heads):
@@ -221,6 +222,23 @@ def init_detector_variables(detector, rng, images):
             mv = detector.init(jax.random.fold_in(rng, 99), mf,
                                method=detector.mask_forward)
             params.update(mv["params"])
+        if getattr(detector, "semantic_head", None) is not None:
+            sizes = [(32 // (2 ** i), 32 // (2 ** i), 3) for i in range(5)]
+            fake_feats = [jnp.zeros(
+                (1, s[0], s[1], detector.semantic_head.in_channels))
+                for s in sizes]
+            sv = detector.init(jax.random.fold_in(rng, 98), fake_feats,
+                               method=detector.semantic_forward)
+            params.update(sv["params"])
+        if getattr(detector, "mask_heads", None) is not None:
+            for stage, mh in enumerate(detector.mask_heads):
+                mf = jnp.zeros((1, mh.roi_size, mh.roi_size, mh.in_channels))
+                rf = jnp.zeros((1, mh.roi_size, mh.roi_size,
+                                mh.conv_out_channels))
+                mv = detector.init(jax.random.fold_in(rng, 90 + stage), mf,
+                                   stage, rf if stage > 0 else None,
+                                   method=detector.htc_mask_forward)
+                params.update(mv["params"])
         return {**variables, "params": params}
     return detector.init(rng, images)
 
