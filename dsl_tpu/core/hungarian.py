@@ -68,3 +68,15 @@ def iou_cost(pred_xyxy, gt_xyxy, weight: float = 1.0):
     from dsl_tpu.core.boxes import bbox_overlaps
 
     return -bbox_overlaps(pred_xyxy, gt_xyxy, mode="giou") * weight
+
+
+def focal_cost(cls_logits, gt_labels, weight: float = 1.0,
+               alpha: float = 0.25, gamma: float = 2.0, eps: float = 1e-8):
+    """FocalLossCost (``match_cost.py``): pos_cost - neg_cost at the gt
+    class over sigmoid scores. cls_logits (Q, C), gt_labels (K,) -> (Q, K).
+    """
+    p = jax.nn.sigmoid(cls_logits)
+    pos_cost = -((1 - p) ** gamma) * alpha * jnp.log(jnp.maximum(p, eps))
+    neg_cost = -(p ** gamma) * (1 - alpha) * jnp.log(
+        jnp.maximum(1 - p, eps))
+    return (pos_cost[:, gt_labels] - neg_cost[:, gt_labels]) * weight

@@ -92,3 +92,6 @@ from dsl_tpu.models.roi_heads.htc import (  # noqa: F401
     FusedSemanticHead, HTCMaskHead, semantic_seg_loss)
 from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
     HTC, htc_loss, htc_predict)
+from dsl_tpu.models.roi_heads.sparse_rcnn import (  # noqa: F401
+    DIIHead, EmbeddingRPNHead, SparseRCNN, build_sparse_rcnn,
+    init_sparse_rcnn_variables, sparse_rcnn_loss, sparse_rcnn_predict)

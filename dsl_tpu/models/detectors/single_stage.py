@@ -162,6 +162,10 @@ def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     ``bbox_heads`` → cascade); ``necks``/``bbox_heads`` without rpn →
     multi-head co-training; otherwise single-stage."""
     cfg = dict(cfg)
+    if cfg.get("type") == "SparseRCNN":
+        from dsl_tpu.models.roi_heads.sparse_rcnn import build_sparse_rcnn
+
+        return build_sparse_rcnn(cfg)
     if "rpn_head" in cfg:
         if "bbox_heads" in cfg:
             from dsl_tpu.models.detectors.cascade_rcnn import \
