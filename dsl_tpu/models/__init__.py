@@ -95,3 +95,7 @@ from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
 from dsl_tpu.models.roi_heads.sparse_rcnn import (  # noqa: F401
     DIIHead, EmbeddingRPNHead, SparseRCNN, build_sparse_rcnn,
     init_sparse_rcnn_variables, sparse_rcnn_loss, sparse_rcnn_predict)
+from dsl_tpu.models.necks.channel_mapper import ChannelMapper  # noqa: F401
+from dsl_tpu.models.dense_heads.deformable_detr_head import (  # noqa: F401
+    DeformableDETRHead, MSDeformAttention, deformable_detr_get_bboxes,
+    deformable_detr_loss)

@@ -127,6 +127,12 @@ class DETR(SingleStageDetector):
 
 
 @DETECTORS.register
+class DeformableDETR(SingleStageDetector):
+    """Deformable DETR (``mmdet/models/detectors/deformable_detr.py``):
+    ChannelMapper neck + multi-scale deformable-attention head."""
+
+
+@DETECTORS.register
 class YOLACT(SingleStageDetector):
     """YOLACT (``mmdet/models/detectors/yolact.py:9-116``): single-stage
     detector with a protonet (mask_head) and a training-only segm head."""
@@ -366,6 +372,12 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = free_anchor_loss(head, cls_scores, bbox_preds, batch,
                                   axis_name=axis_name)
+    elif type(head).__name__ == "DeformableDETRHead":
+        from dsl_tpu.models.dense_heads.deformable_detr_head import \
+            deformable_detr_loss
+
+        losses = deformable_detr_loss(head, outputs, batch,
+                                      axis_name=axis_name)
     elif type(head).__name__ == "GARetinaHead":
         from dsl_tpu.models.dense_heads.ga_retina_head import ga_retina_loss
 
@@ -505,6 +517,15 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         cls_scores, bbox_preds = outputs
         return fsaf_get_bboxes(head, cls_scores, bbox_preds, **common)
+    if type(head).__name__ == "DeformableDETRHead":
+        from dsl_tpu.models.dense_heads.deformable_detr_head import \
+            deformable_detr_get_bboxes
+
+        common.pop("nms_pre", None)
+        common.pop("iou_threshold", None)
+        common.pop("img_shapes", None)
+        return deformable_detr_get_bboxes(
+            head, outputs, img_shapes=img_shapes, **common)
     if type(head).__name__ == "GARetinaHead":
         from dsl_tpu.models.dense_heads.ga_retina_head import \
             ga_retina_get_bboxes
