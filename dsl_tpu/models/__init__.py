@@ -99,3 +99,8 @@ from dsl_tpu.models.necks.channel_mapper import ChannelMapper  # noqa: F401
 from dsl_tpu.models.dense_heads.deformable_detr_head import (  # noqa: F401
     DeformableDETRHead, MSDeformAttention, deformable_detr_get_bboxes,
     deformable_detr_loss)
+from dsl_tpu.models.dense_heads.ld_head import LDHead, ld_loss  # noqa: F401
+from dsl_tpu.models.dense_heads.pisa_heads import (  # noqa: F401
+    PISARetinaHead, PISASSDHead, pisa_retina_loss, pisa_ssd_loss)
+from dsl_tpu.models.detectors.single_stage import (  # noqa: F401
+    KnowledgeDistillationSingleStageDetector)

@@ -127,6 +127,18 @@ class DETR(SingleStageDetector):
 
 
 @DETECTORS.register
+class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
+    """KD one-stage (``mmdet/models/detectors/kd_one_stage.py:11-100``):
+    student single-stage detector + frozen teacher whose head outputs are
+    the LD soft targets."""
+
+    teacher: nn.Module | None = None
+
+    def teacher_forward(self, images):
+        return self.teacher(images, training=False)
+
+
+@DETECTORS.register
 class DeformableDETR(SingleStageDetector):
     """Deformable DETR (``mmdet/models/detectors/deformable_detr.py``):
     ChannelMapper neck + multi-scale deformable-attention head."""
@@ -196,6 +208,12 @@ def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     if det_cls is None:
         raise KeyError(f"unknown detector type {det_type}")
     extra = {}
+    if det_type == "KnowledgeDistillationSingleStageDetector":
+        tc = cfg.pop("teacher_config")
+        tc = tc.get("model", tc) if isinstance(tc, dict) else tc
+        cfg.pop("teacher_ckpt", None)
+        cfg.pop("eval_teacher", None)
+        extra["teacher"] = build_detector(dict(tc))
     if det_type == "YOLACT":
         extra["segm_head"] = build_from_cfg(cfg.pop("segm_head"), MODELS)
         # reference calls the protonet "mask_head"
@@ -250,6 +268,14 @@ def init_detector_variables(detector, rng, images):
                                    method=detector.htc_mask_forward)
                 params.update(mv["params"])
         return {**variables, "params": params}
+    if getattr(detector, "teacher", None) is not None:
+        variables = {k: dict(v) for k, v in detector.init(rng,
+                                                          images).items()}
+        tv = detector.init(jax.random.fold_in(rng, 7), images,
+                           method=detector.teacher_forward)
+        for col, tree in tv.items():
+            variables.setdefault(col, {}).update(tree)
+        return variables
     return detector.init(rng, images)
 
 
@@ -303,6 +329,18 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_preds = outputs
         losses = retina_loss(head, cls_scores, bbox_preds, batch,
                              axis_name=axis_name)
+    elif type(head).__name__ == "PISARetinaHead":
+        from dsl_tpu.models.dense_heads.pisa_heads import pisa_retina_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = pisa_retina_loss(head, cls_scores, bbox_preds, batch,
+                                  axis_name=axis_name)
+    elif type(head).__name__ == "PISASSDHead":
+        from dsl_tpu.models.dense_heads.pisa_heads import pisa_ssd_loss
+
+        cls_scores, bbox_preds = outputs
+        losses = pisa_ssd_loss(head, cls_scores, bbox_preds, batch,
+                               axis_name=axis_name)
     elif type(head).__name__ == "ATSSHead":
         from dsl_tpu.models.dense_heads.atss_head import atss_loss
 
@@ -315,6 +353,14 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         cls_scores, bbox_dists = outputs
         losses = gfl_loss(head, cls_scores, bbox_dists, batch,
                           axis_name=axis_name)
+    elif type(head).__name__ == "LDHead":
+        from dsl_tpu.models.dense_heads.ld_head import ld_loss
+
+        t_out = outputs_to_f32(detector.apply(
+            fwd_vars, images, method=detector.teacher_forward))
+        cls_scores, bbox_dists = outputs
+        losses = ld_loss(head, cls_scores, bbox_dists, t_out[1], batch,
+                         axis_name=axis_name)
     elif type(head).__name__ == "SSDHead":
         from dsl_tpu.models.dense_heads.ssd_head import ssd_loss
 
@@ -446,7 +492,8 @@ def detector_predict(detector, variables, images, img_shapes=None,
                   score_thr=tc.get("score_thr", 0.05),
                   iou_threshold=nms_cfg.get("iou_threshold", 0.6),
                   max_per_img=tc.get("max_per_img", 100))
-    if type(head).__name__ in ("RetinaHead", "FreeAnchorRetinaHead"):
+    if type(head).__name__ in ("RetinaHead", "FreeAnchorRetinaHead",
+                               "PISARetinaHead"):
         from dsl_tpu.models.dense_heads.retina_head import retina_get_bboxes
 
         cls_scores, bbox_preds = outputs
@@ -457,12 +504,12 @@ def detector_predict(detector, variables, images, img_shapes=None,
         cls_scores, bbox_preds, centernesses = outputs
         return atss_get_bboxes(head, cls_scores, bbox_preds, centernesses,
                                **common)
-    if type(head).__name__ == "GFLHead":
+    if type(head).__name__ in ("GFLHead", "LDHead"):
         from dsl_tpu.models.dense_heads.gfl_head import gfl_get_bboxes
 
         cls_scores, bbox_dists = outputs
         return gfl_get_bboxes(head, cls_scores, bbox_dists, **common)
-    if type(head).__name__ == "SSDHead":
+    if type(head).__name__ in ("SSDHead", "PISASSDHead"):
         from dsl_tpu.models.dense_heads.ssd_head import ssd_get_bboxes
 
         cls_scores, bbox_preds = outputs
