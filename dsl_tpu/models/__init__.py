@@ -104,3 +104,7 @@ from dsl_tpu.models.dense_heads.pisa_heads import (  # noqa: F401
     PISARetinaHead, PISASSDHead, pisa_retina_loss, pisa_ssd_loss)
 from dsl_tpu.models.detectors.single_stage import (  # noqa: F401
     KnowledgeDistillationSingleStageDetector)
+from dsl_tpu.models.backbones.resnest import ResNeSt  # noqa: F401
+from dsl_tpu.models.backbones.ssd_vgg import SSDVGG  # noqa: F401
+from dsl_tpu.models.necks.nas_fpn import NASFPN  # noqa: F401
+from dsl_tpu.models.necks.fpn_carafe import FPN_CARAFE  # noqa: F401
