@@ -108,3 +108,8 @@ from dsl_tpu.models.backbones.resnest import ResNeSt  # noqa: F401
 from dsl_tpu.models.backbones.ssd_vgg import SSDVGG  # noqa: F401
 from dsl_tpu.models.necks.nas_fpn import NASFPN  # noqa: F401
 from dsl_tpu.models.necks.fpn_carafe import FPN_CARAFE  # noqa: F401
+from dsl_tpu.models.backbones.detectors_resnet import (  # noqa: F401
+    DetectoRSResNet, SAConv)
+from dsl_tpu.models.necks.rfp import ASPP, RFP  # noqa: F401
+from dsl_tpu.models.detectors.two_stage import DetectoRS  # noqa: F401
+from dsl_tpu.models.backbones.trident_resnet import TridentResNet  # noqa: F401

@@ -61,6 +61,17 @@ class MaskRCNN(TwoStageDetector):
 
 
 @DETECTORS.register
+class DetectoRS(TwoStageDetector):
+    """DetectoRS (``configs/detectors``): DetectoRSResNet (SAC) backbone +
+    RFP neck; the neck reruns its own copy of the backbone recursively, so
+    it needs the input image."""
+
+    def extract_feat(self, images):
+        feats = self.backbone(images)
+        return self.neck((images,) + tuple(feats))
+
+
+@DETECTORS.register
 class DoubleHeadRCNN(TwoStageDetector):
     """Double-Head R-CNN (``mmdet/models/roi_heads/double_roi_head.py``):
     fc branch classifies, conv branch regresses on 1.3x-scaled roi
