@@ -113,3 +113,6 @@ from dsl_tpu.models.backbones.detectors_resnet import (  # noqa: F401
 from dsl_tpu.models.necks.rfp import ASPP, RFP  # noqa: F401
 from dsl_tpu.models.detectors.two_stage import DetectoRS  # noqa: F401
 from dsl_tpu.models.backbones.trident_resnet import TridentResNet  # noqa: F401
+from dsl_tpu.models.dense_heads.nasfcos_head import NASFCOSHead  # noqa: F401
+from dsl_tpu.models.necks.nasfcos_fpn import (  # noqa: F401
+    FPG, NASFCOS_FPN)
