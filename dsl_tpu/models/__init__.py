@@ -116,3 +116,8 @@ from dsl_tpu.models.backbones.trident_resnet import TridentResNet  # noqa: F401
 from dsl_tpu.models.dense_heads.nasfcos_head import NASFCOSHead  # noqa: F401
 from dsl_tpu.models.necks.nasfcos_fpn import (  # noqa: F401
     FPG, NASFCOS_FPN)
+from dsl_tpu.models.roi_heads.scnet import (  # noqa: F401
+    FeatureRelayHead, GlobalContextHead, SCNetBBoxHead, SCNetMaskHead,
+    SimplifiedBasicBlock, global_context_loss)
+from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
+    SCNet, scnet_loss, scnet_predict)

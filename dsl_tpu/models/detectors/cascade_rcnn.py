@@ -64,6 +64,17 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     heads = tuple(build_from_cfg(dict(c), MODELS) for c in head_cfgs)
     mask_cfg = cfg.pop("mask_head", None)
     mask_head = build_from_cfg(mask_cfg, MODELS) if mask_cfg else None
+    if det_type == "SCNet":
+        return SCNet(backbone=backbone, neck=neck, rpn_head=rpn,
+                     bbox_heads=heads, mask_head=mask_head,
+                     semantic_head=build_from_cfg(cfg.pop("semantic_head"),
+                                                  MODELS),
+                     glbctx_head=build_from_cfg(cfg.pop("glbctx_head"),
+                                                MODELS),
+                     relay_head=build_from_cfg(cfg.pop("relay_head"),
+                                               MODELS),
+                     test_cfg=cfg.pop("test_cfg", None),
+                     train_cfg=cfg.pop("train_cfg", None))
     if det_type == "HybridTaskCascade" or det_type == "HTC":
         mask_heads = tuple(build_from_cfg(dict(c), MODELS)
                            for c in cfg.pop("mask_heads"))
@@ -417,5 +428,253 @@ def htc_predict(detector, variables, images, img_shapes=None,
         dets = jnp.concatenate(
             [dets[..., :4] / scale_factors[:, None, :], dets[..., 4:]],
             axis=-1)
+    s = probs.shape[1]
+    return dets, labels, valid, probs.reshape(b, n, s, s)
+
+
+# ---------------------------------------------------------------------------
+# SCNet (reference mmdet/models/roi_heads/scnet_roi_head.py:1-589 +
+# detectors/scnet.py): cascade with semantic + global-context fusion on the
+# roi features, and a single mask head fed the box branch's relayed fc
+# features.
+# ---------------------------------------------------------------------------
+
+
+@DETECTORS.register
+class SCNet(CascadeRCNN):
+    semantic_head: nn.Module = None
+    glbctx_head: nn.Module = None
+    relay_head: nn.Module = None
+
+    def semantic_forward(self, feats):
+        return self.semantic_head(feats)
+
+    def glbctx_forward(self, feats):
+        return self.glbctx_head(feats)
+
+    def relay_forward(self, fc_feat):
+        return self.relay_head(fc_feat)
+
+    def roi_forward(self, roi_feats, stage: int = 0,
+                    return_shared_feat: bool = False):
+        return self.bbox_heads[stage](roi_feats,
+                                      return_shared_feat=return_shared_feat)
+
+
+def _scnet_fuse(roi_feats, semantic_feat, glbctx, flat_rois, valid,
+                roi_size):
+    """semantic roi-align + per-image global context add (reference
+    ``_fuse_glbctx`` + ``_bbox_forward``)."""
+    fused = roi_feats + _semantic_roi_feats(semantic_feat, flat_rois, valid,
+                                            roi_size)
+    img_idx = flat_rois[:, 0].astype(jnp.int32)
+    return fused + glbctx[img_idx][:, None, None, :]
+
+
+def scnet_loss(detector, variables, batch, rng_key=None,
+               num_proposals: int = 512, num_samples: int = 256):
+    from dsl_tpu.models.roi_heads.htc import semantic_seg_loss
+    from dsl_tpu.models.roi_heads.mask_head import (
+        mask_head_loss, mask_targets_from_crops, select_positive_rois)
+    from dsl_tpu.models.roi_heads.scnet import global_context_loss
+    from dsl_tpu.models.roi_heads.standard_roi_head import sample_batch_rois
+    from dsl_tpu.core import losses as L
+    from dsl_tpu.core.boxes import bbox2delta
+
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    feats, (rpn_scores, rpn_deltas) = detector.apply(
+        variables, batch["images"], training=True)
+    losses = rpn_loss(detector.rpn_head, rpn_scores, rpn_deltas, batch)
+
+    seg_logits, semantic_feat = detector.apply(
+        variables, feats, method=detector.semantic_forward)
+    seg_t = _htc_semantic_target(detector, batch, seg_logits.shape[1:3])
+    losses["loss_semantic_seg"] = semantic_seg_loss(
+        seg_logits, seg_t, loss_weight=detector.semantic_head.loss_weight)
+    glb_logits, glbctx = detector.apply(variables, feats,
+                                        method=detector.glbctx_forward)
+    losses["loss_glbctx"] = global_context_loss(
+        glb_logits, batch["gt_labels"],
+        batch["gt_valid"].astype(jnp.float32),
+        detector.glbctx_head.num_classes,
+        loss_weight=detector.glbctx_head.loss_weight)
+
+    proposals, _, prop_valid = rpn_proposals(
+        detector.rpn_head, rpn_scores, rpn_deltas,
+        img_shapes=batch.get("img_shapes"), nms_pre=num_proposals,
+        num_proposals=num_proposals)
+    proposals = jax.lax.stop_gradient(proposals)
+    strides = tuple(detector.rpn_head.strides)[:4]
+
+    keys = jax.random.split(rng_key, len(detector.bbox_heads) + 1)
+    samples = None
+    b = proposals.shape[0]
+    for stage, head in enumerate(detector.bbox_heads):
+        w = CASCADE_WEIGHTS[stage]
+        samples = sample_batch_rois(
+            proposals, prop_valid, batch, keys[stage], head.num_classes,
+            num_samples=num_samples)
+        rois, labels, valid = (samples["rois"], samples["labels"],
+                               samples["valid"])
+        batch_idx = jnp.broadcast_to(
+            jnp.arange(b)[:, None], (b, num_samples)).reshape(-1, 1)
+        flat = jnp.concatenate(
+            [batch_idx.astype(jnp.float32), rois.reshape(-1, 4)], axis=1)
+        rfeats = extract_roi_feats(feats, flat, valid.reshape(-1), strides,
+                                   head.roi_size)
+        rfeats = _scnet_fuse(rfeats, semantic_feat, glbctx, flat,
+                             valid.reshape(-1), head.roi_size)
+        cls_logits, reg = detector.apply(variables, rfeats, stage,
+                                         method=detector.roi_forward)
+        nc = head.num_classes
+        flat_labels = labels.reshape(-1)
+        flat_valid = valid.reshape(-1).astype(jnp.float32)
+        flat_pos = samples["is_pos"].reshape(-1).astype(jnp.float32)
+        num_valid = jnp.maximum(flat_valid.sum(), 1.0)
+        num_pos = jnp.maximum(flat_pos.sum(), 1.0)
+        losses[f"s{stage}.loss_cls"] = w * L.cross_entropy(
+            cls_logits, flat_labels, weight=flat_valid, avg_factor=num_valid)
+        gt = jnp.take_along_axis(
+            batch["gt_bboxes"],
+            jnp.maximum(samples["assigned"], 0)[..., None],
+            axis=1).reshape(-1, 4)
+        tgt = bbox2delta(rois.reshape(-1, 4), gt, head.target_means,
+                         head.target_stds)
+        reg_sel = jnp.take_along_axis(
+            reg.reshape(-1, nc, 4),
+            jnp.clip(flat_labels, 0, nc - 1)[:, None, None].repeat(4, -1),
+            axis=1)[:, 0]
+        losses[f"s{stage}.loss_bbox"] = w * L.smooth_l1_loss(
+            reg_sel, tgt, weight=flat_pos[:, None], avg_factor=num_pos)
+        if stage < len(detector.bbox_heads) - 1:
+            p = proposals.shape[1]
+            pidx = jnp.broadcast_to(
+                jnp.arange(b)[:, None], (b, p)).reshape(-1, 1)
+            pflat = jnp.concatenate(
+                [pidx.astype(jnp.float32), proposals.reshape(-1, 4)], 1)
+            pfeats = extract_roi_feats(feats, pflat,
+                                       prop_valid.reshape(-1), strides,
+                                       head.roi_size)
+            pfeats = _scnet_fuse(pfeats, semantic_feat, glbctx, pflat,
+                                 prop_valid.reshape(-1), head.roi_size)
+            _, reg_all = detector.apply(variables, pfeats, stage,
+                                        method=detector.roi_forward)
+            proposals = jax.lax.stop_gradient(
+                _decode_stage(head, proposals, reg_all))
+
+    # ---- single mask branch on the last stage's positives ----
+    if detector.mask_head is not None and "gt_mask_crops" in batch:
+        mh = detector.mask_head
+        max_pos = max(1, num_samples // 4)
+        prois, plabels, passigned, ppos = select_positive_rois(
+            samples["rois"], samples["labels"], samples["assigned"],
+            samples["is_pos"], max_pos)
+        pidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, max_pos))
+        pflat = jnp.concatenate(
+            [pidx.reshape(-1, 1).astype(jnp.float32),
+             prois.reshape(-1, 4)], axis=1)
+        pvalid = ppos.reshape(-1)
+        mfeats = extract_roi_feats(feats, pflat, pvalid, strides,
+                                   mh.roi_size)
+        mfeats = _scnet_fuse(mfeats, semantic_feat, glbctx, pflat, pvalid,
+                             mh.roi_size)
+        # feature relay from the last bbox head's shared fc
+        last = len(detector.bbox_heads) - 1
+        bh = detector.bbox_heads[last]
+        bfeats = extract_roi_feats(feats, pflat, pvalid, strides,
+                                   bh.roi_size)
+        bfeats = _scnet_fuse(bfeats, semantic_feat, glbctx, pflat, pvalid,
+                             bh.roi_size)
+        _, _, fc_feat = detector.apply(variables, bfeats, last, True,
+                                       method=detector.roi_forward)
+        mfeats = mfeats + detector.apply(variables, fc_feat,
+                                         method=detector.relay_forward)
+        logits = detector.apply(variables, mfeats,
+                                method=detector.mask_forward)
+        targets = mask_targets_from_crops(
+            batch["gt_mask_crops"], batch["gt_bboxes"],
+            prois.reshape(-1, 4), pidx.reshape(-1), passigned.reshape(-1),
+            mask_size=logits.shape[1])
+        losses["loss_mask"] = mask_head_loss(
+            logits, targets, plabels.reshape(-1),
+            pvalid.astype(jnp.float32), mh.num_classes)
+    return _parse_losses(losses)
+
+
+def scnet_predict(detector, variables, images, img_shapes=None,
+                  scale_factors=None, test_cfg=None,
+                  num_proposals: int = 1000):
+    """Cascade predict with SCNet fusion + relayed-feature mask
+    (``mask_rcnn_predict`` contract)."""
+    tc = dict(test_cfg or detector.test_cfg or {})
+    rcnn = dict(tc.get("rcnn", {}) or {})
+    nms_cfg = dict(rcnn.get("nms", {}) or {})
+    feats, (rpn_scores, rpn_deltas) = detector.apply(
+        variables, images, training=False)
+    _, semantic_feat = detector.apply(variables, feats,
+                                      method=detector.semantic_forward)
+    _, glbctx = detector.apply(variables, feats,
+                               method=detector.glbctx_forward)
+    proposals, _, prop_valid = rpn_proposals(
+        detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
+        nms_pre=num_proposals, num_proposals=num_proposals)
+    strides = tuple(detector.rpn_head.strides)[:4]
+    b, p = proposals.shape[:2]
+    score_sum = None
+    for stage, head in enumerate(detector.bbox_heads):
+        pidx = jnp.broadcast_to(
+            jnp.arange(b)[:, None], (b, p)).reshape(-1, 1)
+        flat = jnp.concatenate(
+            [pidx.astype(jnp.float32), proposals.reshape(-1, 4)], 1)
+        rfeats = extract_roi_feats(feats, flat, prop_valid.reshape(-1),
+                                   strides, head.roi_size)
+        rfeats = _scnet_fuse(rfeats, semantic_feat, glbctx, flat,
+                             prop_valid.reshape(-1), head.roi_size)
+        cls_logits, reg = detector.apply(variables, rfeats, stage,
+                                         method=detector.roi_forward)
+        nc = head.num_classes
+        scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
+        score_sum = scores if score_sum is None else score_sum + scores
+        proposals = _decode_stage(head, proposals, reg)
+    scores = score_sum / len(detector.bbox_heads)
+    boxes = proposals
+    out_boxes = boxes if scale_factors is None \
+        else boxes / scale_factors[:, None, :]
+
+    def _single(bx, sc, vd):
+        return multiclass_nms(bx, sc, score_thr=rcnn.get("score_thr", 0.05),
+                              iou_threshold=nms_cfg.get("iou_threshold", 0.5),
+                              max_per_img=rcnn.get("max_per_img", 100),
+                              valid=vd)
+
+    dets, labels, valid = jax.vmap(_single)(out_boxes, scores, prop_valid)
+
+    mh = detector.mask_head
+    n = dets.shape[1]
+    boxes_in = dets[..., :4]
+    if scale_factors is not None:
+        boxes_in = boxes_in * scale_factors[:, None, :]
+    midx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    mflat = jnp.concatenate(
+        [midx.reshape(-1, 1).astype(jnp.float32),
+         boxes_in.reshape(-1, 4)], axis=1)
+    mvalid = valid.reshape(-1)
+    mfeats = extract_roi_feats(feats, mflat, mvalid, strides, mh.roi_size)
+    mfeats = _scnet_fuse(mfeats, semantic_feat, glbctx, mflat, mvalid,
+                         mh.roi_size)
+    last = len(detector.bbox_heads) - 1
+    bh = detector.bbox_heads[last]
+    bfeats = extract_roi_feats(feats, mflat, mvalid, strides, bh.roi_size)
+    bfeats = _scnet_fuse(bfeats, semantic_feat, glbctx, mflat, mvalid,
+                         bh.roi_size)
+    _, _, fc_feat = detector.apply(variables, bfeats, last, True,
+                                   method=detector.roi_forward)
+    mfeats = mfeats + detector.apply(variables, fc_feat,
+                                     method=detector.relay_forward)
+    logits = detector.apply(variables, mfeats, method=detector.mask_forward)
+    cls = jnp.clip(labels.reshape(-1), 0, mh.num_classes - 1)
+    probs = jax.nn.sigmoid(jnp.take_along_axis(
+        logits, cls[:, None, None, None], axis=-1)[..., 0])
     s = probs.shape[1]
     return dets, labels, valid, probs.reshape(b, n, s, s)

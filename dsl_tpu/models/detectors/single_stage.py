@@ -236,20 +236,28 @@ def init_detector_variables(detector, rng, images):
     if isinstance(detector, TwoStageDetector):
         return init_two_stage_variables(detector, rng, images)
     if type(detector).__name__ in ("CascadeRCNN", "HTC",
-                                   "HybridTaskCascade"):
-        variables = detector.init(rng, images)
-        params = dict(variables["params"])
+                                   "HybridTaskCascade", "SCNet"):
+        variables = {k: dict(v)
+                     for k, v in detector.init(rng, images).items()}
+        params = variables["params"]
+
+        def _merge_cols(side_vars):
+            for col, tree in side_vars.items():
+                if col != "params":
+                    variables.setdefault(col, {}).update(tree)
         for stage, bh in enumerate(detector.bbox_heads):
             rf = jnp.zeros((1, bh.roi_size, bh.roi_size, bh.in_channels))
             sv = detector.init(jax.random.fold_in(rng, stage + 1), rf,
                                stage, method=detector.roi_forward)
             params.update(sv["params"])
+            _merge_cols(sv)
         mh = getattr(detector, "mask_head", None)
         if mh is not None:
             mf = jnp.zeros((1, mh.roi_size, mh.roi_size, mh.in_channels))
             mv = detector.init(jax.random.fold_in(rng, 99), mf,
                                method=detector.mask_forward)
             params.update(mv["params"])
+            _merge_cols(mv)
         if getattr(detector, "semantic_head", None) is not None:
             sizes = [(32 // (2 ** i), 32 // (2 ** i), 3) for i in range(5)]
             fake_feats = [jnp.zeros(
@@ -258,6 +266,21 @@ def init_detector_variables(detector, rng, images):
             sv = detector.init(jax.random.fold_in(rng, 98), fake_feats,
                                method=detector.semantic_forward)
             params.update(sv["params"])
+            _merge_cols(sv)
+        if getattr(detector, "glbctx_head", None) is not None:
+            gh_ = detector.glbctx_head
+            fake = [jnp.zeros((1, 4, 4, gh_.in_channels))]
+            gv = detector.init(jax.random.fold_in(rng, 97), fake,
+                               method=detector.glbctx_forward)
+            params.update(gv["params"])
+            _merge_cols(gv)
+        if getattr(detector, "relay_head", None) is not None:
+            rh = detector.relay_head
+            rv = detector.init(jax.random.fold_in(rng, 96),
+                               jnp.zeros((1, rh.in_channels)),
+                               method=detector.relay_forward)
+            params.update(rv["params"])
+            _merge_cols(rv)
         if getattr(detector, "mask_heads", None) is not None:
             for stage, mh in enumerate(detector.mask_heads):
                 mf = jnp.zeros((1, mh.roi_size, mh.roi_size, mh.in_channels))
@@ -267,7 +290,8 @@ def init_detector_variables(detector, rng, images):
                                    stage, rf if stage > 0 else None,
                                    method=detector.htc_mask_forward)
                 params.update(mv["params"])
-        return {**variables, "params": params}
+            _merge_cols(mv)
+        return variables
     if getattr(detector, "teacher", None) is not None:
         variables = {k: dict(v) for k, v in detector.init(rng,
                                                           images).items()}
