@@ -11,3 +11,5 @@ from dsl_tpu.data.datasets.lvis import (  # noqa: F401
     CityscapesDataset, LVISDataset, LVISEval)
 from dsl_tpu.data.datasets.lvis import DeepFashionDataset  # noqa: F401
 from dsl_tpu.data.datasets.voc import WIDERFaceDataset  # noqa: F401
+from dsl_tpu.data.datasets.coco_panoptic import (  # noqa: F401
+    CocoPanopticDataset, rgb2id)

@@ -82,7 +82,8 @@ def extract_roi_feats(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
 def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
                 num_classes: int, num_samples: int = 512,
                 pos_fraction: float = 0.25, pos_iou_thr: float = 0.5,
-                neg_iou_thr: float = 0.5, neg_hardness=None):
+                neg_iou_thr: float = 0.5, neg_hardness=None,
+                pos_strategy: str = "random", neg_strategy: str = "random"):
     """Fixed-shape RandomSampler: assign proposals (+gt boxes as extra
     candidates, mmdet ``add_gt_as_proposals``), then take ``num_samples`` by
     priority = (pos with random tiebreak first, capped at
@@ -90,7 +91,16 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
 
     ``neg_hardness``: optional per-candidate score (higher = harder); when
     given, negatives are ranked hardest-first instead of randomly — the
-    OHEMSampler (``mmdet/core/bbox/samplers/ohem_sampler.py``) semantics."""
+    OHEMSampler (``mmdet/core/bbox/samplers/ohem_sampler.py``) / the
+    ScoreHLRSampler's hard-negative ranking semantics.
+
+    ``pos_strategy='instance_balanced'``: positives are taken round-robin
+    across gt instances (``instance_balanced_pos_sampler.py:1-55``).
+    ``neg_strategy='iou_balanced'``: negatives are taken round-robin across
+    3 IoU bins in [0, neg_iou_thr) (``iou_balanced_neg_sampler.py:1-157``).
+    ``CombinedSampler`` = both at once (``combined_sampler.py``)."""
+    from dsl_tpu.core.pisa import group_rank_desc
+
     cand = jnp.concatenate([proposals, gt_bboxes], axis=0)
     cand_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
     labels, assigned, _, max_iou = _max_iou_assign_single(
@@ -101,6 +111,20 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
     is_neg = (labels == num_classes) & cand_valid & (max_iou >= 0)
 
     r = jax.random.uniform(key, (cand.shape[0],))
+    if pos_strategy == "instance_balanced":
+        # round-robin over gt instances: priority = within-instance rank
+        rank = group_rank_desc(jnp.maximum(assigned, 0), r, is_pos)
+        r = jnp.where(is_pos,
+                      rank.astype(jnp.float32)
+                      + r * 0.5, r)         # rank-major, random tiebreak
+    if neg_strategy == "iou_balanced":
+        num_bins = 3
+        bins = jnp.clip((jnp.maximum(max_iou, 0.0) * num_bins
+                         / max(neg_iou_thr, 1e-6)).astype(jnp.int32),
+                        0, num_bins - 1)
+        rank = group_rank_desc(bins, r, is_neg)
+        r = jnp.where(is_neg, rank.astype(jnp.float32)
+                      + bins.astype(jnp.float32) / (2 * num_bins), r)
     if neg_hardness is not None:
         # hardest negatives get the smallest in-band rank
         nh = jax.lax.stop_gradient(neg_hardness)
@@ -108,15 +132,16 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
                                                     1e-12)
         r = jnp.where(is_neg, r_neg, r)
     max_pos = int(num_samples * pos_fraction)
-    # rank positives first (random order), then negatives (random order);
+    # rank positives first (in-band order), then negatives (in-band order);
     # invalid last. Cap positives by limiting their priority band size via
-    # their random rank.
-    pos_rank = jnp.where(is_pos, r, 2.0)
+    # their in-band rank.
+    pos_rank = jnp.where(is_pos, r, jnp.inf)
     pos_order = jnp.argsort(pos_rank)
     pos_within_cap = jnp.zeros_like(is_pos)
     pos_within_cap = pos_within_cap.at[pos_order[:max_pos]].set(True)
     pos_take = is_pos & pos_within_cap
-    priority = jnp.where(pos_take, r, jnp.where(is_neg, 10.0 + r, 100.0))
+    priority = jnp.where(pos_take, r,
+                         jnp.where(is_neg, 1e6 + r, jnp.inf))
     order = jnp.argsort(priority)[:num_samples]
     return (cand[order], labels[order], assigned[order],
             (pos_take | is_neg)[order], pos_take[order])
