@@ -121,3 +121,5 @@ from dsl_tpu.models.roi_heads.scnet import (  # noqa: F401
     SimplifiedBasicBlock, global_context_loss)
 from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
     SCNet, scnet_loss, scnet_predict)
+from dsl_tpu.models.dense_heads.ga_rpn_head import (  # noqa: F401
+    GARPNHead, ga_rpn_loss, ga_rpn_proposals)

@@ -140,3 +140,26 @@ def rpn_proposals(head: RPNHead, scores, deltas, img_shapes=None,
         return dets[:, :4], dets[:, 4], valid
 
     return jax.vmap(_single)(boxes, sc)
+
+
+def rpn_loss_any(head, rpn_out, batch, **kw):
+    """Dispatch RPN losses by head type (plain RPNHead or GARPNHead)."""
+    if type(head).__name__ == "GARPNHead":
+        from dsl_tpu.models.dense_heads.ga_rpn_head import ga_rpn_loss
+
+        return ga_rpn_loss(head, rpn_out, batch)
+    scores, deltas = rpn_out
+    return rpn_loss(head, scores, deltas, batch, **kw)
+
+
+def rpn_proposals_any(head, rpn_out, img_shapes=None, nms_pre: int = 1000,
+                      num_proposals: int = 1000):
+    if type(head).__name__ == "GARPNHead":
+        from dsl_tpu.models.dense_heads.ga_rpn_head import ga_rpn_proposals
+
+        return ga_rpn_proposals(head, rpn_out, img_shapes=img_shapes,
+                                nms_pre=nms_pre,
+                                num_proposals=num_proposals)
+    scores, deltas = rpn_out
+    return rpn_proposals(head, scores, deltas, img_shapes=img_shapes,
+                         nms_pre=nms_pre, num_proposals=num_proposals)

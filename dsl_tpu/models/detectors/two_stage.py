@@ -17,7 +17,7 @@ import flax.linen as nn
 
 from dsl_tpu.registry import DETECTORS, MODELS, build_from_cfg
 from dsl_tpu.models.dense_heads.rpn_head import (
-    rpn_loss, rpn_proposals)
+    rpn_loss, rpn_loss_any, rpn_proposals, rpn_proposals_any)
 from dsl_tpu.models.roi_heads.standard_roi_head import (
     roi_head_loss, roi_head_predict)
 from dsl_tpu.models.detectors.single_stage import _parse_losses
@@ -215,12 +215,12 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
     def fwd(variables, images):
         return detector.apply(variables, images, training=True)
 
-    feats, (rpn_scores, rpn_deltas) = fwd(variables, batch["images"])
-    losses = rpn_loss(detector.rpn_head, rpn_scores, rpn_deltas, batch)
+    feats, rpn_out = fwd(variables, batch["images"])
+    losses = rpn_loss_any(detector.rpn_head, rpn_out, batch)
 
     img_shapes = batch.get("img_shapes")
-    proposals, _, prop_valid = rpn_proposals(
-        detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
+    proposals, _, prop_valid = rpn_proposals_any(
+        detector.rpn_head, rpn_out, img_shapes=img_shapes,
         nms_pre=num_proposals, num_proposals=num_proposals)
     proposals = jax.lax.stop_gradient(proposals)
 
@@ -476,10 +476,10 @@ def two_stage_predict(detector, variables, images, img_shapes=None,
     tc = dict(test_cfg or detector.test_cfg or {})
     rcnn = dict(tc.get("rcnn", {}) or {})
     nms_cfg = dict(rcnn.get("nms", {}) or {})
-    feats, (rpn_scores, rpn_deltas) = detector.apply(
+    feats, rpn_out = detector.apply(
         variables, images, training=False)
-    proposals, _, prop_valid = rpn_proposals(
-        detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
+    proposals, _, prop_valid = rpn_proposals_any(
+        detector.rpn_head, rpn_out, img_shapes=img_shapes,
         nms_pre=num_proposals, num_proposals=num_proposals)
 
     def roi_apply(v, *roi_feats):
