@@ -123,3 +123,5 @@ from dsl_tpu.models.detectors.cascade_rcnn import (  # noqa: F401
     SCNet, scnet_loss, scnet_predict)
 from dsl_tpu.models.dense_heads.ga_rpn_head import (  # noqa: F401
     GARPNHead, ga_rpn_loss, ga_rpn_proposals)
+from dsl_tpu.models.dense_heads.cascade_rpn_head import (  # noqa: F401
+    CascadeRPNHead, cascade_rpn_loss, cascade_rpn_proposals)

@@ -143,11 +143,17 @@ def rpn_proposals(head: RPNHead, scores, deltas, img_shapes=None,
 
 
 def rpn_loss_any(head, rpn_out, batch, **kw):
-    """Dispatch RPN losses by head type (plain RPNHead or GARPNHead)."""
+    """Dispatch RPN losses by head type (RPNHead / GARPNHead /
+    CascadeRPNHead)."""
     if type(head).__name__ == "GARPNHead":
         from dsl_tpu.models.dense_heads.ga_rpn_head import ga_rpn_loss
 
         return ga_rpn_loss(head, rpn_out, batch)
+    if type(head).__name__ == "CascadeRPNHead":
+        from dsl_tpu.models.dense_heads.cascade_rpn_head import \
+            cascade_rpn_loss
+
+        return cascade_rpn_loss(head, rpn_out, batch)
     scores, deltas = rpn_out
     return rpn_loss(head, scores, deltas, batch, **kw)
 
@@ -160,6 +166,13 @@ def rpn_proposals_any(head, rpn_out, img_shapes=None, nms_pre: int = 1000,
         return ga_rpn_proposals(head, rpn_out, img_shapes=img_shapes,
                                 nms_pre=nms_pre,
                                 num_proposals=num_proposals)
+    if type(head).__name__ == "CascadeRPNHead":
+        from dsl_tpu.models.dense_heads.cascade_rpn_head import \
+            cascade_rpn_proposals
+
+        return cascade_rpn_proposals(head, rpn_out, img_shapes=img_shapes,
+                                     nms_pre=nms_pre,
+                                     num_proposals=num_proposals)
     scores, deltas = rpn_out
     return rpn_proposals(head, scores, deltas, img_shapes=img_shapes,
                          nms_pre=nms_pre, num_proposals=num_proposals)
