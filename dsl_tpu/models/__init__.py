@@ -125,3 +125,9 @@ from dsl_tpu.models.dense_heads.ga_rpn_head import (  # noqa: F401
     GARPNHead, ga_rpn_loss, ga_rpn_proposals)
 from dsl_tpu.models.dense_heads.cascade_rpn_head import (  # noqa: F401
     CascadeRPNHead, cascade_rpn_loss, cascade_rpn_proposals)
+from dsl_tpu.models.roi_heads.sabl_head import (  # noqa: F401
+    SABLHead, sabl_roi_loss, sabl_roi_predict)
+from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
+    RPN, FastRCNN, fast_rcnn_predict, rpn_only_loss, rpn_only_predict)
+from dsl_tpu.models.layers import (  # noqa: F401
+    DropBlock, NormedConv, NormedLinear)

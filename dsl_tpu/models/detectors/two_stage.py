@@ -561,3 +561,79 @@ def mask_rcnn_predict(detector, variables, images, img_shapes=None,
         logits, cls[:, None, None, None], axis=-1)[..., 0])
     s = logits.shape[1]
     return dets, labels, valid, probs.reshape(b, n, s, s)
+
+
+@DETECTORS.register
+class RPN(nn.Module):
+    """Standalone RPN detector (``mmdet/models/detectors/rpn.py``):
+    proposals are the detections (class-agnostic)."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    rpn_head: nn.Module
+    train_cfg: Any = None
+    test_cfg: Any = None
+
+    def __call__(self, images, training: bool = False):
+        feats = self.neck(self.backbone(images))
+        return feats, self.rpn_head(feats, training=training)
+
+
+def rpn_only_loss(detector, variables, batch):
+    _, rpn_out = detector.apply(variables, batch["images"], training=True)
+    return _parse_losses(rpn_loss_any(detector.rpn_head, rpn_out, batch))
+
+
+def rpn_only_predict(detector, variables, images, img_shapes=None,
+                     scale_factors=None, num_proposals: int = 1000):
+    """(dets (B, P, 5), labels zeros, valid) — proposals as detections."""
+    _, rpn_out = detector.apply(variables, images, training=False)
+    boxes, scores, valid = rpn_proposals_any(
+        detector.rpn_head, rpn_out, img_shapes=img_shapes,
+        num_proposals=num_proposals)
+    if scale_factors is not None:
+        boxes = boxes / scale_factors[:, None, :]
+    dets = jnp.concatenate([boxes, scores[..., None]], axis=-1)
+    return dets, jnp.zeros(scores.shape, jnp.int32), valid
+
+
+@DETECTORS.register
+class FastRCNN(nn.Module):
+    """Fast R-CNN (``mmdet/models/detectors/fast_rcnn.py``): the RoI head
+    alone — proposals come precomputed from outside."""
+
+    backbone: nn.Module
+    neck: nn.Module
+    bbox_head: nn.Module
+    train_cfg: Any = None
+    test_cfg: Any = None
+
+    def extract_feat(self, images):
+        return self.neck(self.backbone(images))
+
+    def __call__(self, images, training: bool = False):
+        return self.extract_feat(images)
+
+    def roi_forward(self, roi_feats):
+        return self.bbox_head(roi_feats)
+
+
+def fast_rcnn_predict(detector, variables, images, proposals, prop_valid,
+                      img_shapes=None, scale_factors=None,
+                      test_cfg: dict | None = None):
+    """RoI predict on externally-supplied proposals (B, P, 4)."""
+    tc = dict(test_cfg or detector.test_cfg or {})
+    rcnn = dict(tc.get("rcnn", {}) or {})
+    nms_cfg = dict(rcnn.get("nms", {}) or {})
+    feats = detector.apply(variables, images, training=False)
+
+    def roi_apply(v, *rf):
+        return detector.apply(v, *rf, method=detector.roi_forward)
+
+    return roi_head_predict(
+        detector.bbox_head, roi_apply, variables, feats, proposals,
+        prop_valid, img_shapes=img_shapes, scale_factors=scale_factors,
+        strides=(4, 8, 16, 32),
+        score_thr=rcnn.get("score_thr", 0.05),
+        iou_threshold=nms_cfg.get("iou_threshold", 0.5),
+        max_per_img=rcnn.get("max_per_img", 100))

@@ -109,3 +109,71 @@ def bias_init_with_prob(prior_prob: float) -> Callable:
 
     val = float(-math.log((1 - prior_prob) / prior_prob))
     return nn.initializers.constant(val)
+
+
+class DropBlock(nn.Module):
+    """DropBlock regularization (``mmdet/models/plugins/dropblock.py``):
+    contiguous ``block_size`` x ``block_size`` feature regions are zeroed
+    with a rate calibrated to ``drop_prob``; identity in eval mode."""
+
+    drop_prob: float = 0.1
+    block_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if not training or self.drop_prob <= 0:
+            return x
+        import jax
+
+        rng = self.make_rng("dropout")
+        b, h, w, c = x.shape
+        bs = min(self.block_size, h, w)
+        gamma = (self.drop_prob * h * w / bs ** 2
+                 / max((h - bs + 1) * (w - bs + 1), 1))
+        seeds = jax.random.bernoulli(
+            rng, gamma, (b, h - bs + 1, w - bs + 1, c)).astype(x.dtype)
+        pad = [(0, 0), (bs - 1, bs - 1), (bs - 1, bs - 1), (0, 0)]
+        mask = 1.0 - jax.lax.reduce_window(
+            seeds, 0.0, jax.lax.max, (1, bs, bs, 1), (1, 1, 1, 1),
+            [(0, 0)] + [(bs - 1, bs - 1)] * 2 + [(0, 0)])[
+            :, :h, :w]
+        keep = jnp.maximum(mask.mean(), 1e-6)
+        return x * mask / keep
+
+
+class NormedConv(nn.Module):
+    """Conv with L2-normalized weights and inputs scaled by ``tempearture``
+    (``mmdet/models/utils/normed_predictor.py`` NormedConv2d)."""
+
+    features: int
+    kernel_size: int = 1
+    tempearture: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (k, k, x.shape[-1], self.features))
+        wn = w / jnp.sqrt((w ** 2).sum(axis=(0, 1, 2), keepdims=True) + 1e-6)
+        xn = x / jnp.sqrt((x ** 2).sum(axis=-1, keepdims=True) + 1e-6)
+        import jax.lax as lax
+
+        y = lax.conv_general_dilated(
+            xn, wn, (1, 1), ((k // 2, k // 2), (k // 2, k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y * self.tempearture
+
+
+class NormedLinear(nn.Module):
+    """Dense layer with L2-normalized weights/inputs (Seesaw/LVIS heads)."""
+
+    features: int
+    tempearture: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("kernel", nn.initializers.he_normal(),
+                       (x.shape[-1], self.features))
+        wn = w / jnp.sqrt((w ** 2).sum(axis=0, keepdims=True) + 1e-6)
+        xn = x / jnp.sqrt((x ** 2).sum(axis=-1, keepdims=True) + 1e-6)
+        return (xn @ wn) * self.tempearture

@@ -240,6 +240,12 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
         [batch_idx.astype(jnp.float32), rois.reshape(-1, 4)], axis=1)
     roi_feats = extract_roi_feats(feats, flat_rois, valid.reshape(-1),
                                   strides, bbox_head.roi_size)
+    if hasattr(bbox_head, "num_buckets"):               # SABL roi head
+        from dsl_tpu.models.roi_heads.sabl_head import sabl_roi_loss
+
+        cls_logits, bucket_preds = apply_fn(variables, roi_feats)
+        return sabl_roi_loss(bbox_head, cls_logits, bucket_preds, samples,
+                             batch, num_samples)
     cls_logits, reg = _apply_bbox_head(
         bbox_head, apply_fn, variables, feats, flat_rois, valid.reshape(-1),
         strides, roi_feats)                             # (BS, C+1), (BS, C*4)
@@ -283,6 +289,15 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
         [batch_idx.astype(jnp.float32), proposals.reshape(-1, 4)], axis=1)
     roi_feats = extract_roi_feats(feats, flat_rois, prop_valid.reshape(-1),
                                   strides, bbox_head.roi_size)
+    if hasattr(bbox_head, "num_buckets"):               # SABL roi head
+        from dsl_tpu.models.roi_heads.sabl_head import sabl_roi_predict
+
+        cls_logits, bucket_preds = apply_fn(variables, roi_feats)
+        return sabl_roi_predict(
+            bbox_head, cls_logits, bucket_preds, proposals, prop_valid,
+            img_shapes=img_shapes, scale_factors=scale_factors,
+            score_thr=score_thr, iou_threshold=iou_threshold,
+            max_per_img=max_per_img)
     cls_logits, reg = _apply_bbox_head(
         bbox_head, apply_fn, variables, feats, flat_rois,
         prop_valid.reshape(-1), strides, roi_feats)
