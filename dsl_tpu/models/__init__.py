@@ -131,3 +131,5 @@ from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
     RPN, FastRCNN, fast_rcnn_predict, rpn_only_loss, rpn_only_predict)
 from dsl_tpu.models.layers import (  # noqa: F401
     DropBlock, NormedConv, NormedLinear)
+from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
+    TridentFasterRCNN, trident_loss)

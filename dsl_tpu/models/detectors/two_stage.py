@@ -637,3 +637,38 @@ def fast_rcnn_predict(detector, variables, images, proposals, prop_valid,
         score_thr=rcnn.get("score_thr", 0.05),
         iou_threshold=nms_cfg.get("iou_threshold", 0.5),
         max_per_img=rcnn.get("max_per_img", 100))
+
+
+@DETECTORS.register
+class TridentFasterRCNN(TwoStageDetector):
+    """Trident Faster R-CNN (``mmdet/models/detectors/trident_faster_rcnn.py``):
+    the TridentResNet backbone emits ``num_branch`` weight-shared branches
+    stacked along the batch axis at train time (each with a different
+    receptive field); GT is tiled per branch; a single branch serves at
+    test. TPU deviation (documented): the branch feature feeds an FPN-style
+    neck instead of the reference's C4 + shared-res5 head."""
+
+    num_branch: int = 3
+
+    def __call__(self, images, training: bool = False):
+        # the backbone needs the training flag: 3 branches at train,
+        # ``test_branch_idx`` alone at test
+        feats = self.neck(self.backbone(images, training=training))
+        return feats, self.rpn_head(feats, training=training)
+
+
+def trident_loss(detector, variables, batch, rng_key=None,
+                 num_proposals: int = 512, num_samples: int = 256):
+    """Tile the GT per trident branch (reference duplicates images across
+    branches, ``trident_faster_rcnn.py forward_train``) and reuse the
+    standard two-stage loss."""
+    nb = detector.num_branch
+    tiled = dict(batch)
+    for k in ("gt_bboxes", "gt_labels", "gt_valid", "ignore_bboxes",
+              "ignore_valid", "img_shapes", "gt_mask_crops"):
+        if k in tiled:
+            tiled[k] = jnp.tile(
+                tiled[k], (nb,) + (1,) * (tiled[k].ndim - 1))
+    return two_stage_loss(detector, variables, tiled, rng_key=rng_key,
+                          num_proposals=num_proposals,
+                          num_samples=num_samples)
