@@ -169,3 +169,57 @@ def approx_max_iou_assign(approxs, gt_bboxes, gt_labels, gt_valid,
                      pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
                      min_pos_iou=min_pos_iou, num_classes=num_classes)
     return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)
+
+
+def _grid_assign_single(boxes, responsible, gt_bboxes, gt_labels, gt_valid,
+                        pos_iou_thr, neg_iou_thr, min_pos_iou, num_classes):
+    """GridAssigner (``assigners/grid_assigner.py:44-160``): MaxIoU whose
+    positives are constrained to grid cells responsible for the gt (YOLO
+    semantics). ``responsible``: (A,) bool flags."""
+    ious = bbox_overlaps(boxes, gt_bboxes)               # (A, K)
+    ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    max_iou_all = jnp.max(ious, axis=1)
+
+    # negatives from the unconstrained IoU (step 2)
+    is_neg = (max_iou_all <= neg_iou_thr) & (max_iou_all >= 0)
+
+    # positives only among responsible boxes (steps 3-4)
+    r = responsible.astype(bool)
+    ious_r = jnp.where(r[:, None], ious, -1.0)
+    max_iou = jnp.max(ious_r, axis=1)
+    argmax = jnp.argmax(ious_r, axis=1)
+    is_pos = (max_iou > pos_iou_thr) & r
+
+    # step 4: each gt claims its best responsible box (gt_max_assign_all)
+    gt_best = jnp.max(ious_r, axis=0)                    # (K,)
+    is_best = (ious_r == gt_best[None, :]) & r[:, None] & \
+        (gt_best[None, :] > min_pos_iou) & gt_valid[None, :]
+    forced = jnp.any(is_best, axis=1)
+    forced_gt = jnp.argmax(is_best, axis=1)
+    argmax = jnp.where(forced & ~is_pos, forced_gt, argmax)
+    is_pos = is_pos | forced
+    is_neg = is_neg & ~is_pos
+
+    labels = jnp.where(is_pos, gt_labels[argmax], num_classes)
+    weights = jnp.where(is_pos | is_neg, 1.0, 0.0)
+    assigned = jnp.where(is_pos, argmax, -1)
+    return labels.astype(jnp.int32), assigned.astype(jnp.int32), \
+        weights.astype(jnp.float32), jnp.maximum(max_iou, 0.0)
+
+
+@partial(jax.jit, static_argnames=("pos_iou_thr", "neg_iou_thr",
+                                   "min_pos_iou", "num_classes"))
+def grid_assign(boxes, responsible, gt_bboxes, gt_labels, gt_valid,
+                pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=0.0,
+                num_classes=80):
+    """Batched GridAssigner. boxes (A, 4), responsible (B, A) or (A,),
+    gt_* (B, K, ...)."""
+    if responsible.ndim == 1:
+        responsible = jnp.broadcast_to(
+            responsible[None], (gt_bboxes.shape[0],) + responsible.shape)
+    single = partial(_grid_assign_single,
+                     pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+                     min_pos_iou=min_pos_iou, num_classes=num_classes)
+    return jax.vmap(lambda resp, gtb, gtl, gtv: single(
+        boxes, resp, gtb, gtl, gtv))(responsible, gt_bboxes, gt_labels,
+                                     gt_valid)

@@ -231,3 +231,105 @@ def tblr2bboxes(priors: jnp.ndarray, tblr: jnp.ndarray, normalizer=4.0,
     if max_shape is not None:
         boxes = clip_boxes(boxes, max_shape)
     return boxes
+
+
+def yolo_encode(bboxes: jnp.ndarray, gt_bboxes: jnp.ndarray, stride,
+                eps: float = 1e-6) -> jnp.ndarray:
+    """YOLOBBoxCoder.encode (``coder/yolo_bbox_coder.py:26-58``):
+    (tx, ty) = center offset / stride + 0.5 clamped to (eps, 1-eps);
+    (tw, th) = log(gt_wh / anchor_wh)."""
+    xc = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+    yc = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+    w = bboxes[..., 2] - bboxes[..., 0]
+    h = bboxes[..., 3] - bboxes[..., 1]
+    gxc = (gt_bboxes[..., 0] + gt_bboxes[..., 2]) * 0.5
+    gyc = (gt_bboxes[..., 1] + gt_bboxes[..., 3]) * 0.5
+    gw = gt_bboxes[..., 2] - gt_bboxes[..., 0]
+    gh = gt_bboxes[..., 3] - gt_bboxes[..., 1]
+    tw = jnp.log(jnp.maximum(gw / w, eps))
+    th = jnp.log(jnp.maximum(gh / h, eps))
+    tx = jnp.clip((gxc - xc) / stride + 0.5, eps, 1 - eps)
+    ty = jnp.clip((gyc - yc) / stride + 0.5, eps, 1 - eps)
+    return jnp.stack([tx, ty, tw, th], axis=-1)
+
+
+def yolo_decode(bboxes: jnp.ndarray, pred: jnp.ndarray,
+                stride) -> jnp.ndarray:
+    """YOLOBBoxCoder.decode (``yolo_bbox_coder.py:60-90``)."""
+    xc = (bboxes[..., 0] + bboxes[..., 2]) * 0.5
+    yc = (bboxes[..., 1] + bboxes[..., 3]) * 0.5
+    w = bboxes[..., 2] - bboxes[..., 0]
+    h = bboxes[..., 3] - bboxes[..., 1]
+    pxc = (pred[..., 0] - 0.5) * stride + xc
+    pyc = (pred[..., 1] - 0.5) * stride + yc
+    pw = jnp.exp(pred[..., 2]) * w
+    ph = jnp.exp(pred[..., 3]) * h
+    return jnp.stack([pxc - pw / 2, pyc - ph / 2,
+                      pxc + pw / 2, pyc + ph / 2], axis=-1)
+
+
+def legacy_bbox2delta(proposals: jnp.ndarray, gt: jnp.ndarray,
+                      means=(0., 0., 0., 0.),
+                      stds=(1., 1., 1., 1.)) -> jnp.ndarray:
+    """MMDet V1.x delta encoding (``legacy_delta_xywh_bbox_coder.py:103-160``):
+    width/height use the +1 pixel convention."""
+    px = (proposals[..., 0] + proposals[..., 2]) * 0.5
+    py = (proposals[..., 1] + proposals[..., 3]) * 0.5
+    pw = proposals[..., 2] - proposals[..., 0] + 1.0
+    ph = proposals[..., 3] - proposals[..., 1] + 1.0
+    gx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0] + 1.0
+    gh = gt[..., 3] - gt[..., 1] + 1.0
+    deltas = jnp.stack([(gx - px) / pw, (gy - py) / ph,
+                        jnp.log(gw / pw), jnp.log(gh / ph)], axis=-1)
+    means = jnp.asarray(means, deltas.dtype)
+    stds = jnp.asarray(stds, deltas.dtype)
+    return (deltas - means) / stds
+
+
+def legacy_delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
+                      means=(0., 0., 0., 0.), stds=(1., 1., 1., 1.),
+                      max_shape=None,
+                      wh_ratio_clip: float = 16 / 1000) -> jnp.ndarray:
+    """MMDet V1.x delta decoding (``legacy_delta_xywh_bbox_coder.py:130-216``):
+    +1 w/h convention and a trailing -0.5 on the br corner."""
+    import numpy as np
+
+    k = deltas.shape[-1] // 4
+    d = deltas.reshape(deltas.shape[:-1] + (k, 4))
+    means = jnp.asarray(means, d.dtype)
+    stds = jnp.asarray(stds, d.dtype)
+    d = d * stds + means
+    max_ratio = float(np.abs(np.log(wh_ratio_clip)))
+    dx, dy = d[..., 0], d[..., 1]
+    dw = jnp.clip(d[..., 2], -max_ratio, max_ratio)
+    dh = jnp.clip(d[..., 3], -max_ratio, max_ratio)
+    px = ((rois[..., 0] + rois[..., 2]) * 0.5)[..., None]
+    py = ((rois[..., 1] + rois[..., 3]) * 0.5)[..., None]
+    pw = (rois[..., 2] - rois[..., 0] + 1.0)[..., None]
+    ph = (rois[..., 3] - rois[..., 1] + 1.0)[..., None]
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gx = px + pw * dx
+    gy = py + ph * dy
+    # the reference deliberately drops the true-legacy ±0.5 corner shift
+    # (``legacy_delta_xywh_bbox_coder.py:200-208``)
+    out = jnp.stack([gx - gw * 0.5, gy - gh * 0.5,
+                     gx + gw * 0.5, gy + gh * 0.5], axis=-1)
+    if max_shape is not None:
+        out = jnp.stack([jnp.clip(out[..., 0], 0, max_shape[1] - 1),
+                         jnp.clip(out[..., 1], 0, max_shape[0] - 1),
+                         jnp.clip(out[..., 2], 0, max_shape[1] - 1),
+                         jnp.clip(out[..., 3], 0, max_shape[0] - 1)],
+                        axis=-1)
+    return out.reshape(deltas.shape)
+
+
+def pseudo_encode(bboxes: jnp.ndarray, gt_bboxes: jnp.ndarray) -> jnp.ndarray:
+    """PseudoBBoxCoder (``pseudo_bbox_coder.py``): identity."""
+    return gt_bboxes
+
+
+def pseudo_decode(bboxes: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
+    return pred

@@ -133,3 +133,18 @@ from dsl_tpu.models.layers import (  # noqa: F401
     DropBlock, NormedConv, NormedLinear)
 from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
     TridentFasterRCNN, trident_loss)
+from dsl_tpu.models.dense_heads.retina_head import (  # noqa: F401
+    RetinaSepBNHead)
+from dsl_tpu.models.detectors.two_stage import (  # noqa: F401
+    DynamicRCNN, PISAFasterRCNN)
+from dsl_tpu.models.roi_heads.dynamic_pisa import (  # noqa: F401
+    DynamicRCNNSchedule, dynamic_roi_loss, pisa_roi_loss)
+from dsl_tpu.models.roi_heads.standard_roi_head import (  # noqa: F401
+    extract_roi_feats_generic)
+from dsl_tpu.models.roi_heads.shared_heads import (  # noqa: F401
+    BBoxHeadAvgPool, ResLayerSharedHead)
+from dsl_tpu.models.necks.ssd_neck import SSDNeck  # noqa: F401
+from dsl_tpu.models.necks.channel_mapper import IdentityNeck  # noqa: F401
+from dsl_tpu.models.detectors.two_stage import FasterRCNNC4  # noqa: F401
+from dsl_tpu.models.backbones.detectors_resnet import (  # noqa: F401
+    DetectoRSResNeXt)

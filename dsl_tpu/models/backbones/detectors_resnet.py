@@ -69,18 +69,23 @@ class RFPBottleneck(nn.Module):
     rfp_in: bool = False         # first block of a stage accepts rfp_feat
     rfp_channels: int = 256
     norm_cfg: dict | None = None
+    groups: int = 1              # ResNeXt grouping (detectors_resnext.py)
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, rfp_feat=None):
         out_ch = self.planes * 4
+        width = self.planes if self.groups == 1 else \
+            int(self.planes * (self.base_width / 64.0)) * self.groups
         identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(make_norm(self.norm_cfg, name="bn1")(y))
         if self.with_sac:
-            y = SAConv(self.planes, stride=self.stride, name="conv2")(y)
+            y = SAConv(width, stride=self.stride, name="conv2")(y)
         else:
-            y = nn.Conv(self.planes, (3, 3),
+            y = nn.Conv(width, (3, 3),
                         strides=(self.stride, self.stride), padding=1,
+                        feature_group_count=self.groups,
                         use_bias=False, name="conv2")(y)
         y = nn.relu(make_norm(self.norm_cfg, name="bn2")(y))
         y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
@@ -116,6 +121,8 @@ class DetectoRSResNet(nn.Module):
     stem_channels: int = 64
     rfp_inplanes: int | None = 256           # RFP feature channels
     norm_cfg: dict | None = None
+    groups: int = 1                          # ResNeXt variant
+    base_width: int = 64
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -135,7 +142,8 @@ class DetectoRSResNet(nn.Module):
                     rfp_in=(blk == 0 and stage > 0
                             and self.rfp_inplanes is not None),
                     rfp_channels=self.rfp_inplanes or 256,
-                    norm_cfg=self.norm_cfg))
+                    norm_cfg=self.norm_cfg,
+                    groups=self.groups, base_width=self.base_width))
             stages.append(blks)
             planes *= 2
         self.stages = stages
@@ -160,3 +168,13 @@ class DetectoRSResNet(nn.Module):
         """Rerun with RFP features injected into stages 2-4
         (reference ``rfp_forward`` :74-115)."""
         return self._run(images, rfp_feats)
+
+
+@BACKBONES.register
+class DetectoRSResNeXt(DetectoRSResNet):
+    """DetectoRS over ResNeXt (``detectors_resnext.py``): grouped, widened
+    3x3 convs (width = floor(planes*base_width/64)*groups) in every
+    bottleneck; SAC and RFP plumbing inherited unchanged."""
+
+    groups: int = 32
+    base_width: int = 4

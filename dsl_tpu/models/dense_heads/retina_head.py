@@ -88,6 +88,55 @@ class RetinaHead(nn.Module):
         return tuple(cls_scores), tuple(bbox_preds)
 
 
+@HEADS.register
+class RetinaSepBNHead(RetinaHead):
+    """Retina head for NAS-FPN (``retina_sepbn_head.py``): the 3x3 conv
+    *kernels* are shared across pyramid levels while each level keeps its
+    own BatchNorm (``_init_layers`` :36-69 ties ``convs[j][i].conv`` to
+    ``convs[0][i].conv``). Here the shared convs are instantiated once and
+    per-(level, stack) FrozenBatchNorms carry the level-specific stats."""
+
+    num_ins: int = 5
+
+    @nn.compact
+    def __call__(self, feats, training: bool = False):
+        from dsl_tpu.models.layers import make_norm
+
+        num_anchors = len(self.anchor_ratios) * self.scales_per_octave
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=((1, 1), (1, 1)), use_bias=False,
+                             kernel_init=normal_init(0.01),
+                             name=f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=((1, 1), (1, 1)), use_bias=False,
+                             kernel_init=normal_init(0.01),
+                             name=f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        retina_cls = nn.Conv(num_anchors * self.num_classes, (3, 3),
+                             padding=((1, 1), (1, 1)),
+                             kernel_init=normal_init(0.01),
+                             bias_init=bias_init_with_prob(0.01),
+                             name="retina_cls")
+        retina_reg = nn.Conv(num_anchors * 4, (3, 3),
+                             padding=((1, 1), (1, 1)),
+                             kernel_init=normal_init(0.01),
+                             name="retina_reg")
+        cls_scores, bbox_preds = [], []
+        for lvl, x in enumerate(feats):
+            cf, rf = x, x
+            for i in range(self.stacked_convs):
+                cf = nn.relu(make_norm(
+                    dict(type="BN"),
+                    name=f"cls_bn_l{lvl}_s{i}")(cls_convs[i](cf)))
+                rf = nn.relu(make_norm(
+                    dict(type="BN"),
+                    name=f"reg_bn_l{lvl}_s{i}")(reg_convs[i](rf)))
+            cls_scores.append(retina_cls(cf))
+            bbox_preds.append(retina_reg(rf))
+        return tuple(cls_scores), tuple(bbox_preds)
+
+
 def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
                 axis_name: str | None = None):
     """Focal + L1 loss over MaxIoU-assigned anchors."""

@@ -347,7 +347,7 @@ def detector_loss(detector, variables, batch, cur_iter=0,
     outputs = detector.apply(fwd_vars, images, training=True)
     outputs = outputs_to_f32(outputs)
     head = detector.bbox_head
-    if type(head).__name__ == "RetinaHead":
+    if type(head).__name__ in ("RetinaHead", "RetinaSepBNHead"):
         from dsl_tpu.models.dense_heads.retina_head import retina_loss
 
         cls_scores, bbox_preds = outputs
@@ -517,7 +517,7 @@ def detector_predict(detector, variables, images, img_shapes=None,
                   iou_threshold=nms_cfg.get("iou_threshold", 0.6),
                   max_per_img=tc.get("max_per_img", 100))
     if type(head).__name__ in ("RetinaHead", "FreeAnchorRetinaHead",
-                               "PISARetinaHead"):
+                               "PISARetinaHead", "RetinaSepBNHead"):
         from dsl_tpu.models.dense_heads.retina_head import retina_get_bboxes
 
         cls_scores, bbox_preds = outputs

@@ -61,6 +61,35 @@ class MaskRCNN(TwoStageDetector):
 
 
 @DETECTORS.register
+class FasterRCNNC4(TwoStageDetector):
+    """Faster R-CNN C4 (reference configs ``faster_rcnn_r50_caffe_c4`` +
+    ``shared_heads/res_layer.py``): single C4 feature level (stride 16),
+    14x14 RoIAlign, res5 shared head per roi, avg-pool bbox head. The
+    ``neck`` is an identity/ChannelMapper-style passthrough."""
+
+    shared_head: nn.Module = None
+
+    def roi_forward(self, roi_feats):
+        return self.bbox_head(self.shared_head(roi_feats))
+
+
+@DETECTORS.register
+class DynamicRCNN(TwoStageDetector):
+    """Dynamic R-CNN (``mmdet/models/roi_heads/dynamic_roi_head.py``):
+    Faster R-CNN whose assignment IoU threshold and smooth-L1 beta follow
+    the training statistics. The live values arrive as traced scalars in
+    ``batch['dyn_iou_thr']`` / ``batch['dyn_beta']``; the step logs
+    ``dynamic_iou``/``dynamic_beta`` for the host-side
+    :class:`~dsl_tpu.models.roi_heads.dynamic_pisa.DynamicRCNNSchedule`."""
+
+
+@DETECTORS.register
+class PISAFasterRCNN(TwoStageDetector):
+    """Faster R-CNN + PISA RoI head (``pisa_roi_head.py``): ISR-P positive
+    cls reweighting and CARL regression coupling."""
+
+
+@DETECTORS.register
 class DetectoRS(TwoStageDetector):
     """DetectoRS (``configs/detectors``): DetectoRSResNet (SAC) backbone +
     RFP neck; the neck reruns its own copy of the backbone recursively, so
@@ -137,6 +166,9 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     point_cfg = cfg.pop("point_head", None)
     if point_cfg is not None:
         kwargs["point_head"] = build_from_cfg(point_cfg, MODELS)
+    shared_cfg = cfg.pop("shared_head", None)
+    if shared_cfg is not None:
+        kwargs["shared_head"] = build_from_cfg(shared_cfg, MODELS)
     return det_cls(backbone=backbone, neck=neck, rpn_head=rpn, bbox_head=roi,
                    train_cfg=cfg.pop("train_cfg", None),
                    test_cfg=cfg.pop("test_cfg", None), **kwargs)
@@ -161,7 +193,10 @@ def init_two_stage_variables(detector, rng, images):
             variables.setdefault(col, {}).update(tree)
 
     bh = detector.bbox_head
-    roi_feats = jnp.zeros((1, bh.roi_size, bh.roi_size, bh.in_channels))
+    c = bh.in_channels
+    if getattr(bh, "roi_extractor", "single") == "concat":
+        c *= 4                           # generic concat: all 4 levels
+    roi_feats = jnp.zeros((1, bh.roi_size, bh.roi_size, c))
     roi_args = (roi_feats, roi_feats) \
         if getattr(bh, "reg_roi_scale_factor", None) is not None \
         else (roi_feats,)
@@ -229,6 +264,38 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
 
     from dsl_tpu.models.roi_heads.standard_roi_head import (
         ohem_hardness, sample_batch_rois)
+
+    if isinstance(detector, DynamicRCNN):
+        from dsl_tpu.models.roi_heads.dynamic_pisa import dynamic_roi_loss
+
+        tc = dict(detector.train_cfg or {})
+        dyn = dict(tc.get("dynamic_rcnn", {}) or {})
+        roi_losses = dynamic_roi_loss(
+            detector.bbox_head, roi_apply, variables, feats, proposals,
+            prop_valid, batch, rng_key, strides=_strides_from(detector),
+            num_samples=num_samples,
+            iou_thr=batch.get("dyn_iou_thr", dyn.get("initial_iou", 0.4)),
+            beta=batch.get("dyn_beta", dyn.get("initial_beta", 1.0)),
+            iou_topk=int(dyn.get("iou_topk", 75)),
+            beta_topk=int(dyn.get("beta_topk", 10)))
+        losses.update(roi_losses)
+        return _parse_losses(losses)
+
+    if isinstance(detector, PISAFasterRCNN):
+        from dsl_tpu.models.roi_heads.dynamic_pisa import pisa_roi_loss
+
+        tc = dict(detector.train_cfg or {})
+        isr = dict(tc.get("isr", {}) or {})
+        carl = dict(tc.get("carl", {}) or {})
+        losses.update(pisa_roi_loss(
+            detector.bbox_head, roi_apply, variables, feats, proposals,
+            prop_valid, batch, rng_key, strides=_strides_from(detector),
+            num_samples=num_samples,
+            isr_k=float(isr.get("k", 2.0)),
+            isr_bias=float(isr.get("bias", 0.0)),
+            carl_k=float(carl.get("k", 1.0)),
+            carl_bias=float(carl.get("bias", 0.2))))
+        return _parse_losses(losses)
 
     neg_hardness = None
     if ohem:

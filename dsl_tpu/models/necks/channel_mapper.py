@@ -38,3 +38,16 @@ class ChannelMapper(nn.Module):
             x = nn.relu(nn.GroupNorm(num_groups=32, name=f"extra_gn{i}")(x))
             outs.append(x)
         return tuple(outs)
+
+
+from dsl_tpu.registry import NECKS as _NECKS
+
+
+@_NECKS.register
+class IdentityNeck(nn.Module):
+    """Passthrough neck for C4-style detectors (the reference simply has
+    ``neck=None`` there, ``two_stage.py:35-38``)."""
+
+    @nn.compact
+    def __call__(self, feats):
+        return tuple(feats)

@@ -35,6 +35,7 @@ class Shared2FCBBoxHead(nn.Module):
     target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
     with_reg: bool = True     # Grid R-CNN uses a cls-only bbox head
+    roi_extractor: str = "single"   # 'single' | 'sum' | 'concat' (generic)
 
     @nn.compact
     def __call__(self, roi_feats):
@@ -77,6 +78,37 @@ def extract_roi_feats(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
         sel = (levels == lvl)[:, None, None, None]
         out = f * sel if out is None else out + f * sel
     return out
+
+
+def extract_roi_feats_generic(feats: Sequence[jnp.ndarray],
+                              rois: jnp.ndarray, valid: jnp.ndarray,
+                              strides: Sequence[int], roi_size: int = 7,
+                              aggregation: str = "sum") -> jnp.ndarray:
+    """GenericRoIExtractor (``roi_extractors/generic_roi_extractor.py``,
+    arXiv 2004.13665): every roi pools from ALL pyramid levels and the
+    results are summed (or channel-concatenated) — no level assignment."""
+    num_levels = min(len(feats), 4)
+    outs = [roi_align(feats[lvl], rois, out_size=(roi_size, roi_size),
+                      spatial_scale=1.0 / strides[lvl], sampling_ratio=2,
+                      valid=valid)
+            for lvl in range(num_levels)]
+    if aggregation == "concat":
+        return jnp.concatenate(outs, axis=-1)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out + o
+    return out
+
+
+def _extract_for_head(bbox_head, feats, flat_rois, valid, strides):
+    """Level-assigned (default) or generic all-level extraction, chosen by
+    the head's ``roi_extractor`` attribute."""
+    mode = getattr(bbox_head, "roi_extractor", "single")
+    if mode in ("sum", "concat"):
+        return extract_roi_feats_generic(feats, flat_rois, valid, strides,
+                                         bbox_head.roi_size, aggregation=mode)
+    return extract_roi_feats(feats, flat_rois, valid, strides,
+                             bbox_head.roi_size)
 
 
 def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
@@ -148,17 +180,20 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
 
 
 def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,
-                      num_samples: int = 512, neg_hardness=None):
+                      num_samples: int = 512, neg_hardness=None,
+                      pos_iou_thr=0.5, neg_iou_thr=0.5):
     """Batched fixed-shape roi sampling (shared by bbox + mask branches,
     as the reference's StandardRoIHead passes one ``sampling_results`` to
     both, ``standard_roi_head.py:180-266``). ``neg_hardness`` (B, P+K)
-    enables OHEM negative mining."""
+    enables OHEM negative mining. The IoU thresholds may be traced scalars
+    (Dynamic R-CNN threads its live threshold through here)."""
     b = proposals.shape[0]
     keys = jax.random.split(rng_key, b)
 
     def per_image(key, props, pvalid, gtb, gtl, gtv, nh):
         return sample_rois(key, props, pvalid, gtb, gtl, gtv, num_classes,
-                           num_samples=num_samples, neg_hardness=nh)
+                           num_samples=num_samples, neg_hardness=nh,
+                           pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr)
 
     if neg_hardness is None:
         per = lambda key, props, pvalid, gtb, gtl, gtv: per_image(
@@ -238,8 +273,8 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
         jnp.arange(b)[:, None], (b, num_samples)).reshape(-1, 1)
     flat_rois = jnp.concatenate(
         [batch_idx.astype(jnp.float32), rois.reshape(-1, 4)], axis=1)
-    roi_feats = extract_roi_feats(feats, flat_rois, valid.reshape(-1),
-                                  strides, bbox_head.roi_size)
+    roi_feats = _extract_for_head(bbox_head, feats, flat_rois,
+                                  valid.reshape(-1), strides)
     if hasattr(bbox_head, "num_buckets"):               # SABL roi head
         from dsl_tpu.models.roi_heads.sabl_head import sabl_roi_loss
 
@@ -287,8 +322,8 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
     batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, p)).reshape(-1, 1)
     flat_rois = jnp.concatenate(
         [batch_idx.astype(jnp.float32), proposals.reshape(-1, 4)], axis=1)
-    roi_feats = extract_roi_feats(feats, flat_rois, prop_valid.reshape(-1),
-                                  strides, bbox_head.roi_size)
+    roi_feats = _extract_for_head(bbox_head, feats, flat_rois,
+                                  prop_valid.reshape(-1), strides)
     if hasattr(bbox_head, "num_buckets"):               # SABL roi head
         from dsl_tpu.models.roi_heads.sabl_head import sabl_roi_predict
 

@@ -1,0 +1,80 @@
+"""RetinaSepBNHead, SSDNeck, DetectoRSResNeXt fill-in tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_retina_sepbn_head_shared_convs_separate_bn():
+    from dsl_tpu.models.dense_heads.retina_head import (
+        RetinaSepBNHead, retina_loss)
+
+    head = RetinaSepBNHead(num_classes=4, in_channels=16, feat_channels=16,
+                           stacked_convs=2, strides=(8, 16), num_ins=2)
+    feats = [jnp.asarray(np.random.RandomState(i).rand(2, s, s, 16),
+                         jnp.float32) for i, s in enumerate((8, 4))]
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    cls_scores, bbox_preds = head.apply(variables, feats)
+    assert cls_scores[0].shape == (2, 8, 8, 9 * 4)
+    assert bbox_preds[1].shape == (2, 4, 4, 9 * 4)
+
+    params = variables["params"]
+    # conv kernels shared across levels: exactly stacked_convs cls convs
+    assert "cls_conv0" in params and "cls_conv1" in params
+    assert "cls_conv2" not in params
+    # but BN is per (level, stack)
+    for lvl in range(2):
+        for s in range(2):
+            assert f"cls_bn_l{lvl}_s{s}" in params
+
+    batch = dict(
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]], [[8., 8., 30., 30.]]]),
+        gt_labels=jnp.asarray([[1], [2]], jnp.int32),
+        gt_valid=jnp.ones((2, 1), bool))
+    losses = retina_loss(head, cls_scores, bbox_preds, batch)
+    assert np.isfinite(float(losses["loss_cls"]))
+    assert np.isfinite(float(losses["loss_bbox"]))
+
+
+def test_ssd_neck_shapes():
+    from dsl_tpu.models.necks.ssd_neck import SSDNeck
+
+    neck = SSDNeck(in_channels=(32, 64), out_channels=(32, 64, 48, 32),
+                   level_strides=(2, 2), level_paddings=(1, 1))
+    feats = [jnp.zeros((2, 16, 16, 32)), jnp.zeros((2, 8, 8, 64))]
+    variables = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(variables, feats)
+    assert len(outs) == 4
+    assert outs[0].shape == (2, 16, 16, 32)      # passthrough
+    assert outs[2].shape == (2, 4, 4, 48)
+    assert outs[3].shape == (2, 2, 2, 32)
+
+
+def test_ssd_neck_depthwise_l2norm():
+    from dsl_tpu.models.necks.ssd_neck import SSDNeck
+
+    neck = SSDNeck(in_channels=(32, 64), out_channels=(32, 64, 48),
+                   level_strides=(2,), level_paddings=(1,),
+                   l2_norm_scale=20.0, use_depthwise=True,
+                   norm_cfg=dict(type="BN"))
+    feats = [jnp.ones((1, 8, 8, 32)), jnp.ones((1, 4, 4, 64))]
+    variables = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(variables, feats)
+    assert outs[2].shape == (1, 2, 2, 48)
+    # L2Norm: per-pixel channel norm == scale
+    n = np.linalg.norm(np.asarray(outs[0])[0, 0, 0])
+    assert np.isclose(n, 20.0, rtol=1e-4)
+
+
+def test_detectors_resnext_grouped_width():
+    from dsl_tpu.models.backbones.detectors_resnet import DetectoRSResNeXt
+
+    bb = DetectoRSResNeXt(depth=50, groups=4, base_width=4,
+                          sac_stages=(1, 2, 3), rfp_inplanes=None)
+    imgs = jnp.zeros((1, 64, 64, 3))
+    variables = bb.init(jax.random.PRNGKey(0), imgs)
+    outs = bb.apply(variables, imgs)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    # grouped width: stage-1 conv2 kernel is (3,3,width/groups,width)
+    k = variables["params"]["stages_0_0"]["conv1"]["kernel"]
+    assert k.shape[-1] == int(64 * (4 / 64.0)) * 4   # width = 16
