@@ -34,9 +34,11 @@ class DetectorBundle:
 
 
 def init_detector(config, checkpoint: str | None = None,
-                  canvas_hw=DEFAULT_CANVAS) -> DetectorBundle:
+                  canvas_hw=None) -> DetectorBundle:
     if isinstance(config, str):
         config = Config.fromfile(config)
+    if canvas_hw is None:           # config override beats the default
+        canvas_hw = tuple(config.get("canvas_hw", DEFAULT_CANVAS))
     detector = build_detector(dict(config.model))
     imgs = jnp.zeros((1, *canvas_hw, 3), jnp.float32)
     from dsl_tpu.models.detectors.single_stage import init_detector_variables
