@@ -128,33 +128,45 @@ def points2bbox(head, pts, moment):
 
 
 def _point_assign_single(pts, pt_lvls, gt_bboxes, gt_labels, gt_valid,
-                         num_classes, scale=4):
-    """PointAssigner: each GT claims the nearest point at its matched level;
-    point conflicts go to the closer GT."""
+                         num_classes, scale=4, pos_num=1):
+    """PointAssigner (``point_assigner.py:19-134``): each GT claims its
+    ``pos_num`` nearest points at its matched level; point conflicts go to
+    the closer GT. RepPoints configs use ``pos_num=1``; the reference
+    default is 3."""
     k = gt_bboxes.shape[0]
     p = pts.shape[0]
-    w = gt_bboxes[:, 2] - gt_bboxes[:, 0]
-    h = gt_bboxes[:, 3] - gt_bboxes[:, 1]
-    gt_lvl = jnp.floor(0.5 * (jnp.log2(jnp.maximum(w, 1e-6) / scale)
-                              + jnp.log2(jnp.maximum(h, 1e-6) / scale)))
+    w = jnp.maximum(gt_bboxes[:, 2] - gt_bboxes[:, 0], 1e-6)
+    h = jnp.maximum(gt_bboxes[:, 3] - gt_bboxes[:, 1], 1e-6)
+    # .int() truncation, matching the reference (:77-79)
+    gt_lvl = jnp.trunc(0.5 * (jnp.log2(w / scale) + jnp.log2(h / scale)))
     gt_lvl = jnp.clip(gt_lvl, pt_lvls.min(), pt_lvls.max())
     cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
     cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
-    dist = jnp.sqrt((pts[:, 0][:, None] - cx[None, :]) ** 2
-                    + (pts[:, 1][:, None] - cy[None, :]) ** 2)     # (P, K)
+    # gt-normalized distance (:100): ((p - center) / gt_wh).norm()
+    dist = jnp.sqrt(((pts[:, 0][:, None] - cx[None, :]) / w[None, :]) ** 2
+                    + ((pts[:, 1][:, None] - cy[None, :])
+                       / h[None, :]) ** 2)                         # (P, K)
     lvl_ok = pt_lvls[:, None] == gt_lvl[None, :]
     dist = jnp.where(lvl_ok & gt_valid[None, :], dist, jnp.inf)
-    nearest = jnp.argmin(dist, axis=0)                              # (K,)
-    nearest_d = jnp.min(dist, axis=0)
+    kk = min(int(pos_num), p)
+    neg_d, top_idx = jax.lax.top_k(-dist.T, kk)          # (K, kk)
+    top_d = -neg_d
 
     def body(carry, g):
         assigned, best_d = carry
-        idx = nearest[g]
-        d = nearest_d[g]
-        ok = gt_valid[g] & jnp.isfinite(d) & (d < best_d[idx])
-        assigned = assigned.at[idx].set(jnp.where(ok, g, assigned[idx]))
-        best_d = best_d.at[idx].set(jnp.where(ok, d, best_d[idx]))
-        return (assigned, best_d), None
+
+        def inner(carry2, j):
+            assigned2, best_d2 = carry2
+            idx = top_idx[g, j]
+            d = top_d[g, j]
+            ok = gt_valid[g] & jnp.isfinite(d) & (d < best_d2[idx])
+            assigned2 = assigned2.at[idx].set(
+                jnp.where(ok, g, assigned2[idx]))
+            best_d2 = best_d2.at[idx].set(jnp.where(ok, d, best_d2[idx]))
+            return (assigned2, best_d2), None
+
+        carry, _ = jax.lax.scan(inner, (assigned, best_d), jnp.arange(kk))
+        return carry, None
 
     init = (jnp.full((p,), -1, jnp.int32), jnp.full((p,), jnp.inf))
     (assigned, _), _ = jax.lax.scan(body, init, jnp.arange(k))

@@ -162,17 +162,51 @@ def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
         num_pos = jax.lax.psum(num_pos, axis_name)
     num_pos = jnp.maximum(num_pos, 1.0)
 
-    loss_cls = L.sigmoid_focal_loss(flat_cls, labels, weight=weights,
-                                    avg_factor=num_pos)
+    cls_cfg = dict(head.loss_cls or {})
+    cls_type = cls_cfg.get("type", "FocalLoss")
+    if cls_type == "GHMC":
+        # GHM-C over the per-anchor one-hot targets (``configs/ghm``)
+        onehot = jax.nn.one_hot(jnp.clip(labels, 0, nc - 1), nc) \
+            * (labels < nc)[..., None]
+        lw = jnp.broadcast_to(weights[..., None], flat_cls.shape)
+        # momentum (EMA bin counts) needs cross-step state; the stateless
+        # per-batch density (momentum=0) is used here — pass acc_sum through
+        # a custom train step to enable the EMA variant (core/losses.py)
+        loss_cls = L.ghm_c_loss(
+            flat_cls, onehot, lw,
+            bins=int(cls_cfg.get("bins", 10))) \
+            * float(cls_cfg.get("loss_weight", 1.0))
+    else:
+        loss_cls = L.sigmoid_focal_loss(flat_cls, labels, weight=weights,
+                                        avg_factor=num_pos)
 
     # bbox targets: encode assigned gt vs anchor
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
     deltas = bbox2delta(anchors[None], gt, head.target_means,
                         head.target_stds)
-    loss_bbox = L.l1_loss(flat_reg, deltas,
-                          weight=pos.astype(jnp.float32)[..., None],
-                          avg_factor=num_pos)
+    posw = pos.astype(jnp.float32)[..., None]
+    bbox_cfg = dict(head.loss_bbox or {})
+    bbox_type = bbox_cfg.get("type", "L1Loss")
+    if bbox_type == "GHMR":
+        loss_bbox = L.ghm_r_loss(
+            flat_reg, deltas, jnp.broadcast_to(posw, flat_reg.shape),
+            mu=float(bbox_cfg.get("mu", 0.02)),
+            bins=int(bbox_cfg.get("bins", 10))) \
+            * float(bbox_cfg.get("loss_weight", 1.0))
+    elif bbox_type == "BalancedL1Loss":
+        loss_bbox = L.balanced_l1_loss(
+            flat_reg, deltas, weight=posw, avg_factor=num_pos,
+            alpha=float(bbox_cfg.get("alpha", 0.5)),
+            gamma=float(bbox_cfg.get("gamma", 1.5)),
+            beta=float(bbox_cfg.get("beta", 1.0)))
+    elif bbox_type == "SmoothL1Loss":
+        loss_bbox = L.smooth_l1_loss(
+            flat_reg, deltas, beta=float(bbox_cfg.get("beta", 1.0)),
+            weight=posw, avg_factor=num_pos)
+    else:
+        loss_bbox = L.l1_loss(flat_reg, deltas, weight=posw,
+                              avg_factor=num_pos)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
 

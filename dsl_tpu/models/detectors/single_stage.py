@@ -202,7 +202,13 @@ def build_detector(cfg: dict, train_cfg=None, test_cfg=None) -> nn.Module:
     det_type = cfg.pop("type")
     backbone = build_from_cfg(cfg.pop("backbone"), MODELS)
     neck_cfg = cfg.pop("neck", None)
-    neck = build_from_cfg(neck_cfg, MODELS) if neck_cfg else None
+    if isinstance(neck_cfg, (list, tuple)):   # e.g. [FPN, BFP] (Libra)
+        from dsl_tpu.models.necks.channel_mapper import SequentialNeck
+
+        neck = SequentialNeck(necks=tuple(
+            build_from_cfg(c, MODELS) for c in neck_cfg))
+    else:
+        neck = build_from_cfg(neck_cfg, MODELS) if neck_cfg else None
     head = build_from_cfg(_clean_head_cfg(cfg.pop("bbox_head")), MODELS)
     det_cls = MODELS.get(det_type)
     if det_cls is None:

@@ -150,8 +150,20 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     det_type = cfg.pop("type", "FasterRCNN")
     backbone = build_from_cfg(cfg.pop("backbone"), MODELS)
     neck = build_from_cfg(cfg.pop("neck"), MODELS)
-    rpn = build_from_cfg(cfg.pop("rpn_head"), MODELS)
-    roi = build_from_cfg(cfg.pop("bbox_head"), MODELS)
+    rpn_cfg = cfg.pop("rpn_head", None)
+    roi_cfg = cfg.pop("bbox_head", None)
+    if det_type == "RPN":             # proposals-only detector
+        return RPN(backbone=backbone, neck=neck,
+                   rpn_head=build_from_cfg(rpn_cfg, MODELS),
+                   train_cfg=cfg.pop("train_cfg", None),
+                   test_cfg=cfg.pop("test_cfg", None))
+    if det_type == "FastRCNN":        # roi-head-only detector
+        return FastRCNN(backbone=backbone, neck=neck,
+                        bbox_head=build_from_cfg(roi_cfg, MODELS),
+                        train_cfg=cfg.pop("train_cfg", None),
+                        test_cfg=cfg.pop("test_cfg", None))
+    rpn = build_from_cfg(rpn_cfg, MODELS)
+    roi = build_from_cfg(roi_cfg, MODELS)
     det_cls = MODELS.get(det_type)
     kwargs = {}
     mask_cfg = cfg.pop("mask_head", None)

@@ -51,3 +51,17 @@ class IdentityNeck(nn.Module):
     @nn.compact
     def __call__(self, feats):
         return tuple(feats)
+
+
+@_NECKS.register
+class SequentialNeck(nn.Module):
+    """Compose necks in sequence (the reference expresses Libra R-CNN as
+    ``neck=[FPN, BFP]`` — ``configs/libra_rcnn``)."""
+
+    necks: tuple
+
+    @nn.compact
+    def __call__(self, feats):
+        for neck in self.necks:
+            feats = neck(feats)
+        return feats

@@ -64,3 +64,38 @@ def local_batch_size(mesh: Mesh, global_batch: int) -> int:
     n = mesh.shape[DATA_AXIS]
     assert global_batch % n == 0, (global_batch, n)
     return global_batch // n
+
+
+def fsdp_sharding(mesh: Mesh, tree: Any, axis: str = DATA_AXIS,
+                  min_size: int = 1024) -> Any:
+    """ZeRO/FSDP-style sharding spec for a state pytree: each array is
+    partitioned along its largest dimension divisible by the axis size
+    (arrays smaller than ``min_size`` elements stay replicated — the
+    all-gather latency would dominate their memory win). XLA inserts the
+    gather/scatter collectives around use sites; this is the TPU-native
+    counterpart of torch FSDP / ZeRO-3 parameter sharding.
+    """
+    n = mesh.shape[axis]
+
+    def _spec(x):
+        shape = getattr(x, "shape", ())
+        if not shape or int(np.prod(shape)) < min_size:
+            return NamedSharding(mesh, P())
+        # largest divisible dim
+        best, best_dim = -1, None
+        for d, s in enumerate(shape):
+            if s % n == 0 and s > best:
+                best, best_dim = s, d
+        if best_dim is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[best_dim] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(_spec, tree)
+
+
+def shard_state_fsdp(mesh: Mesh, tree: Any, **kw) -> Any:
+    """Place a state pytree with fsdp_sharding."""
+    sh = fsdp_sharding(mesh, tree, **kw)
+    return jax.tree_util.tree_map(jax.device_put, tree, sh)

@@ -76,19 +76,44 @@ def build_lr_schedule(base_lr: float, warmup_iters: int = 500,
                       warmup_ratio: float = 1.0 / 3.0,
                       step_epochs: Sequence[int] = (),
                       steps_per_epoch: int = 1,
-                      gamma: float = 0.1) -> Callable:
-    """mmcv 'step' policy with linear warmup (``lr_config`` in the configs)."""
+                      gamma: float = 0.1,
+                      policy: str = "step",
+                      total_iters: int | None = None,
+                      min_lr_ratio: float = 0.0,
+                      power: float = 1.0) -> Callable:
+    """mmcv lr policies with linear warmup (``lr_config`` in the configs).
+
+    ``policy``: 'step' (``StepLrUpdaterHook``), 'CosineAnnealing'
+    (``CosineAnnealingLrUpdaterHook``: cosine from base to
+    ``base*min_lr_ratio`` over ``total_iters``), or 'poly'
+    (``PolyLrUpdaterHook``)."""
     boundaries = [int(e * steps_per_epoch) for e in step_epochs]
 
     def schedule(step):
+        import numpy as np
+
         step = jnp.asarray(step, jnp.float32)
         # linear warmup from base_lr*warmup_ratio to base_lr
-        frac = jnp.clip(step / jnp.maximum(warmup_iters, 1), 0.0, 1.0)
-        warm = base_lr * (warmup_ratio + (1 - warmup_ratio) * frac)
-        # step decay
-        decay = jnp.asarray(1.0, jnp.float32)
-        for b in boundaries:
-            decay = decay * jnp.where(step >= b, gamma, 1.0)
+        if warmup_iters > 0:
+            frac = jnp.clip(step / warmup_iters, 0.0, 1.0)
+            warm = base_lr * (warmup_ratio + (1 - warmup_ratio) * frac)
+        else:
+            warm = jnp.asarray(base_lr, jnp.float32)
+        pol = policy.lower()
+        if pol == "step":
+            decay = jnp.asarray(1.0, jnp.float32)
+            for b in boundaries:
+                decay = decay * jnp.where(step >= b, gamma, 1.0)
+            return warm * decay
+        total = max(int(total_iters or 1), 1)
+        prog = jnp.clip(step / total, 0.0, 1.0)
+        if pol == "cosineannealing":
+            cos = 0.5 * (1.0 + jnp.cos(np.pi * prog))
+            decay = min_lr_ratio + (1.0 - min_lr_ratio) * cos
+        elif pol == "poly":
+            decay = jnp.maximum((1.0 - prog) ** power, min_lr_ratio)
+        else:
+            raise ValueError(f"unknown lr policy {policy}")
         return warm * decay
 
     return schedule
@@ -142,29 +167,110 @@ def make_optimizer(params: Any, base_lr_schedule: Callable,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class AdamWState(NamedTuple):
+    mu: Any
+    nu: Any
+    count: Any
+
+
+def make_adamw(params: Any, base_lr_schedule: Callable,
+               betas=(0.9, 0.999), eps: float = 1e-8,
+               weight_decay: float = 0.0001,
+               custom_lr_mults: dict | None = None,
+               grad_clip_norm: float | None = None,
+               frozen_mask: Any = None):
+    """torch-AdamW semantics (decoupled weight decay) with mmcv
+    ``paramwise_cfg.custom_keys`` lr multipliers — the optimizer of the
+    DETR / Deformable DETR / Sparse R-CNN configs (e.g.
+    ``configs/detr/detr_r50_8x2_150e_coco.py``: ``backbone`` lr_mult 0.1)."""
+    custom = dict(custom_lr_mults or {})
+
+    def _mult(path):
+        names = _path_names(path)
+        for key, m in custom.items():
+            if any(key in n for n in names):
+                return float(m)
+        return 1.0
+
+    lr_mult = jax.tree_util.tree_map_with_path(
+        lambda p, _: _mult(p), params)
+    if frozen_mask is None:
+        frozen_mask = jax.tree_util.tree_map(lambda _: False, params)
+    b1, b2 = betas
+
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamWState(mu=z, nu=jax.tree_util.tree_map(
+            jnp.zeros_like, params), count=jnp.zeros((), jnp.int32))
+
+    def update_fn(grads, state, params):
+        if grad_clip_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, grad_clip_norm / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1 - b2) * g * g, state.nu, grads)
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+        lr = base_lr_schedule(state.count)
+        updates = jax.tree_util.tree_map(
+            lambda m, v, p, lm, fz: jnp.where(
+                fz, 0.0,
+                -lr * lm * ((m / c1) / (jnp.sqrt(v / c2) + eps)
+                            + weight_decay * p)),
+            mu, nu, params, lr_mult, frozen_mask)
+        return updates, AdamWState(mu=mu, nu=nu, count=count)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer_from_cfg(params: Any, optimizer_cfg: dict,
                              optimizer_config: dict | None = None,
                              lr_config: dict | None = None,
                              steps_per_epoch: int = 1,
-                             frozen_mask: Any = None):
+                             frozen_mask: Any = None,
+                             total_epochs: int | None = None):
     """Wire the three reference config blocks into make_optimizer."""
     optimizer_cfg = dict(optimizer_cfg or {})
     opt_type = optimizer_cfg.get("type", "SGD")
-    if opt_type != "SGD":
-        raise NotImplementedError(f"optimizer {opt_type}")
     lr = optimizer_cfg.get("lr", 0.01)
     pw = dict(optimizer_cfg.get("paramwise_cfg", {}) or {})
     lrc = dict(lr_config or {})
+    total_iters = None
+    if total_epochs:
+        total_iters = int(total_epochs) * max(steps_per_epoch, 1)
     sched = build_lr_schedule(
         lr,
         warmup_iters=lrc.get("warmup_iters", 0),
         warmup_ratio=lrc.get("warmup_ratio", 1.0),
         step_epochs=lrc.get("step", ()),
         steps_per_epoch=steps_per_epoch,
-        gamma=lrc.get("gamma", 0.1))
+        gamma=lrc.get("gamma", 0.1),
+        policy=lrc.get("policy", "step"),
+        total_iters=total_iters,
+        min_lr_ratio=lrc.get("min_lr_ratio", 0.0),
+        power=lrc.get("power", 1.0))
     clip = None
     if optimizer_config and optimizer_config.get("grad_clip"):
         clip = optimizer_config["grad_clip"].get("max_norm", 35.0)
+    if opt_type in ("AdamW", "Adam"):
+        custom = {k: v.get("lr_mult", 1.0) for k, v in
+                  dict(pw.get("custom_keys", {}) or {}).items()}
+        return make_adamw(
+            params, sched,
+            betas=tuple(optimizer_cfg.get("betas", (0.9, 0.999))),
+            eps=optimizer_cfg.get("eps", 1e-8),
+            weight_decay=optimizer_cfg.get("weight_decay",
+                                           0.0 if opt_type == "Adam"
+                                           else 1e-4),
+            custom_lr_mults=custom,
+            grad_clip_norm=clip,
+            frozen_mask=frozen_mask), sched
+    if opt_type != "SGD":
+        raise NotImplementedError(f"optimizer {opt_type}")
     return make_optimizer(
         params, sched,
         momentum=optimizer_cfg.get("momentum", 0.9),

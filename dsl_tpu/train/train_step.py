@@ -153,3 +153,20 @@ def jit_eval_step(eval_step: Callable, mesh) -> Callable:
     return jax.jit(eval_step,
                    in_shardings=(rep, bsh, bsh, bsh),
                    out_shardings=bsh)
+
+
+def jit_train_step_fsdp(train_step: Callable, mesh, state_example) -> Callable:
+    """Jit with the TrainState sharded FSDP-style over the ``data`` axis
+    (params/EMA/optimizer moments partitioned; XLA all-gathers weights at
+    use and reduce-scatters gradients — ZeRO-3 semantics with zero manual
+    collectives). ``state_example`` provides the pytree structure/shapes."""
+    from dsl_tpu.parallel.mesh import batch_sharding, fsdp_sharding
+
+    ssh = fsdp_sharding(mesh, state_example)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(ssh, bsh),
+        out_shardings=(ssh, replicated(mesh)),
+        donate_argnums=(0,),
+    )

@@ -23,8 +23,12 @@ def test_config_parses_and_builds(path):
     cfg = Config.fromfile(path)
     assert "model" in cfg
     det = build_detector(dict(cfg.model))
-    head = det.bbox_heads[0] if hasattr(det, "bbox_heads") else det.bbox_head
-    assert head.num_classes > 0
+    head = det.bbox_heads[0] if hasattr(det, "bbox_heads") \
+        else getattr(det, "bbox_head", None)
+    if head is not None:
+        assert head.num_classes > 0
+    else:                     # proposals-only detector (configs/rpn)
+        assert det.rpn_head is not None
     # data / schedule sections well-formed
     assert "data" in cfg and "train" in cfg.data
     assert "optimizer" in cfg

@@ -98,3 +98,25 @@ def test_robustness_eval_aggregate():
     assert np.isclose(mPC["bbox_mAP"], 0.25)
     assert np.isclose(P["bbox_mAP"], 0.5)
     assert np.isclose(rPC["bbox_mAP"], 0.5)
+
+
+def test_convert_checkpoint_styles():
+    from convert_checkpoint import convert_regnet_key, convert_state_dict
+
+    assert convert_regnet_key("stem.conv.weight") == "conv1.weight"
+    assert convert_regnet_key("stem.bn.bias") == "bn1.bias"
+    assert convert_regnet_key("head.fc.weight") == "fc.weight"
+    assert convert_regnet_key("s1.b1.proj.weight") == \
+        "layer1.0.downsample.0.weight"
+    assert convert_regnet_key("s1.b1.bn.weight") == \
+        "layer1.0.downsample.1.weight"
+    assert convert_regnet_key("s2.b3.f.a_bn.running_mean") == \
+        "layer2.2.bn1.running_mean"
+    assert convert_regnet_key("s4.b1.f.c.weight") == "layer4.0.conv3.weight"
+
+    moco = {"module.encoder_q.conv1.weight": 1,
+            "module.encoder_k.conv1.weight": 2, "queue": 3}
+    out = convert_state_dict(moco, "moco")
+    assert dict(out) == {"conv1.weight": 1}
+    swav = {"module.conv1.weight": 4, "prototypes.weight": 5}
+    assert dict(convert_state_dict(swav, "swav")) == {"conv1.weight": 4}

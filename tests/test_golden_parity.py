@@ -281,3 +281,45 @@ def test_tblr_coder_matches_mmdet_golden():
     enc = bboxes2tblr(pri, gts, normalizer=4.0)
     dec = np.asarray(tblr2bboxes(pri, enc, normalizer=4.0))
     np.testing.assert_allclose(dec[0], np.asarray(gts)[0], atol=1e-6)
+
+
+def test_max_iou_assigner_mmdet_golden():
+    """Pinned to the reference's own unit test
+    (``tests/test_utils/test_assigner.py:15-37``): expected 1-based
+    gt_inds [1, 0, 2, 0] -> our 0-based assigned [0, -1, 1, -1]."""
+    from dsl_tpu.core.assigners import max_iou_assign
+
+    boxes = jnp.asarray([[0., 0., 10., 10.], [10., 10., 20., 20.],
+                         [5., 5., 15., 15.], [32., 32., 38., 42.]])
+    gt = jnp.asarray([[[0., 0., 10., 9.], [0., 10., 10., 19.]]])
+    gtl = jnp.asarray([[2, 3]], jnp.int32)
+    gtv = jnp.ones((1, 2), bool)
+    labels, assigned, weights, max_iou = max_iou_assign(
+        boxes, gt, gtl, gtv, pos_iou_thr=0.5, neg_iou_thr=0.5,
+        min_pos_iou=0.0, num_classes=5, match_low_quality=True)
+    assert assigned[0].tolist() == [0, -1, 1, -1]
+    assert labels[0].tolist() == [2, 5, 3, 5]
+
+    # empty gt -> everything background (reference :66-84)
+    labels2, assigned2, _, _ = max_iou_assign(
+        boxes, gt, gtl, jnp.zeros((1, 2), bool), pos_iou_thr=0.5,
+        neg_iou_thr=0.5, min_pos_iou=0.0, num_classes=5)
+    assert assigned2[0].tolist() == [-1, -1, -1, -1]
+    assert labels2[0].tolist() == [5, 5, 5, 5]
+
+
+def test_point_assigner_mmdet_golden():
+    """Pinned to ``tests/test_utils/test_assigner.py:155-170``: expected
+    1-based gt_inds [1, 2, 1, 0] with the default pos_num=3."""
+    from dsl_tpu.models.dense_heads.reppoints_head import \
+        _point_assign_single
+
+    pts = jnp.asarray([[0., 0.], [10., 10.], [5., 5.], [32., 32.]])
+    lvls = jnp.zeros((4,))                      # stride 1 -> level 0
+    gt = jnp.asarray([[0., 0., 10., 9.], [0., 10., 10., 19.]])
+    gtl = jnp.asarray([1, 2], jnp.int32)
+    gtv = jnp.ones((2,), bool)
+    labels, assigned = _point_assign_single(pts, lvls, gt, gtl, gtv,
+                                            num_classes=4, pos_num=3)
+    assert assigned.tolist() == [0, 1, 0, -1]
+    assert labels.tolist() == [1, 2, 1, 4]

@@ -78,3 +78,33 @@ def test_detectors_resnext_grouped_width():
     # grouped width: stage-1 conv2 kernel is (3,3,width/groups,width)
     k = variables["params"]["stages_0_0"]["conv1"]["kernel"]
     assert k.shape[-1] == int(64 * (4 / 64.0)) * 4   # width = 16
+
+
+def test_retina_loss_ghm_and_balanced_l1():
+    from dsl_tpu.models.dense_heads.retina_head import RetinaHead, retina_loss
+
+    feats = [jnp.asarray(np.random.RandomState(i).rand(1, s, s, 16),
+                         jnp.float32) for i, s in enumerate((8, 4))]
+    batch = dict(
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]]]),
+        gt_labels=jnp.asarray([[1]], jnp.int32),
+        gt_valid=jnp.ones((1, 1), bool))
+
+    def run(loss_cls=None, loss_bbox=None):
+        head = RetinaHead(num_classes=4, in_channels=16, feat_channels=16,
+                          stacked_convs=1, strides=(8, 16),
+                          loss_cls=loss_cls, loss_bbox=loss_bbox)
+        variables = head.init(jax.random.PRNGKey(0), feats)
+        cls_scores, bbox_preds = head.apply(variables, feats)
+        return retina_loss(head, cls_scores, bbox_preds, batch)
+
+    focal = run()
+    ghm = run(loss_cls=dict(type='GHMC', bins=30, momentum=0.75),
+              loss_bbox=dict(type='GHMR', mu=0.02, bins=10,
+                             loss_weight=10.0))
+    bal = run(loss_bbox=dict(type='BalancedL1Loss', beta=0.11))
+    for d in (focal, ghm, bal):
+        assert np.isfinite(float(d["loss_cls"]))
+        assert np.isfinite(float(d["loss_bbox"]))
+    assert not np.isclose(float(focal["loss_cls"]), float(ghm["loss_cls"]))
+    assert not np.isclose(float(focal["loss_bbox"]), float(bal["loss_bbox"]))
