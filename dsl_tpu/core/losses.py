@@ -446,3 +446,27 @@ def bounded_iou_loss(pred: jnp.ndarray, target: jnp.ndarray,
     loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
                      comb - 0.5 * beta)
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+class SeesawCounter:
+    """Host-side running per-class sample counts for SeesawLoss.
+
+    The reference keeps ``cum_samples`` as a module buffer updated from the
+    labels seen in each loss call (``seesaw_loss.py:214-222``); under jit the
+    counts are explicit traced state instead: feed each batch's gt labels
+    here and pass ``.counts`` in as ``batch['cum_samples']``."""
+
+    def __init__(self, num_classes: int):
+        import numpy as np
+
+        self.counts = np.ones((num_classes + 1,), np.float32)
+        self.num_classes = num_classes
+
+    def update(self, gt_labels, gt_valid=None):
+        import numpy as np
+
+        labels = np.asarray(gt_labels).reshape(-1)
+        if gt_valid is not None:
+            labels = labels[np.asarray(gt_valid).reshape(-1).astype(bool)]
+        np.add.at(self.counts, np.clip(labels, 0, self.num_classes), 1.0)
+        return self.counts

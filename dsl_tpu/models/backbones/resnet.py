@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -63,6 +64,8 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     expansion: int = 4
+    dcn: dict | None = None      # dict(type='DCN'|'DCNv2') on conv2
+    plugins: tuple = ()          # ((position, cfg), ...) e.g. ContextBlock
 
     @nn.compact
     def __call__(self, x):
@@ -77,17 +80,53 @@ class Bottleneck(nn.Module):
         out = conv1x1(width, s1, name="conv1")(x)
         out = make_norm(self.norm_cfg, name="bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(width, (3, 3), strides=(s2, s2),
-                      padding=((self.dilation, self.dilation),
-                               (self.dilation, self.dilation)),
-                      kernel_dilation=(self.dilation, self.dilation),
-                      feature_group_count=self.groups, use_bias=False,
-                      kernel_init=nn.initializers.he_normal(),
-                      name="conv2")(out)
+        if self.dcn is not None:
+            # mmdet stage_with_dcn: conv2 -> (modulated) deformable conv
+            # (``mmcv/ops/deform_conv.py`` / ``modulated_deform_conv.py``);
+            # offset conv is zero-init so the block starts as a plain conv
+            from dsl_tpu.ops.deform_conv import deform_conv2d
+
+            v2 = self.dcn.get("type", "DCNv2") in ("DCNv2", "dcnv2")
+            off_ch = 27 if v2 else 18
+            raw = nn.Conv(off_ch, (3, 3), strides=(s2, s2),
+                          padding=((self.dilation, self.dilation),
+                                   (self.dilation, self.dilation)),
+                          kernel_dilation=(self.dilation, self.dilation),
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name="conv2_offset")(out)
+            offsets = raw[..., :18]
+            dmask = jax.nn.sigmoid(raw[..., 18:]) if v2 else None
+            w = self.param("conv2_kernel", nn.initializers.he_normal(),
+                           (3, 3, out.shape[-1], width))
+            out = deform_conv2d(out, offsets, w, mask=dmask,
+                                dilation=self.dilation, stride=s2)
+        else:
+            out = nn.Conv(width, (3, 3), strides=(s2, s2),
+                          padding=((self.dilation, self.dilation),
+                                   (self.dilation, self.dilation)),
+                          kernel_dilation=(self.dilation, self.dilation),
+                          feature_group_count=self.groups, use_bias=False,
+                          kernel_init=nn.initializers.he_normal(),
+                          name="conv2")(out)
         out = make_norm(self.norm_cfg, name="bn2")(out)
         out = nn.relu(out)
         out = conv1x1(out_ch, 1, name="conv3")(out)
         out = make_norm(self.norm_cfg, name="bn3")(out)
+        for pi, (pos, pcfg) in enumerate(self.plugins):
+            # mmdet ``plugins`` (resnet.py make_block_plugins): only the
+            # after_conv3 position is used by the gcnet/empirical_attention
+            # config families
+            if pos != "after_conv3":
+                continue
+            pcfg = dict(pcfg)
+            ptype = pcfg.pop("type")
+            if ptype == "ContextBlock":
+                from dsl_tpu.models.layers import ContextBlock
+
+                out = ContextBlock(name=f"plugin{pi}", **pcfg)(out)
+            else:
+                raise ValueError(f"unknown plugin {ptype}")
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = conv1x1(out_ch, self.stride, name="downsample_conv")(x)
             identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
@@ -116,6 +155,9 @@ class ResNet(nn.Module):
     base_channels: int = 64
     groups: int = 1
     base_width: int = 64
+    dcn: dict | None = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    plugins: Sequence[dict] | None = None   # mmdet backbone plugins
 
     @nn.compact
     def __call__(self, x):
@@ -133,8 +175,15 @@ class ResNet(nn.Module):
         for i in range(self.num_stages):
             planes = self.base_channels * 2 ** i
             for j in range(stage_blocks[i]):
+                stage_plugins = tuple(
+                    (p.get("position", "after_conv3"), p["cfg"])
+                    for p in (self.plugins or ())
+                    if p.get("stages", (True,) * 4)[i])
                 kwargs = dict(groups=self.groups,
-                              base_width=self.base_width) \
+                              base_width=self.base_width,
+                              dcn=(self.dcn if self.stage_with_dcn[i]
+                                   else None),
+                              plugins=stage_plugins) \
                     if block_cls is Bottleneck else {}
                 x = block_cls(
                     planes=planes,

@@ -177,3 +177,41 @@ class NormedLinear(nn.Module):
         wn = w / jnp.sqrt((w ** 2).sum(axis=0, keepdims=True) + 1e-6)
         xn = x / jnp.sqrt((x ** 2).sum(axis=-1, keepdims=True) + 1e-6)
         return (xn @ wn) * self.tempearture
+
+
+class ContextBlock(nn.Module):
+    """GCNet global-context block (mmcv ``context_block.py``; used by
+    ``configs/gcnet``): attention-pooled global feature -> 1x1 bottleneck
+    (LayerNorm+ReLU) -> channel-add back onto every position."""
+
+    ratio: float = 1.0 / 4
+    pooling_type: str = "att"        # 'att' | 'avg'
+    fusion_types: Sequence[str] = ("channel_add",)
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        planes = max(int(c * self.ratio), 1)
+        if self.pooling_type == "att":
+            attn = nn.Conv(1, (1, 1), name="conv_mask")(x)     # (B,H,W,1)
+            attn = jax.nn.softmax(attn.reshape(b, h * w, 1), axis=1)
+            ctx = jnp.einsum("bpc,bpo->boc", x.reshape(b, h * w, c), attn)
+            ctx = ctx.reshape(b, 1, 1, c)
+        else:
+            ctx = x.mean(axis=(1, 2), keepdims=True)
+
+        def transform(name):
+            t = nn.Conv(planes, (1, 1), name=f"{name}_conv1")(ctx)
+            t = nn.LayerNorm(name=f"{name}_ln")(t)
+            t = nn.relu(t)
+            # zero-init the last conv: block starts as identity
+            return nn.Conv(c, (1, 1), kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           name=f"{name}_conv2")(t)
+
+        out = x
+        if "channel_mul" in self.fusion_types:
+            out = out * jax.nn.sigmoid(transform("channel_mul"))
+        if "channel_add" in self.fusion_types:
+            out = out + transform("channel_add")
+        return out

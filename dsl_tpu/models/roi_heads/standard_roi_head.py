@@ -36,16 +36,19 @@ class Shared2FCBBoxHead(nn.Module):
     target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
     with_reg: bool = True     # Grid R-CNN uses a cls-only bbox head
     roi_extractor: str = "single"   # 'single' | 'sum' | 'concat' (generic)
+    loss_cls: dict | None = None    # dict(type='SeesawLoss', ...) supported
 
     @nn.compact
     def __call__(self, roi_feats):
         """roi_feats: (N, roi, roi, C) -> (cls_logits (N, C+1),
-        deltas (N, C*4))."""
+        deltas (N, C*4)). With SeesawLoss the cls head emits C+2 channels
+        (C classes + 2 objectness, ``seesaw_loss.py`` split head)."""
         n = roi_feats.shape[0]
         x = roi_feats.reshape(n, -1)
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc1")(x))
-        cls = nn.Dense(self.num_classes + 1,
+        seesaw = dict(self.loss_cls or {}).get("type") == "SeesawLoss"
+        cls = nn.Dense(self.num_classes + (2 if seesaw else 1),
                        kernel_init=normal_init(0.01), name="fc_cls")(x)
         if not self.with_reg:
             return cls, jnp.zeros((n, self.num_classes * 4), cls.dtype)
@@ -291,8 +294,19 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
     num_valid = jnp.maximum(jnp.sum(flat_valid), 1.0)
     num_pos = jnp.maximum(jnp.sum(flat_pos), 1.0)
 
-    loss_cls = L.cross_entropy(cls_logits, flat_labels, weight=flat_valid,
-                               avg_factor=num_valid)
+    cls_cfg = dict(getattr(bbox_head, "loss_cls", None) or {})
+    if cls_cfg.get("type") == "SeesawLoss":
+        # running per-class counts arrive as traced state
+        # (``batch['cum_samples']``, host-maintained via SeesawCounter)
+        cum = batch.get("cum_samples", jnp.ones((nc + 1,), jnp.float32))
+        loss_cls, loss_obj, _ = L.seesaw_loss(
+            cls_logits, flat_labels, cum, nc,
+            p=float(cls_cfg.get("p", 0.8)), q=float(cls_cfg.get("q", 2.0)),
+            weight=flat_valid, avg_factor=num_valid)
+    else:
+        loss_obj = None
+        loss_cls = L.cross_entropy(cls_logits, flat_labels,
+                                   weight=flat_valid, avg_factor=num_valid)
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None],
         axis=1).reshape(-1, 4)
@@ -307,9 +321,12 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
                                 avg_factor=num_pos)
     acc = jnp.sum((jnp.argmax(cls_logits, -1) == flat_labels) * flat_valid) \
         / num_valid
-    if not getattr(bbox_head, "with_reg", True):
-        return dict(loss_cls=loss_cls, acc=acc)
-    return dict(loss_cls=loss_cls, loss_bbox=loss_reg, acc=acc)
+    out = dict(loss_cls=loss_cls, acc=acc)
+    if loss_obj is not None:
+        out["loss_cls_objectness"] = loss_obj
+    if getattr(bbox_head, "with_reg", True):
+        out["loss_bbox"] = loss_reg
+    return out
 
 
 def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
@@ -336,7 +353,15 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
     cls_logits, reg = _apply_bbox_head(
         bbox_head, apply_fn, variables, feats, flat_rois,
         prop_valid.reshape(-1), strides, roi_feats)
-    scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
+    if dict(getattr(bbox_head, "loss_cls", None) or {}).get("type") \
+            == "SeesawLoss":
+        # split-head activation (``seesaw_loss.py get_activation:156-174``):
+        # class softmax scaled by the positive-objectness probability
+        sc = jax.nn.softmax(cls_logits[:, :nc], -1)
+        obj = jax.nn.softmax(cls_logits[:, nc:], -1)
+        scores = (sc * obj[:, 0:1]).reshape(b, p, nc)
+    else:
+        scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
     if getattr(bbox_head, "with_reg", True):
         boxes = delta2bbox(
             proposals.reshape(-1, 4)[:, None, :].repeat(nc, 1),

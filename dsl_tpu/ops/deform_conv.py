@@ -44,23 +44,27 @@ def _bilinear_map(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
 def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weight: jnp.ndarray,
                   bias: jnp.ndarray | None = None,
                   mask: jnp.ndarray | None = None,
-                  kernel_size: int = 3, dilation: int = 1) -> jnp.ndarray:
-    """Deformable 3x3 (stride 1, same padding) convolution.
+                  kernel_size: int = 3, dilation: int = 1,
+                  stride: int = 1) -> jnp.ndarray:
+    """Deformable 3x3 (same padding) convolution.
 
     Args:
       x: (B, H, W, Cin) NHWC input.
-      offsets: (B, H, W, 2·k²) per-tap (dy, dx) pairs, tap-major — the
+      offsets: (B, H/s, W/s, 2·k²) per-tap (dy, dx) pairs, tap-major — the
         mmcv channel layout ``[dy0, dx0, dy1, dx1, ...]`` over taps in
-        row-major kernel order.
+        row-major kernel order, at the OUTPUT resolution.
       weight: (k, k, Cin, Cout) HWIO kernel.
-      mask: optional (B, H, W, k²) modulation (DCNv2); None = v1.
-    Returns (B, H, W, Cout).
+      mask: optional (B, H/s, W/s, k²) modulation (DCNv2); None = v1.
+      stride: output positions every ``stride`` input pixels (mmcv
+        ``stride`` — the ResNet-DCN stage-entry blocks use 2).
+    Returns (B, H/s, W/s, Cout).
     """
     b, h, w, cin = x.shape
     k = kernel_size
     pad = dilation * (k - 1) // 2
-    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
-    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
+    oh, ow = offsets.shape[1], offsets.shape[2]
+    gy = (jnp.arange(oh, dtype=x.dtype) * stride)[None, :, None]
+    gx = (jnp.arange(ow, dtype=x.dtype) * stride)[None, None, :]
     cols = []
     for i in range(k):
         for j in range(k):

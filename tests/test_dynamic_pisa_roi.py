@@ -142,3 +142,26 @@ def test_generic_extractor_end_to_end():
         det, variables, batch["images"], img_shapes=batch["img_shapes"],
         num_proposals=64)
     assert dets.shape[-1] == 5
+
+
+def test_seesaw_roi_head():
+    from dsl_tpu.core.losses import SeesawCounter
+
+    cfg = _cfg(loss_cls=dict(type="SeesawLoss", p=0.8, q=2.0))
+    det, variables, batch = _setup(cfg)
+    counter = SeesawCounter(4)
+    counter.update(batch["gt_labels"], batch["gt_valid"])
+    batch = dict(batch, cum_samples=jnp.asarray(counter.counts))
+    total, log = two_stage_loss(det, variables, batch,
+                                rng_key=jax.random.PRNGKey(3),
+                                num_proposals=64, num_samples=32)
+    assert np.isfinite(float(total))
+    assert "loss_cls_objectness" in log
+    # cls head emits C+2 channels
+    k = variables["params"]["bbox_head"]["fc_cls"]["kernel"]
+    assert k.shape[-1] == 4 + 2
+
+    dets, labels, valid = two_stage_predict(
+        det, variables, batch["images"], img_shapes=batch["img_shapes"],
+        num_proposals=64)
+    assert dets.shape[-1] == 5

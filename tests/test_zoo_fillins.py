@@ -108,3 +108,70 @@ def test_retina_loss_ghm_and_balanced_l1():
         assert np.isfinite(float(d["loss_bbox"]))
     assert not np.isclose(float(focal["loss_cls"]), float(ghm["loss_cls"]))
     assert not np.isclose(float(focal["loss_bbox"]), float(bal["loss_bbox"]))
+
+
+def test_resnet_dcn_stages():
+    from dsl_tpu.models.backbones.resnet import ResNet
+
+    # v1 for the init-equivalence check: DCNv2's sigmoid(0)=0.5 modulation
+    # halves every tap at init (same in mmcv), so only v1 equals the plain
+    # conv with zero-init offsets
+    bb = ResNet(depth=50, out_indices=(1, 2, 3), dcn=dict(type='DCN'),
+                stage_with_dcn=(False, True, True, True))
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                       jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), imgs)
+    outs = bb.apply(variables, imgs)
+    assert [o.shape[-1] for o in outs] == [512, 1024, 2048]
+    assert outs[0].shape[1] == 8      # stride 8 at c3 despite DCN stride-2
+    # stage 2+ blocks carry offset convs; stage 1 does not
+    p = variables["params"]
+    assert "conv2_offset" in p["layer2_0"]
+    assert "conv2_offset" not in p["layer1_0"]
+    # zero-init offsets: DCNv2 block == plain conv at init
+    bb_plain = ResNet(depth=50, out_indices=(1, 2, 3))
+    vp = bb_plain.init(jax.random.PRNGKey(0), imgs)
+    # graft the dcn kernel into the plain conv and compare forward
+    import copy
+
+    vp2 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, vp))
+
+    def visit(dst, src):
+        for k, v in src.items():
+            if k == "conv2_offset":
+                continue
+            if k == "conv2_kernel":
+                dst["conv2"] = {"kernel": np.asarray(v)}
+            elif isinstance(v, dict):
+                visit(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = np.asarray(v)
+
+    visit(vp2["params"], jax.tree_util.tree_map(np.asarray, variables)["params"])
+    outs_plain = bb_plain.apply(
+        jax.tree_util.tree_map(jnp.asarray, vp2), imgs)
+    for a, b in zip(outs, outs_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_context_block_plugin():
+    from dsl_tpu.models.backbones.resnet import ResNet
+    from dsl_tpu.models.layers import ContextBlock
+
+    # identity at init (zero-init final conv)
+    cb = ContextBlock(ratio=0.25)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 16), jnp.float32)
+    v = cb.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(cb.apply(v, x)), np.asarray(x))
+
+    bb = ResNet(depth=50, out_indices=(2,), plugins=[
+        dict(cfg=dict(type='ContextBlock', ratio=0.25),
+             stages=(False, True, True, True), position='after_conv3')])
+    imgs = jnp.zeros((1, 64, 64, 3))
+    variables = bb.init(jax.random.PRNGKey(0), imgs)
+    p = variables["params"]
+    assert "plugin0" in p["layer2_0"]
+    assert "plugin0" not in p["layer1_0"]
+    outs = bb.apply(variables, imgs)
+    assert outs[0].shape[-1] == 1024
