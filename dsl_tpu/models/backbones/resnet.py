@@ -111,13 +111,21 @@ class Bottleneck(nn.Module):
                           name="conv2")(out)
         out = make_norm(self.norm_cfg, name="bn2")(out)
         out = nn.relu(out)
+        out = self._run_plugins(out, "after_conv2")
         out = conv1x1(out_ch, 1, name="conv3")(out)
         out = make_norm(self.norm_cfg, name="bn3")(out)
+        out = self._run_plugins(out, "after_conv3")
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            identity = conv1x1(out_ch, self.stride, name="downsample_conv")(x)
+            identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+    def _run_plugins(self, out, position):
+        """mmdet ``plugins`` (resnet.py make_block_plugins): ContextBlock
+        (gcnet, after_conv3) and GeneralizedAttention
+        (empirical_attention, after_conv2)."""
         for pi, (pos, pcfg) in enumerate(self.plugins):
-            # mmdet ``plugins`` (resnet.py make_block_plugins): only the
-            # after_conv3 position is used by the gcnet/empirical_attention
-            # config families
-            if pos != "after_conv3":
+            if pos != position:
                 continue
             pcfg = dict(pcfg)
             ptype = pcfg.pop("type")
@@ -125,12 +133,13 @@ class Bottleneck(nn.Module):
                 from dsl_tpu.models.layers import ContextBlock
 
                 out = ContextBlock(name=f"plugin{pi}", **pcfg)(out)
+            elif ptype == "GeneralizedAttention":
+                from dsl_tpu.models.layers import GeneralizedAttention
+
+                out = GeneralizedAttention(name=f"plugin{pi}", **pcfg)(out)
             else:
                 raise ValueError(f"unknown plugin {ptype}")
-        if self.stride != 1 or x.shape[-1] != out_ch:
-            identity = conv1x1(out_ch, self.stride, name="downsample_conv")(x)
-            identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
-        return nn.relu(out + identity)
+        return out
 
 
 @BACKBONES.register

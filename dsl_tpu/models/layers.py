@@ -215,3 +215,97 @@ class ContextBlock(nn.Module):
         if "channel_add" in self.fusion_types:
             out = out + transform("channel_add")
         return out
+
+
+class GeneralizedAttention(nn.Module):
+    """Generalized spatial attention (``configs/empirical_attention``;
+    "An Empirical Study of Spatial Attention Mechanisms in Deep Networks").
+
+    Independent implementation from the paper (mmcv's
+    ``generalized_attention.py`` is not vendored here): attention logits
+    are the sum of the four factorized terms selected by
+    ``attention_type`` bits —
+      [0] query ⋅ key content, [1] query ⋅ relative-position embedding,
+      [2] learned-bias ⋅ key (saliency), [3] learned-bias ⋅ position.
+    The relative-position term is factorized additively over y and x (as
+    in the reference), keys/values are ``kv_stride``-subsampled, and a
+    zero-init output scale makes the block an identity at init.
+    """
+
+    num_heads: int = 8
+    attention_type: str = "1111"
+    kv_stride: int = 2
+    spatial_range: int = -1          # -1 = global
+    position_magnitude: float = 1.0
+
+    def _pos_embed(self, rel, dim):
+        """Sine features of scalar relative offsets: rel (N, M) -> (N, M, dim)."""
+        half = dim // 2
+        freq = jnp.power(100.0, -jnp.arange(half, dtype=jnp.float32) / half)
+        ang = rel[..., None] * freq / self.position_magnitude
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+    @nn.compact
+    def __call__(self, x):
+        bits = [c == "1" for c in self.attention_type]
+        b, h, w, c = x.shape
+        m = self.num_heads
+        dk = max(c // m, 1)
+        s = self.kv_stride
+        kv = x[:, ::s, ::s]
+        hk, wk = kv.shape[1], kv.shape[2]
+        scale = dk ** -0.5
+
+        q = nn.Conv(m * dk, (1, 1), use_bias=False, name="query_conv")(x)
+        q = q.reshape(b, h, w, m, dk) * scale
+        k = nn.Conv(m * dk, (1, 1), use_bias=False, name="key_conv")(kv)
+        k = k.reshape(b, hk, wk, m, dk)
+        v = nn.Conv(c, (1, 1), use_bias=False, name="value_conv")(kv)
+        v = v.reshape(b, hk, wk, m, c // m)
+
+        # content term(s): (q [+ bias]) . k  -> (B, m, H, W, Hk, Wk)
+        logits = jnp.zeros((b, m, h, w, hk, wk), jnp.float32)
+        qeff = q if bits[0] else jnp.zeros_like(q)
+        if bits[2]:
+            u = self.param("key_content_bias",
+                           nn.initializers.normal(1.0 / dk ** 0.5), (m, dk))
+            qeff = qeff + u[None, None, None]
+        if bits[0] or bits[2]:
+            logits = logits + jnp.einsum("bywmd,bvumd->bmywvu", qeff, k)
+
+        # position term(s), additively factorized over y and x
+        if bits[1] or bits[3]:
+            pd = max(dk, 2)
+            rel_y = (jnp.arange(h, dtype=jnp.float32)[:, None]
+                     - jnp.arange(hk, dtype=jnp.float32)[None, :] * s)
+            rel_x = (jnp.arange(w, dtype=jnp.float32)[:, None]
+                     - jnp.arange(wk, dtype=jnp.float32)[None, :] * s)
+            ry = nn.Dense(m * dk, use_bias=False, name="geom_fc_y")(
+                self._pos_embed(rel_y, pd)).reshape(h, hk, m, dk)
+            rx = nn.Dense(m * dk, use_bias=False, name="geom_fc_x")(
+                self._pos_embed(rel_x, pd)).reshape(w, wk, m, dk)
+            qg = q if bits[1] else jnp.zeros_like(q)
+            if bits[3]:
+                g = self.param("geom_bias",
+                               nn.initializers.normal(1.0 / dk ** 0.5),
+                               (m, dk))
+                qg = qg + g[None, None, None]
+            logits = logits + jnp.einsum(
+                "bywmd,yvmd->bmywv", qg, ry)[..., None]
+            logits = logits + jnp.einsum(
+                "bywmd,wumd->bmywu", qg, rx)[..., None, :]
+
+        if self.spatial_range > 0:
+            # local attention window (reference ``spatial_range``)
+            yy = jnp.abs(jnp.arange(h)[:, None] - jnp.arange(hk)[None] * s)
+            xx = jnp.abs(jnp.arange(w)[:, None] - jnp.arange(wk)[None] * s)
+            mask = (yy[:, None, :, None] <= self.spatial_range) \
+                & (xx[None, :, None, :] <= self.spatial_range)
+            logits = jnp.where(mask[None, None], logits, -1e9)
+
+        attn = jax.nn.softmax(logits.reshape(b, m, h, w, hk * wk), axis=-1)
+        out = jnp.einsum("bmywp,bpmd->bywmd", attn,
+                         v.reshape(b, hk * wk, m, c // m))
+        out = nn.Conv(c, (1, 1), name="proj_conv")(out.reshape(b, h, w, c))
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return x + gamma * out

@@ -175,3 +175,39 @@ def test_context_block_plugin():
     assert "plugin0" not in p["layer1_0"]
     outs = bb.apply(variables, imgs)
     assert outs[0].shape[-1] == 1024
+
+
+def test_generalized_attention_plugin():
+    from dsl_tpu.models.backbones.resnet import ResNet
+    from dsl_tpu.models.layers import GeneralizedAttention
+
+    ga = GeneralizedAttention(num_heads=4, attention_type="1111",
+                              kv_stride=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 16), jnp.float32)
+    v = ga.init(jax.random.PRNGKey(0), x)
+    out = ga.apply(v, x)
+    assert out.shape == x.shape
+    # gamma zero-init -> identity at init
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+    # non-zero gamma changes the output, all four terms finite
+    v2 = {"params": dict(v["params"], gamma=jnp.asarray(1.0))}
+    out2 = ga.apply(v2, x)
+    assert np.isfinite(np.asarray(out2)).all()
+    assert not np.allclose(np.asarray(out2), np.asarray(x))
+
+    # each single-bit variant runs
+    for at in ("1000", "0100", "0010", "0001"):
+        g = GeneralizedAttention(num_heads=2, attention_type=at)
+        vv = g.init(jax.random.PRNGKey(1), x)
+        assert g.apply(vv, x).shape == x.shape
+
+    bb = ResNet(depth=50, out_indices=(2,), plugins=[
+        dict(cfg=dict(type='GeneralizedAttention', num_heads=8,
+                      attention_type='0010', kv_stride=2),
+             stages=(False, False, True, True), position='after_conv2')])
+    imgs = jnp.zeros((1, 64, 64, 3))
+    variables = bb.init(jax.random.PRNGKey(0), imgs)
+    assert "plugin0" in variables["params"]["layer3_0"]
+    assert "plugin0" not in variables["params"]["layer2_0"]
+    outs = bb.apply(variables, imgs)
+    assert outs[0].shape[-1] == 1024
