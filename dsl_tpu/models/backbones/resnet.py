@@ -98,7 +98,7 @@ class Bottleneck(nn.Module):
             offsets = raw[..., :18]
             dmask = jax.nn.sigmoid(raw[..., 18:]) if v2 else None
             w = self.param("conv2_kernel", nn.initializers.he_normal(),
-                           (3, 3, out.shape[-1], width))
+                           (3, 3, out.shape[-1] // self.groups, width))
             out = deform_conv2d(out, offsets, w, mask=dmask,
                                 dilation=self.dilation, stride=s2)
         else:

@@ -78,8 +78,18 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weight: jnp.ndarray,
                 v = v * mask[..., t:t + 1]
             cols.append(v)
     col = jnp.stack(cols, axis=-2)                       # (B, H, W, k², Cin)
-    wmat = weight.reshape(k * k, cin, -1)                # (k², Cin, Cout)
-    out = jnp.einsum("bhwki,kio->bhwo", col, wmat)
+    if weight.shape[2] == cin:
+        wmat = weight.reshape(k * k, cin, -1)            # (k², Cin, Cout)
+        out = jnp.einsum("bhwki,kio->bhwo", col, wmat)
+    else:
+        # grouped deformable conv (ResNeXt + DCN): weight is
+        # (k, k, Cin/g, Cout) with channels blocked by group
+        g = cin // weight.shape[2]
+        cg = weight.shape[2]
+        colg = col.reshape(col.shape[:-1] + (g, cg))
+        wmat = weight.reshape(k * k, cg, g, -1)          # (k², Cg, g, Co/g)
+        out = jnp.einsum("bhwkgi,kigo->bhwgo", colg, wmat)
+        out = out.reshape(out.shape[:-2] + (-1,))
     if bias is not None:
         out = out + bias
     return out

@@ -211,3 +211,21 @@ def test_generalized_attention_plugin():
     assert "plugin0" not in variables["params"]["layer2_0"]
     outs = bb.apply(variables, imgs)
     assert outs[0].shape[-1] == 1024
+
+
+def test_resnext_dcn_grouped():
+    from dsl_tpu.models.backbones.resnet import ResNeXt
+
+    bb = ResNeXt(depth=50, groups=4, base_width=4, out_indices=(2,),
+                 dcn=dict(type='DCNv2'),
+                 stage_with_dcn=(False, True, True, True))
+    imgs = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                       jnp.float32)
+    variables = bb.init(jax.random.PRNGKey(0), imgs)
+    outs = bb.apply(variables, imgs)
+    assert outs[0].shape[-1] == 1024
+    assert np.isfinite(np.asarray(outs[0])).all()
+    # grouped dcn kernel: (3,3,width/groups,width)
+    k = variables["params"]["layer2_0"]["conv2_kernel"]
+    width = int(128 * (4 / 64.0)) * 4
+    assert k.shape == (3, 3, width // 4, width)
