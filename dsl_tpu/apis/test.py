@@ -138,3 +138,103 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
     if return_results:
         return metrics, results
     return metrics
+
+
+def _nms_numpy(boxes: np.ndarray, scores: np.ndarray,
+               iou_threshold: float) -> np.ndarray:
+    """Greedy NMS (host fallback when the C++ lib is unavailable)."""
+    order = np.argsort(-scores)
+    keep = []
+    while order.size:
+        i = order[0]
+        keep.append(i)
+        if order.size == 1:
+            break
+        rest = order[1:]
+        xx1 = np.maximum(boxes[i, 0], boxes[rest, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[rest, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        b = (boxes[rest, 2] - boxes[rest, 0]) \
+            * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / np.maximum(a + b - inter, 1e-9)
+        order = rest[iou <= iou_threshold]
+    return np.asarray(keep, np.int64)
+
+
+def merge_aug_detections(per_aug, iou_threshold: float = 0.5,
+                         max_per_img: int = 100):
+    """Merge one image's detections across TTA augmentations (reference
+    ``dense_test_mixins.aug_test_bboxes`` / ``merge_aug_bboxes``): all
+    results are already mapped to original-image coordinates, so the merge
+    is a concat + per-class NMS + top-k."""
+    from dsl_tpu.native import native_nms
+
+    dets = np.concatenate([d for d, _ in per_aug], axis=0)
+    labels = np.concatenate([l for _, l in per_aug], axis=0)
+    if len(dets) == 0:
+        return dets, labels
+    keep_all = []
+    for c in np.unique(labels):
+        idx = np.where(labels == c)[0]
+        kept = native_nms(dets[idx, :4], dets[idx, 4], iou_threshold)
+        if kept is None:
+            kept = _nms_numpy(dets[idx, :4], dets[idx, 4], iou_threshold)
+        keep_all.append(idx[kept])
+    keep = np.concatenate(keep_all)
+    order = keep[np.argsort(-dets[keep, 4])][:max_per_img]
+    return dets[order], labels[order]
+
+
+def tta_test(detector, variables, dataset, test_cfg=None,
+             img_scales=((1333, 800),), flip: bool = True,
+             canvas_hw=DEFAULT_CANVAS, batch_size: int = 8, img_norm=None,
+             iou_threshold: float = 0.5, max_per_img: int = 100,
+             evaluate: bool = True):
+    """Multi-scale + flip test-time augmentation (the reference's
+    ``MultiScaleFlipAug`` + ``aug_test`` path): one pass per (scale, flip),
+    each producing original-frame detections, merged per image.
+
+    Horizontal flip runs on the flipped image and mirrors the boxes back
+    with the original image width."""
+    aug_results = []
+    for scale in img_scales:
+        for flipped in ((False, True) if flip else (False,)):
+            if flipped:
+                orig_imread = cv2.imread
+
+                def flip_imread(path, flags=cv2.IMREAD_COLOR):
+                    img = orig_imread(path, flags)
+                    return None if img is None else img[:, ::-1]
+
+                cv2.imread = flip_imread
+            try:
+                res = single_device_test(
+                    detector, variables, dataset, test_cfg=test_cfg,
+                    canvas_hw=canvas_hw, batch_size=batch_size,
+                    img_scale=scale, img_norm=img_norm,
+                    evaluate=False)
+            finally:
+                if flipped:
+                    cv2.imread = orig_imread
+            if flipped:
+                unflipped = []
+                for i, r in enumerate(res):
+                    dets, labels = r[0].copy(), r[1]
+                    w = dataset.data_infos[i]["width"]
+                    x1 = w - dets[:, 2]
+                    x2 = w - dets[:, 0]
+                    dets[:, 0], dets[:, 2] = x1, x2
+                    unflipped.append((dets, labels))
+                res = unflipped
+            aug_results.append(res)
+
+    merged = [merge_aug_detections([aug[i] for aug in aug_results],
+                                   iou_threshold=iou_threshold,
+                                   max_per_img=max_per_img)
+              for i in range(len(dataset))]
+    if not evaluate:
+        return merged
+    return dataset.evaluate(merged, metric="bbox", verbose=False)

@@ -117,15 +117,48 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         ema_start_iter=ema_cfg.get("start_point", 1))
     jstep = jit_train_step(train_step, mesh)
 
+    # Dynamic R-CNN: host-side hyperparameter schedule fed back as traced
+    # scalars (see models/roi_heads/dynamic_pisa.py)
+    dyn_schedule = None
+    if type(detector).__name__ == "DynamicRCNN":
+        from dsl_tpu.models.roi_heads.dynamic_pisa import DynamicRCNNSchedule
+
+        dyn = dict((dict(cfg.model.get("train_cfg", {}) or {}))
+                   .get("dynamic_rcnn", {}) or {})
+        dyn_schedule = DynamicRCNNSchedule(
+            initial_iou=dyn.get("initial_iou", 0.4),
+            initial_beta=dyn.get("initial_beta", 1.0),
+            update_iter_interval=dyn.get("update_iter_interval", 100))
+
+    # Seesaw: host-side running class counts (core/losses.py SeesawCounter)
+    seesaw_counter = None
+    bh = getattr(detector, "bbox_head", None)
+    if dict(getattr(bh, "loss_cls", None) or {}).get("type") == "SeesawLoss":
+        from dsl_tpu.core.losses import SeesawCounter
+
+        seesaw_counter = SeesawCounter(bh.num_classes)
+
     def step_with_placement(state, batch):
         from dsl_tpu.parallel.mesh import shard_batch
 
         batch = {k: v for k, v in batch.items() if k != "meta"}
         si = batch.pop("si_pair", None)
+        if seesaw_counter is not None:
+            seesaw_counter.update(batch["gt_labels"],
+                                  batch.get("gt_valid"))
+            batch["cum_samples"] = jnp.asarray(seesaw_counter.counts)
         placed = shard_batch(mesh, batch)
         if si is not None:
             placed["si_pair"] = jax.tree_util.tree_map(jnp.asarray, si)
-        return jstep(state, placed)
+        if dyn_schedule is not None:
+            placed["dyn_iou_thr"] = jnp.asarray(dyn_schedule.iou_thr,
+                                                jnp.float32)
+            placed["dyn_beta"] = jnp.asarray(dyn_schedule.beta, jnp.float32)
+        state, metrics = jstep(state, placed)
+        if dyn_schedule is not None and "dynamic_iou" in metrics:
+            dyn_schedule.update(float(metrics["dynamic_iou"]),
+                                float(metrics["dynamic_beta"]))
+        return state, metrics
 
     state = replicate(mesh, state)
 

@@ -46,10 +46,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch pytree with the leading axis split over ``data``."""
+    """Place a host batch pytree with the leading axis split over ``data``.
+
+    Leaves whose leading dim does not divide the data-axis size (scalars
+    like ``dyn_iou_thr``, per-class vectors like ``cum_samples``) are
+    replicated instead — they are traced hyperparameter state, not data."""
+    n = mesh.shape[DATA_AXIS]
     s = batch_sharding(mesh)
+    r = replicated(mesh)
 
     def _put(x):
+        shape = getattr(x, "shape", None)
+        if shape is None or len(shape) == 0 or shape[0] % n != 0:
+            return jax.device_put(x, r)
         return jax.device_put(x, s)
 
     return jax.tree_util.tree_map(_put, batch)

@@ -116,12 +116,12 @@ def _global_norm(tree) -> jnp.ndarray:
 
 
 def jit_train_step(train_step: Callable, mesh) -> Callable:
-    """Jit over the mesh: batch on 'data', state replicated."""
+    """Jit over the mesh: batch on 'data' (placed by ``shard_batch``,
+    which replicates non-batch leaves like traced hyperparameters), state
+    replicated. Input shardings follow the explicit placements."""
     rep = replicated(mesh)
-    bsh = batch_sharding(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(rep, bsh),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
@@ -160,13 +160,11 @@ def jit_train_step_fsdp(train_step: Callable, mesh, state_example) -> Callable:
     (params/EMA/optimizer moments partitioned; XLA all-gathers weights at
     use and reduce-scatters gradients — ZeRO-3 semantics with zero manual
     collectives). ``state_example`` provides the pytree structure/shapes."""
-    from dsl_tpu.parallel.mesh import batch_sharding, fsdp_sharding
+    from dsl_tpu.parallel.mesh import fsdp_sharding
 
     ssh = fsdp_sharding(mesh, state_example)
-    bsh = batch_sharding(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(ssh, bsh),
         out_shardings=(ssh, replicated(mesh)),
         donate_argnums=(0,),
     )

@@ -58,3 +58,14 @@ def test_fsdp_step_matches_replicated_dp():
     flat_f = jax.tree_util.tree_leaves(pf)
     for a, b in zip(flat_r, flat_f):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_shard_batch_replicates_non_batch_leaves():
+    mesh = make_mesh()
+    batch = {"images": jnp.zeros((8, 4, 4, 3)),
+             "dyn_iou_thr": jnp.asarray(0.4),
+             "cum_samples": jnp.ones((81,))}
+    placed = shard_batch(mesh, batch)
+    assert not placed["images"].sharding.is_fully_replicated
+    assert placed["dyn_iou_thr"].sharding.is_fully_replicated
+    assert placed["cum_samples"].sharding.is_fully_replicated
