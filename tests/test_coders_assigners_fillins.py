@@ -76,3 +76,22 @@ def test_grid_assign_responsible_constraint():
         min_pos_iou=0.1, num_classes=4)
     assert int(labels2[0, 0]) == 2
     assert int(labels2[0, 1]) == 4
+
+
+def test_yolo_decode_mmdet_golden():
+    """Pinned to the reference's own unit test
+    (``tests/test_utils/test_coder.py:8-24``)."""
+    from dsl_tpu.core.boxes import yolo_decode
+
+    bboxes = jnp.asarray([[-42., -29., 74., 61.], [-10., -29., 106., 61.],
+                          [22., -29., 138., 61.], [54., -29., 170., 61.]])
+    pred = jnp.asarray([[0.4709, 0.6152, 0.1690, -0.4056],
+                        [0.5399, 0.6653, 0.1162, -0.4162],
+                        [0.4654, 0.6618, 0.1548, -0.4301],
+                        [0.4786, 0.6197, 0.1896, -0.4479]])
+    expected = np.asarray([[-53.6102, -10.3096, 83.7478, 49.6824],
+                           [-15.8700, -8.3901, 114.4236, 50.9693],
+                           [11.1822, -8.0924, 146.6034, 50.4476],
+                           [41.2068, -8.9232, 181.4236, 48.5840]])
+    out = np.asarray(yolo_decode(bboxes, pred, 32.0))
+    np.testing.assert_allclose(out, expected, atol=1e-3)

@@ -60,16 +60,22 @@ def test_dynamic_rcnn_loss_and_stats():
                  if "loss" in k and k != "loss")
     assert np.isclose(manual, float(log["loss"]), rtol=1e-5)
 
-    # a tighter threshold changes the sampled positives -> different loss,
-    # same jit trace (the threshold is a traced scalar)
-    fn = jax.jit(lambda thr: two_stage_loss(
-        det, variables, dict(batch, dyn_iou_thr=thr),
-        rng_key=jax.random.PRNGKey(3), num_proposals=64,
-        num_samples=32)[0])
+    # a different threshold gives a different loss through the SAME trace
+    # (the threshold is a traced scalar, not baked in)
+    traces = []
+
+    def loss_of(thr):
+        traces.append(1)        # runs only when jax (re)traces
+        return two_stage_loss(
+            det, variables, dict(batch, dyn_iou_thr=thr),
+            rng_key=jax.random.PRNGKey(3), num_proposals=64,
+            num_samples=32)[0]
+
+    fn = jax.jit(loss_of)
     l1 = float(fn(jnp.asarray(0.3)))
     l2 = float(fn(jnp.asarray(0.9)))
     assert np.isfinite(l1) and np.isfinite(l2)
-    assert fn._cache_size() == 1
+    assert len(traces) == 1, f"retraced {len(traces)} times"
 
 
 def test_dynamic_schedule_host_update():
