@@ -19,9 +19,11 @@ from dsl_tpu.data.formatting import DEFAULT_CANVAS
 from dsl_tpu.models.detectors.single_stage import detector_predict
 
 
-def _resize_test_image(dataset, idx, img_scale=(1333, 800)):
+def _resize_test_image(dataset, idx, img_scale=(1333, 800),
+                       flip: bool = False):
     """Decode + keep-ratio resize (no padding — the canvas is chosen per
-    batch from the resized orientations)."""
+    batch from the resized orientations). ``flip`` mirrors horizontally
+    (TTA flip pass)."""
     import os.path as osp
 
     info = dataset.data_infos[idx]
@@ -30,6 +32,8 @@ def _resize_test_image(dataset, idx, img_scale=(1333, 800)):
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
+    if flip:
+        img = img[:, ::-1]
     h, w = img.shape[:2]
     long_s, short_s = max(img_scale), min(img_scale)
     factor = min(long_s / max(h, w), short_s / min(h, w))
@@ -66,7 +70,8 @@ def normalize_pad(img_u8: np.ndarray, canvas_hw, img_norm=None) -> np.ndarray:
 def single_device_test(detector, variables, dataset, test_cfg=None,
                        canvas_hw=DEFAULT_CANVAS, batch_size: int = 8,
                        img_scale=(1333, 800), img_norm=None,
-                       return_results: bool = False, evaluate: bool = True):
+                       return_results: bool = False, evaluate: bool = True,
+                       flip: bool = False):
     """Run inference over a dataset; returns eval metrics (and/or results).
 
     For Mask R-CNN the per-image results are ``(dets, labels, masks)`` with
@@ -101,7 +106,8 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
     results = []
     for start in range(0, n, batch_size):
         idxs = list(range(start, min(start + batch_size, n)))
-        preps = [_resize_test_image(dataset, i, img_scale) for i in idxs]
+        preps = [_resize_test_image(dataset, i, img_scale, flip=flip)
+                 for i in idxs]
         canvas = select_canvas([p[0].shape[:2] for p in preps], canvas_hw)
         imgs = np.stack([normalize_pad(p[0], canvas, img_norm)
                          for p in preps])
@@ -140,37 +146,13 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
     return metrics
 
 
-def _nms_numpy(boxes: np.ndarray, scores: np.ndarray,
-               iou_threshold: float) -> np.ndarray:
-    """Greedy NMS (host fallback when the C++ lib is unavailable)."""
-    order = np.argsort(-scores)
-    keep = []
-    while order.size:
-        i = order[0]
-        keep.append(i)
-        if order.size == 1:
-            break
-        rest = order[1:]
-        xx1 = np.maximum(boxes[i, 0], boxes[rest, 0])
-        yy1 = np.maximum(boxes[i, 1], boxes[rest, 1])
-        xx2 = np.minimum(boxes[i, 2], boxes[rest, 2])
-        yy2 = np.minimum(boxes[i, 3], boxes[rest, 3])
-        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
-        a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-        b = (boxes[rest, 2] - boxes[rest, 0]) \
-            * (boxes[rest, 3] - boxes[rest, 1])
-        iou = inter / np.maximum(a + b - inter, 1e-9)
-        order = rest[iou <= iou_threshold]
-    return np.asarray(keep, np.int64)
-
-
 def merge_aug_detections(per_aug, iou_threshold: float = 0.5,
                          max_per_img: int = 100):
     """Merge one image's detections across TTA augmentations (reference
     ``dense_test_mixins.aug_test_bboxes`` / ``merge_aug_bboxes``): all
     results are already mapped to original-image coordinates, so the merge
     is a concat + per-class NMS + top-k."""
-    from dsl_tpu.native import native_nms
+    from dsl_tpu.train.label_store import numpy_nms
 
     dets = np.concatenate([d for d, _ in per_aug], axis=0)
     labels = np.concatenate([l for _, l in per_aug], axis=0)
@@ -179,9 +161,7 @@ def merge_aug_detections(per_aug, iou_threshold: float = 0.5,
     keep_all = []
     for c in np.unique(labels):
         idx = np.where(labels == c)[0]
-        kept = native_nms(dets[idx, :4], dets[idx, 4], iou_threshold)
-        if kept is None:
-            kept = _nms_numpy(dets[idx, :4], dets[idx, 4], iou_threshold)
+        kept = numpy_nms(dets[idx, :4], dets[idx, 4], iou_threshold)
         keep_all.append(idx[kept])
     keep = np.concatenate(keep_all)
     order = keep[np.argsort(-dets[keep, 4])][:max_per_img]
@@ -202,23 +182,11 @@ def tta_test(detector, variables, dataset, test_cfg=None,
     aug_results = []
     for scale in img_scales:
         for flipped in ((False, True) if flip else (False,)):
-            if flipped:
-                orig_imread = cv2.imread
-
-                def flip_imread(path, flags=cv2.IMREAD_COLOR):
-                    img = orig_imread(path, flags)
-                    return None if img is None else img[:, ::-1]
-
-                cv2.imread = flip_imread
-            try:
-                res = single_device_test(
-                    detector, variables, dataset, test_cfg=test_cfg,
-                    canvas_hw=canvas_hw, batch_size=batch_size,
-                    img_scale=scale, img_norm=img_norm,
-                    evaluate=False)
-            finally:
-                if flipped:
-                    cv2.imread = orig_imread
+            res = single_device_test(
+                detector, variables, dataset, test_cfg=test_cfg,
+                canvas_hw=canvas_hw, batch_size=batch_size,
+                img_scale=scale, img_norm=img_norm,
+                evaluate=False, flip=flipped)
             if flipped:
                 unflipped = []
                 for i, r in enumerate(res):

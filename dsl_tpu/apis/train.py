@@ -103,7 +103,8 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         variables["params"], dict(cfg.optimizer),
         optimizer_config=dict(cfg.get("optimizer_config", {}) or {}),
         lr_config=dict(cfg.get("lr_config", {}) or {}),
-        steps_per_epoch=steps_per_epoch, frozen_mask=frozen)
+        steps_per_epoch=steps_per_epoch, frozen_mask=frozen,
+        total_epochs=dict(cfg.get("runner", {}) or {}).get("max_epochs", 12))
     state = create_train_state(variables, tx,
                                ema_ratio=dict(cfg.get('ema_config', {})
                                               or {}).get('ratio', 0.99))
@@ -142,18 +143,15 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         from dsl_tpu.parallel.mesh import shard_batch
 
         batch = {k: v for k, v in batch.items() if k != "meta"}
-        si = batch.pop("si_pair", None)
         if seesaw_counter is not None:
             seesaw_counter.update(batch["gt_labels"],
                                   batch.get("gt_valid"))
-            batch["cum_samples"] = jnp.asarray(seesaw_counter.counts)
-        placed = shard_batch(mesh, batch)
-        if si is not None:
-            placed["si_pair"] = jax.tree_util.tree_map(jnp.asarray, si)
+            batch["cum_samples"] = np.asarray(seesaw_counter.counts)
         if dyn_schedule is not None:
-            placed["dyn_iou_thr"] = jnp.asarray(dyn_schedule.iou_thr,
-                                                jnp.float32)
-            placed["dyn_beta"] = jnp.asarray(dyn_schedule.beta, jnp.float32)
+            batch["dyn_iou_thr"] = np.float32(dyn_schedule.iou_thr)
+            batch["dyn_beta"] = np.float32(dyn_schedule.beta)
+        # si_pair's per-shard index arrays shard on 'data' like the rest
+        placed = shard_batch(mesh, batch)
         state, metrics = jstep(state, placed)
         if dyn_schedule is not None and "dynamic_iou" in metrics:
             dyn_schedule.update(float(metrics["dynamic_iou"]),

@@ -25,10 +25,14 @@ ARCH = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
 
 
 class SAConv(nn.Module):
-    """Switchable Atrous Convolution (mmcv ``saconv.py`` semantics)."""
+    """Switchable Atrous Convolution (mmcv ``saconv.py`` semantics).
+
+    ``groups`` makes the switchable 3x3 grouped (ResNeXt bottlenecks,
+    ``detectors_resnext.py``)."""
 
     channels: int
     stride: int = 1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -46,15 +50,17 @@ class SAConv(nn.Module):
         if s > 1:
             switch = switch[:, ::s, ::s]
         w = self.param("weight", nn.initializers.he_normal(),
-                       (3, 3, x.shape[-1], self.channels))
+                       (3, 3, x.shape[-1] // self.groups, self.channels))
         dw = self.param("weight_diff", nn.initializers.zeros, w.shape)
         import jax.lax as lax
 
         dn = ("NHWC", "HWIO", "NHWC")
         out1 = lax.conv_general_dilated(x, w, (s, s), ((1, 1), (1, 1)),
+                                        feature_group_count=self.groups,
                                         dimension_numbers=dn)
         out2 = lax.conv_general_dilated(x, w + dw, (s, s), ((3, 3), (3, 3)),
                                         rhs_dilation=(3, 3),
+                                        feature_group_count=self.groups,
                                         dimension_numbers=dn)
         out = switch * out1 + (1 - switch) * out2
         post = nn.Conv(self.channels, (1, 1), name="post_context")(
@@ -81,7 +87,8 @@ class RFPBottleneck(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, name="conv1")(x)
         y = nn.relu(make_norm(self.norm_cfg, name="bn1")(y))
         if self.with_sac:
-            y = SAConv(width, stride=self.stride, name="conv2")(y)
+            y = SAConv(width, stride=self.stride, groups=self.groups,
+                       name="conv2")(y)
         else:
             y = nn.Conv(width, (3, 3),
                         strides=(self.stride, self.stride), padding=1,
@@ -174,7 +181,8 @@ class DetectoRSResNet(nn.Module):
 class DetectoRSResNeXt(DetectoRSResNet):
     """DetectoRS over ResNeXt (``detectors_resnext.py``): grouped, widened
     3x3 convs (width = floor(planes*base_width/64)*groups) in every
-    bottleneck; SAC and RFP plumbing inherited unchanged."""
+    bottleneck — including the switchable (SAC) convs; RFP plumbing
+    inherited unchanged."""
 
     groups: int = 32
     base_width: int = 4

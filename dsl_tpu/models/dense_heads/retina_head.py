@@ -169,9 +169,15 @@ def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
         onehot = jax.nn.one_hot(jnp.clip(labels, 0, nc - 1), nc) \
             * (labels < nc)[..., None]
         lw = jnp.broadcast_to(weights[..., None], flat_cls.shape)
-        # momentum (EMA bin counts) needs cross-step state; the stateless
-        # per-batch density (momentum=0) is used here — pass acc_sum through
-        # a custom train step to enable the EMA variant (core/losses.py)
+        if float(cls_cfg.get("momentum", 0.0)) > 0:
+            # momentum (EMA bin counts) needs cross-step state; the
+            # stateless per-batch density is used here — pass acc_sum
+            # through a custom train step for the EMA variant
+            import warnings
+
+            warnings.warn("GHMC momentum ignored in the stateless loss "
+                          "wiring (per-batch gradient density used)",
+                          stacklevel=2)
         loss_cls = L.ghm_c_loss(
             flat_cls, onehot, lw,
             bins=int(cls_cfg.get("bins", 10))) \

@@ -256,8 +256,13 @@ class GeneralizedAttention(nn.Module):
         hk, wk = kv.shape[1], kv.shape[2]
         scale = dk ** -0.5
 
-        q = nn.Conv(m * dk, (1, 1), use_bias=False, name="query_conv")(x)
-        q = q.reshape(b, h, w, m, dk) * scale
+        # query projection only exists when a query-dependent term is on
+        # (the reference instantiates it conditionally too)
+        if bits[0] or bits[1]:
+            q = nn.Conv(m * dk, (1, 1), use_bias=False, name="query_conv")(x)
+            q = q.reshape(b, h, w, m, dk) * scale
+        else:
+            q = jnp.zeros((b, h, w, m, dk), jnp.float32)
         k = nn.Conv(m * dk, (1, 1), use_bias=False, name="key_conv")(kv)
         k = k.reshape(b, hk, wk, m, dk)
         v = nn.Conv(c, (1, 1), use_bias=False, name="value_conv")(kv)

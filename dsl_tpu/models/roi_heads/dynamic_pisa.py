@@ -64,9 +64,14 @@ def dynamic_roi_loss(bbox_head, apply_fn, variables, feats, proposals,
     iou_thr = jnp.asarray(iou_thr, jnp.float32)
     beta = jnp.asarray(beta, jnp.float32)
 
+    # reference update_hyperparameters sets pos/neg/min_pos_iou all to the
+    # live threshold with match_low_quality=False, so raising the threshold
+    # actually removes forced low-quality positives
     samples = sample_batch_rois(proposals, prop_valid, batch, rng_key, nc,
                                 num_samples=num_samples,
-                                pos_iou_thr=iou_thr, neg_iou_thr=iou_thr)
+                                pos_iou_thr=iou_thr, neg_iou_thr=iou_thr,
+                                min_pos_iou=iou_thr,
+                                match_low_quality=False)
     rois, labels, assigned, valid, is_pos = (
         samples["rois"], samples["labels"], samples["assigned"],
         samples["valid"], samples["is_pos"])

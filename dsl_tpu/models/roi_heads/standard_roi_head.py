@@ -118,7 +118,8 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
                 num_classes: int, num_samples: int = 512,
                 pos_fraction: float = 0.25, pos_iou_thr: float = 0.5,
                 neg_iou_thr: float = 0.5, neg_hardness=None,
-                pos_strategy: str = "random", neg_strategy: str = "random"):
+                pos_strategy: str = "random", neg_strategy: str = "random",
+                min_pos_iou=1e-3, match_low_quality: bool = True):
     """Fixed-shape RandomSampler: assign proposals (+gt boxes as extra
     candidates, mmdet ``add_gt_as_proposals``), then take ``num_samples`` by
     priority = (pos with random tiebreak first, capped at
@@ -140,8 +141,9 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
     cand_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
     labels, assigned, _, max_iou = _max_iou_assign_single(
         cand, gt_bboxes, gt_labels, gt_valid,
-        pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr, min_pos_iou=1e-3,
-        num_classes=num_classes, match_low_quality=True)
+        pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+        min_pos_iou=min_pos_iou, num_classes=num_classes,
+        match_low_quality=match_low_quality)
     is_pos = (labels < num_classes) & cand_valid
     is_neg = (labels == num_classes) & cand_valid & (max_iou >= 0)
 
@@ -184,7 +186,8 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
 
 def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,
                       num_samples: int = 512, neg_hardness=None,
-                      pos_iou_thr=0.5, neg_iou_thr=0.5):
+                      pos_iou_thr=0.5, neg_iou_thr=0.5,
+                      min_pos_iou=1e-3, match_low_quality: bool = True):
     """Batched fixed-shape roi sampling (shared by bbox + mask branches,
     as the reference's StandardRoIHead passes one ``sampling_results`` to
     both, ``standard_roi_head.py:180-266``). ``neg_hardness`` (B, P+K)
@@ -196,7 +199,9 @@ def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,
     def per_image(key, props, pvalid, gtb, gtl, gtv, nh):
         return sample_rois(key, props, pvalid, gtb, gtl, gtv, num_classes,
                            num_samples=num_samples, neg_hardness=nh,
-                           pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr)
+                           pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
+                           min_pos_iou=min_pos_iou,
+                           match_low_quality=match_low_quality)
 
     if neg_hardness is None:
         per = lambda key, props, pvalid, gtb, gtl, gtv: per_image(

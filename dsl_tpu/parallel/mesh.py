@@ -45,23 +45,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# batch keys that carry traced hyperparameter STATE, not data — always
+# replicated (Dynamic R-CNN schedule scalars, Seesaw class counts)
+REPLICATED_BATCH_KEYS = frozenset(
+    {"dyn_iou_thr", "dyn_beta", "cum_samples"})
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Place a host batch pytree with the leading axis split over ``data``.
 
-    Leaves whose leading dim does not divide the data-axis size (scalars
-    like ``dyn_iou_thr``, per-class vectors like ``cum_samples``) are
-    replicated instead — they are traced hyperparameter state, not data."""
+    Keys in :data:`REPLICATED_BATCH_KEYS` and rank-0 leaves are replicated
+    (traced hyperparameter state); every other leaf must have a leading dim
+    divisible by the data-axis size — a mis-sized batch fails loudly here
+    rather than being silently replicated."""
     n = mesh.shape[DATA_AXIS]
     s = batch_sharding(mesh)
     r = replicated(mesh)
 
-    def _put(x):
-        shape = getattr(x, "shape", None)
-        if shape is None or len(shape) == 0 or shape[0] % n != 0:
+    def _put(path, x):
+        names = {getattr(p, "key", None) for p in path}
+        shape = getattr(x, "shape", ())
+        if names & REPLICATED_BATCH_KEYS or len(shape) == 0:
             return jax.device_put(x, r)
+        if shape[0] % n != 0:
+            raise ValueError(
+                f"batch leaf {path} leading dim {shape[0]} not divisible "
+                f"by data axis {n}")
         return jax.device_put(x, s)
 
-    return jax.tree_util.tree_map(_put, batch)
+    return jax.tree_util.tree_map_with_path(_put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -105,8 +105,11 @@ def build_lr_schedule(base_lr: float, warmup_iters: int = 500,
             for b in boundaries:
                 decay = decay * jnp.where(step >= b, gamma, 1.0)
             return warm * decay
-        total = max(int(total_iters or 1), 1)
-        prog = jnp.clip(step / total, 0.0, 1.0)
+        if not total_iters:
+            raise ValueError(
+                f"lr policy {policy!r} needs total_iters (pass total_epochs "
+                "to build_optimizer_from_cfg — runner.max_epochs)")
+        prog = jnp.clip(step / int(total_iters), 0.0, 1.0)
         if pol == "cosineannealing":
             cos = 0.5 * (1.0 + jnp.cos(np.pi * prog))
             decay = min_lr_ratio + (1.0 - min_lr_ratio) * cos
