@@ -139,6 +139,10 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
 
         seesaw_counter = SeesawCounter(bh.num_classes)
 
+    # generic loss-state feedback: metrics keys ``state_<name>`` become the
+    # next batch's ``<name>`` (e.g. GHM EMA bin counts)
+    loss_state: dict = {}
+
     def step_with_placement(state, batch):
         from dsl_tpu.parallel.mesh import shard_batch
 
@@ -150,12 +154,16 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         if dyn_schedule is not None:
             batch["dyn_iou_thr"] = np.float32(dyn_schedule.iou_thr)
             batch["dyn_beta"] = np.float32(dyn_schedule.beta)
+        batch.update(loss_state)
         # si_pair's per-shard index arrays shard on 'data' like the rest
         placed = shard_batch(mesh, batch)
         state, metrics = jstep(state, placed)
         if dyn_schedule is not None and "dynamic_iou" in metrics:
             dyn_schedule.update(float(metrics["dynamic_iou"]),
                                 float(metrics["dynamic_beta"]))
+        for k, v in metrics.items():
+            if k.startswith("state_"):
+                loss_state[k[len("state_"):]] = np.asarray(v)
         return state, metrics
 
     state = replicate(mesh, state)

@@ -162,6 +162,7 @@ def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
         num_pos = jax.lax.psum(num_pos, axis_name)
     num_pos = jnp.maximum(num_pos, 1.0)
 
+    aux: dict = {}
     cls_cfg = dict(head.loss_cls or {})
     cls_type = cls_cfg.get("type", "FocalLoss")
     if cls_type == "GHMC":
@@ -169,19 +170,22 @@ def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
         onehot = jax.nn.one_hot(jnp.clip(labels, 0, nc - 1), nc) \
             * (labels < nc)[..., None]
         lw = jnp.broadcast_to(weights[..., None], flat_cls.shape)
-        if float(cls_cfg.get("momentum", 0.0)) > 0:
-            # momentum (EMA bin counts) needs cross-step state; the
-            # stateless per-batch density is used here — pass acc_sum
-            # through a custom train step for the EMA variant
-            import warnings
-
-            warnings.warn("GHMC momentum ignored in the stateless loss "
-                          "wiring (per-batch gradient density used)",
-                          stacklevel=2)
-        loss_cls = L.ghm_c_loss(
-            flat_cls, onehot, lw,
-            bins=int(cls_cfg.get("bins", 10))) \
-            * float(cls_cfg.get("loss_weight", 1.0))
+        bins = int(cls_cfg.get("bins", 10))
+        mom = float(cls_cfg.get("momentum", 0.0))
+        if mom > 0:
+            # EMA bin counts are explicit traced state: in through
+            # ``batch['ghm_acc_sum']``, out through the (non-loss)
+            # ``state_ghm_acc_sum`` log var — the training loop feeds it
+            # back (apis/train.py step_with_placement)
+            acc = batch.get("ghm_acc_sum")
+            if acc is None:
+                acc = jnp.zeros((bins,), jnp.float32)
+            loss_cls, new_acc = L.ghm_c_loss(
+                flat_cls, onehot, lw, bins=bins, momentum=mom, acc_sum=acc)
+            aux["state_ghm_acc_sum"] = new_acc
+        else:
+            loss_cls = L.ghm_c_loss(flat_cls, onehot, lw, bins=bins)
+        loss_cls = loss_cls * float(cls_cfg.get("loss_weight", 1.0))
     else:
         loss_cls = L.sigmoid_focal_loss(flat_cls, labels, weight=weights,
                                         avg_factor=num_pos)
@@ -195,11 +199,22 @@ def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
     bbox_cfg = dict(head.loss_bbox or {})
     bbox_type = bbox_cfg.get("type", "L1Loss")
     if bbox_type == "GHMR":
-        loss_bbox = L.ghm_r_loss(
-            flat_reg, deltas, jnp.broadcast_to(posw, flat_reg.shape),
-            mu=float(bbox_cfg.get("mu", 0.02)),
-            bins=int(bbox_cfg.get("bins", 10))) \
-            * float(bbox_cfg.get("loss_weight", 1.0))
+        rbins = int(bbox_cfg.get("bins", 10))
+        rmom = float(bbox_cfg.get("momentum", 0.0))
+        rlw = jnp.broadcast_to(posw, flat_reg.shape)
+        if rmom > 0:
+            racc = batch.get("ghm_r_acc_sum")
+            if racc is None:
+                racc = jnp.zeros((rbins,), jnp.float32)
+            loss_bbox, new_racc = L.ghm_r_loss(
+                flat_reg, deltas, rlw, mu=float(bbox_cfg.get("mu", 0.02)),
+                bins=rbins, momentum=rmom, acc_sum=racc)
+            aux["state_ghm_r_acc_sum"] = new_racc
+        else:
+            loss_bbox = L.ghm_r_loss(
+                flat_reg, deltas, rlw,
+                mu=float(bbox_cfg.get("mu", 0.02)), bins=rbins)
+        loss_bbox = loss_bbox * float(bbox_cfg.get("loss_weight", 1.0))
     elif bbox_type == "BalancedL1Loss":
         loss_bbox = L.balanced_l1_loss(
             flat_reg, deltas, weight=posw, avg_factor=num_pos,
@@ -213,7 +228,7 @@ def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
     else:
         loss_bbox = L.l1_loss(flat_reg, deltas, weight=posw,
                               avg_factor=num_pos)
-    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox, **aux)
 
 
 def retina_get_bboxes(head: RetinaHead, cls_scores, bbox_preds,

@@ -48,7 +48,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # batch keys that carry traced hyperparameter STATE, not data — always
 # replicated (Dynamic R-CNN schedule scalars, Seesaw class counts)
 REPLICATED_BATCH_KEYS = frozenset(
-    {"dyn_iou_thr", "dyn_beta", "cum_samples"})
+    {"dyn_iou_thr", "dyn_beta", "cum_samples",
+     "ghm_acc_sum", "ghm_r_acc_sum"})
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:

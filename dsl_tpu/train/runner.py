@@ -33,7 +33,10 @@ class LogBuffer:
 
     def update(self, vals: dict):
         for k, v in vals.items():
-            self.history.setdefault(k, []).append(float(v))
+            arr = np.asarray(v)
+            if arr.size != 1:      # vector aux state (e.g. GHM bin counts)
+                continue
+            self.history.setdefault(k, []).append(float(arr.reshape(())))
 
     def average(self, window: int = 50) -> dict:
         return {k: float(np.mean(v[-window:]))

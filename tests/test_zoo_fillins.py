@@ -229,3 +229,35 @@ def test_resnext_dcn_grouped():
     k = variables["params"]["layer2_0"]["conv2_kernel"]
     width = int(128 * (4 / 64.0)) * 4
     assert k.shape == (3, 3, width // 4, width)
+
+
+def test_retina_ghm_momentum_state_threading():
+    from dsl_tpu.models.dense_heads.retina_head import RetinaHead, retina_loss
+
+    head = RetinaHead(num_classes=4, in_channels=16, feat_channels=16,
+                      stacked_convs=1, strides=(8, 16),
+                      loss_cls=dict(type='GHMC', bins=10, momentum=0.75),
+                      loss_bbox=dict(type='GHMR', mu=0.02, bins=10,
+                                     momentum=0.5))
+    feats = [jnp.asarray(np.random.RandomState(i).rand(1, s, s, 16),
+                         jnp.float32) for i, s in enumerate((8, 4))]
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    cls_scores, bbox_preds = head.apply(variables, feats)
+    batch = dict(
+        gt_bboxes=jnp.asarray([[[4., 4., 40., 40.]]]),
+        gt_labels=jnp.asarray([[1]], jnp.int32),
+        gt_valid=jnp.ones((1, 1), bool))
+    out1 = retina_loss(head, cls_scores, bbox_preds, batch)
+    assert "state_ghm_acc_sum" in out1 and "state_ghm_r_acc_sum" in out1
+    acc1 = out1["state_ghm_acc_sum"]
+    assert acc1.shape == (10,) and float(acc1.sum()) > 0
+    # feed the state back: EMA moves, loss stays finite
+    out2 = retina_loss(head, cls_scores, bbox_preds,
+                       dict(batch, ghm_acc_sum=acc1,
+                            ghm_r_acc_sum=out1["state_ghm_r_acc_sum"]))
+    assert np.isfinite(float(out2["loss_cls"]))
+    # EMA algebra: acc1 = (1-m)*counts from zero, so the second update is
+    # m*acc1 + (1-m)*counts = (m + 1) * acc1 = 1.75 * acc1 at m=0.75
+    np.testing.assert_allclose(
+        np.asarray(out2["state_ghm_acc_sum"])[np.asarray(acc1) > 0],
+        1.75 * np.asarray(acc1)[np.asarray(acc1) > 0], rtol=1e-5)
