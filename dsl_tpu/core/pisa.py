@@ -100,3 +100,48 @@ def carl_weights(cls_logits, labels, pos_mask, num_classes: int,
     num_pos = jnp.maximum(posf.sum(), 1.0)
     ratio = num_pos / jnp.maximum((w * posf).sum(), 1e-12)
     return jnp.where(pos_mask, w * ratio, 0.0)
+
+
+def score_hlr_weights(decoded, max_scores, neg_mask, iou_thr: float = 0.5,
+                      k: float = 0.5, bias: float = 0.0,
+                      score_thr: float = 0.05):
+    """ISR-N / Score-HLR negative reweighting (reference
+    ``samplers/score_hlr_sampler.py:100-215``): negatives are grouped by
+    overlap of their *predicted* boxes, ranked by max foreground score
+    within the group then globally (importance = n - rank + score), and the
+    HLR rank maps to ``(bias + (1-bias)(U - r)/U)^k``.
+
+    TPU redesign: the reference's ``nms_match`` greedy grouping becomes a
+    dense "dominator" assignment — each negative joins the highest-scoring
+    negative whose predicted box overlaps it above ``iou_thr`` (itself if
+    none dominates). Negatives below ``score_thr`` keep weight 1 (easy
+    background, reference ``invalid_inds`` path).
+
+    Args (flat): decoded (N, 4) predicted boxes at the argmax fg class;
+    max_scores (N,) max fg softmax score; neg_mask (N,) bool.
+    Returns (N,) weights (1.0 outside the valid-negative set).
+    """
+    from dsl_tpu.core.boxes import bbox_overlaps
+
+    n = decoded.shape[0]
+    valid = neg_mask & (max_scores > score_thr)
+    iou = bbox_overlaps(jax.lax.stop_gradient(decoded),
+                        jax.lax.stop_gradient(decoded))       # (N, N)
+    overlap = (iou > iou_thr) & valid[None, :] & valid[:, None]
+    # dominator: highest-score valid overlapping negative (incl. self)
+    cand = jnp.where(overlap, max_scores[None, :], -1.0)
+    group_id = jnp.argmax(cand, axis=1).astype(jnp.int32)
+    # within-group rank by score (0 = best)
+    r1 = group_rank_desc(group_id, max_scores, valid)
+    # importance: higher for group leaders, tie-broken by score
+    imp = jnp.where(valid,
+                    valid.sum().astype(jnp.float32)
+                    - r1.astype(jnp.float32) + max_scores, -_BIG)
+    # global HLR rank of importance
+    order = jnp.argsort(-imp)
+    rank = jnp.zeros((n,), jnp.float32).at[order].set(
+        jnp.arange(n, dtype=jnp.float32))
+    u = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+    w = (bias + (1 - bias) * (u - rank) / u)
+    w = jnp.where(w > 0, w, 0.0) ** k
+    return jnp.where(valid, w, 1.0)

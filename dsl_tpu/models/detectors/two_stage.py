@@ -306,7 +306,8 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
             isr_k=float(isr.get("k", 2.0)),
             isr_bias=float(isr.get("bias", 0.0)),
             carl_k=float(carl.get("k", 1.0)),
-            carl_bias=float(carl.get("bias", 0.2))))
+            carl_bias=float(carl.get("bias", 0.2)),
+            isr_n=tc.get("isr_n")))
         return _parse_losses(losses)
 
     neg_hardness = None

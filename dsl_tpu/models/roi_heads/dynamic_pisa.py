@@ -159,10 +159,12 @@ def pisa_roi_loss(bbox_head, apply_fn, variables, feats, proposals,
                   prop_valid, batch, rng_key, strides=(4, 8, 16, 32),
                   num_samples: int = 256, isr_k: float = 2.0,
                   isr_bias: float = 0.0, carl_k: float = 1.0,
-                  carl_bias: float = 0.2):
+                  carl_bias: float = 0.2, isr_n: dict | None = None):
     """Shared2FC roi loss with ISR-P positive reweighting + CARL
     (reference ``pisa_roi_head.py:126-159``: softmax scores, decoded-pred
-    IoU ranking, loss-sum-preserving rescale)."""
+    IoU ranking, loss-sum-preserving rescale). ``isr_n`` enables Score-HLR
+    negative reweighting (the reference's ScoreHLRSampler
+    ``neg_label_weights``, ``score_hlr_sampler.py``)."""
     nc = bbox_head.num_classes
     b = proposals.shape[0]
     samples = sample_batch_rois(proposals, prop_valid, batch, rng_key, nc,
@@ -206,8 +208,30 @@ def pisa_roi_loss(bbox_head, apply_fn, variables, feats, proposals,
               + jnp.maximum(assigned.reshape(-1), 0))
     isr_w = isr_p_weights(flat_labels, pos_mask, gt_ids, ious, nc,
                           k=isr_k, bias=isr_bias)
+    base_w = flat_valid
+    if isr_n is not None:
+        # ISR-N: negative label weights from Score-HLR of the predictions
+        from dsl_tpu.core.pisa import score_hlr_weights
+
+        probs = jax.nn.softmax(
+            jax.lax.stop_gradient(cls_logits), axis=-1)[:, :nc]
+        max_scores = probs.max(axis=-1)
+        arg_cls = jnp.argmax(probs, axis=-1)
+        reg_arg = jnp.take_along_axis(
+            reg, arg_cls[:, None, None].repeat(4, -1), axis=1)[:, 0]
+        dec_arg = delta2bbox(rois.reshape(-1, 4),
+                             jax.lax.stop_gradient(reg_arg),
+                             bbox_head.target_means, bbox_head.target_stds)
+        neg_mask = (~pos_mask) & (valid.reshape(-1) > 0)
+        neg_w = score_hlr_weights(
+            dec_arg, max_scores, neg_mask,
+            iou_thr=float(isr_n.get("iou_thr", 0.5)),
+            k=float(isr_n.get("k", 0.5)),
+            bias=float(isr_n.get("bias", 0.0)),
+            score_thr=float(isr_n.get("score_thr", 0.05)))
+        base_w = base_w * neg_w
     per_roi_ce = L.cross_entropy(cls_logits, flat_labels, reduction="none")
-    weights = isr_p_rescale(per_roi_ce, flat_valid, isr_w, pos_mask)
+    weights = isr_p_rescale(per_roi_ce, base_w, isr_w, pos_mask)
     loss_cls = jnp.sum(per_roi_ce * weights) / num_valid
 
     loss_reg = L.smooth_l1_loss(reg_sel, tgt, weight=flat_pos[:, None],

@@ -171,3 +171,30 @@ def test_seesaw_roi_head():
         det, variables, batch["images"], img_shapes=batch["img_shapes"],
         num_proposals=64)
     assert dets.shape[-1] == 5
+
+
+def test_pisa_score_hlr_negatives():
+    from dsl_tpu.core.pisa import score_hlr_weights
+
+    # 3 negatives: two overlapping (one confident), one isolated low-score
+    dec = jnp.asarray([[0., 0., 10., 10.], [1., 1., 11., 11.],
+                       [50., 50., 60., 60.], [80., 80., 90., 90.]])
+    scores = jnp.asarray([0.9, 0.6, 0.3, 0.01])
+    neg = jnp.asarray([True, True, True, True])
+    w = np.asarray(score_hlr_weights(dec, scores, neg, score_thr=0.05))
+    # below score_thr -> easy background, weight 1
+    assert w[3] == 1.0
+    # hardest (highest-score group leader) gets the largest learned weight
+    assert w[0] >= w[1] and w[0] >= w[2]
+    assert np.all(w > 0) and np.all(w <= 1.0 + 1e-6)
+
+    det, variables, batch = _setup(_cfg(
+        "PISAFasterRCNN",
+        train_cfg=dict(isr=dict(k=2.0, bias=0.0),
+                       carl=dict(k=1.0, bias=0.2),
+                       isr_n=dict(k=0.5, bias=0.0))))
+    total, log = two_stage_loss(det, variables, batch,
+                                rng_key=jax.random.PRNGKey(3),
+                                num_proposals=64, num_samples=32)
+    assert np.isfinite(float(total))
+    assert "loss_carl" in log
