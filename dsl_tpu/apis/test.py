@@ -154,8 +154,9 @@ def merge_aug_detections(per_aug, iou_threshold: float = 0.5,
     is a concat + per-class NMS + top-k."""
     from dsl_tpu.train.label_store import numpy_nms
 
-    dets = np.concatenate([d for d, _ in per_aug], axis=0)
-    labels = np.concatenate([l for _, l in per_aug], axis=0)
+    # results may be (dets, labels) or (dets, labels, masks)
+    dets = np.concatenate([r[0] for r in per_aug], axis=0)
+    labels = np.concatenate([r[1] for r in per_aug], axis=0)
     if len(dets) == 0:
         return dets, labels
     keep_all = []
@@ -206,3 +207,98 @@ def tta_test(detector, variables, dataset, test_cfg=None,
     if not evaluate:
         return merged
     return dataset.evaluate(merged, metric="bbox", verbose=False)
+
+
+def tta_test_masks(detector, variables, dataset, merged, test_cfg=None,
+                   img_scales=((1333, 800),), flip: bool = True,
+                   canvas_hw=DEFAULT_CANVAS, batch_size: int = 4,
+                   img_norm=None, max_per_img: int = 100):
+    """Mask TTA (reference ``merge_aug_masks`` /
+    ``mask_test_mixins.aug_test_mask``): re-run the mask head per
+    (scale, flip) at the SAME merged boxes (original coords), unflip the
+    28x28 probabilities, average across augs, then paste at original size.
+
+    ``merged``: per-image (dets, labels) from :func:`tta_test`
+    (``evaluate=False``). Returns per-image (dets, labels, masks)."""
+    import jax
+
+    from dsl_tpu.models.detectors.two_stage import mask_logits_for_boxes
+    from dsl_tpu.models.roi_heads.mask_head import paste_masks
+
+    mh = detector.mask_head
+    n_img = len(dataset)
+    nmax = max_per_img
+    # pad merged boxes/labels to a fixed capacity for static shapes
+    boxes0 = np.zeros((n_img, nmax, 4), np.float32)
+    labels0 = np.zeros((n_img, nmax), np.int64)
+    valid0 = np.zeros((n_img, nmax), bool)
+    for i, (d, l) in enumerate(merged):
+        m = min(len(d), nmax)
+        boxes0[i, :m] = d[:m, :4]
+        labels0[i, :m] = l[:m]
+        valid0[i, :m] = True
+
+    @jax.jit
+    def mask_probs(variables, images, boxes_in, valid, cls):
+        feats, _ = detector.apply(variables, images, training=False)
+        logits = mask_logits_for_boxes(detector, variables, feats,
+                                       boxes_in, valid)
+        c = jnp.clip(cls.reshape(-1), 0, mh.num_classes - 1)
+        probs = jax.nn.sigmoid(jnp.take_along_axis(
+            logits, c[:, None, None, None].astype(jnp.int32),
+            axis=-1)[..., 0])
+        s = logits.shape[1]
+        return probs.reshape(images.shape[0], -1, s, s)
+
+    from dsl_tpu.data.formatting import select_canvas
+
+    acc = [None] * n_img
+    n_aug = 0
+    for scale in img_scales:
+        for flipped in ((False, True) if flip else (False,)):
+            n_aug += 1
+            for start in range(0, n_img, batch_size):
+                idxs = list(range(start, min(start + batch_size, n_img)))
+                preps = [_resize_test_image(dataset, i, scale, flip=flipped)
+                         for i in idxs]
+                canvas = select_canvas([p[0].shape[:2] for p in preps],
+                                       canvas_hw)
+                imgs = np.stack([normalize_pad(p[0], canvas, img_norm)
+                                 for p in preps])
+                sfs = np.stack([p[2] for p in preps])      # (b, 4)
+                b = len(idxs)
+                bx = boxes0[idxs] * sfs[:, None, :]        # input frame
+                if flipped:
+                    ws = np.asarray([preps[j][1][1] for j in range(b)])
+                    x1 = ws[:, None] - bx[:, :, 2]
+                    x2 = ws[:, None] - bx[:, :, 0]
+                    bx[:, :, 0], bx[:, :, 2] = x1, x2
+                if b < batch_size:
+                    pad = batch_size - b
+                    imgs = np.concatenate(
+                        [imgs, np.zeros_like(imgs[:1]).repeat(pad, 0)])
+                    bx = np.concatenate(
+                        [bx, np.zeros_like(bx[:1]).repeat(pad, 0)])
+                probs = np.asarray(mask_probs(
+                    variables, jnp.asarray(imgs), jnp.asarray(bx),
+                    jnp.asarray(np.concatenate(
+                        [valid0[idxs],
+                         np.zeros((batch_size - b, nmax), bool)])
+                        if b < batch_size else valid0[idxs]),
+                    jnp.asarray(np.concatenate(
+                        [labels0[idxs],
+                         np.zeros((batch_size - b, nmax), np.int64)])
+                        if b < batch_size else labels0[idxs])))
+                if flipped:
+                    probs = probs[:, :, :, ::-1]
+                for j, i in enumerate(idxs):
+                    acc[i] = probs[j] if acc[i] is None else acc[i] + probs[j]
+
+    results = []
+    for i, (d, l) in enumerate(merged):
+        info = dataset.data_infos[i]
+        m = min(len(d), nmax)
+        avg = acc[i][:m] / max(n_aug, 1)
+        masks = paste_masks(avg, d[:m, :4], info["height"], info["width"])
+        results.append((d[:m], l[:m], masks))
+    return results

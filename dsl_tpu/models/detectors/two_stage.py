@@ -574,6 +574,25 @@ def two_stage_predict(detector, variables, images, img_shapes=None,
         max_per_img=rcnn.get("max_per_img", 100))
 
 
+def mask_logits_for_boxes(detector, variables, feats, boxes_in, valid):
+    """Mask-head logits at externally-given input-frame boxes (B, N, 4) —
+    the mask half of ``simple_test_mask`` and the building block of mask
+    TTA (reference ``merge_aug_masks`` runs the mask head per aug at the
+    same final boxes). Returns (B·N, S, S, C)."""
+    from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
+
+    mh = detector.mask_head
+    b, n = boxes_in.shape[:2]
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    flat_rois = jnp.concatenate(
+        [batch_idx.reshape(-1, 1).astype(jnp.float32),
+         boxes_in.reshape(-1, 4)], axis=1)
+    roi_feats = extract_roi_feats(feats, flat_rois, valid.reshape(-1),
+                                  _strides_from(detector), mh.roi_size)
+    return detector.apply(variables, roi_feats,
+                          method=detector.mask_forward)
+
+
 def mask_rcnn_predict(detector, variables, images, img_shapes=None,
                       scale_factors=None, test_cfg: dict | None = None,
                       num_proposals: int = 1000):
@@ -606,22 +625,13 @@ def mask_rcnn_predict(detector, variables, images, img_shapes=None,
         iou_threshold=nms_cfg.get("iou_threshold", 0.5),
         max_per_img=rcnn.get("max_per_img", 100))
 
-    from dsl_tpu.models.roi_heads.standard_roi_head import extract_roi_feats
-    import jax.numpy as jnp
-
     mh = detector.mask_head
     b, n = dets.shape[:2]
     boxes_in = dets[..., :4]
     if scale_factors is not None:      # back to input-image coords
         boxes_in = boxes_in * scale_factors[:, None, :]
-    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
-    flat_rois = jnp.concatenate(
-        [batch_idx.reshape(-1, 1).astype(jnp.float32),
-         boxes_in.reshape(-1, 4)], axis=1)
-    roi_feats = extract_roi_feats(feats, flat_rois, valid.reshape(-1),
-                                  _strides_from(detector), mh.roi_size)
-    logits = detector.apply(variables, roi_feats,
-                            method=detector.mask_forward)   # (BN, S, S, C)
+    logits = mask_logits_for_boxes(detector, variables, feats, boxes_in,
+                                   valid)                   # (BN, S, S, C)
     if getattr(detector, "point_head", None) is not None:
         from dsl_tpu.models.roi_heads.point_rend import point_rend_refine
 

@@ -80,3 +80,59 @@ def test_tta_test_end_to_end(tmp_path):
     metrics = tta_test(det, variables, ds, img_scales=((96, 64),),
                        flip=True, canvas_hw=(96, 96), batch_size=2)
     assert "bbox_mAP" in metrics
+
+
+@pytest.mark.slow
+def test_tta_masks_end_to_end(tmp_path):
+    import cv2
+
+    from dsl_tpu.apis.test import tta_test_masks
+    from dsl_tpu.models.detectors.two_stage import (
+        build_two_stage_detector, init_two_stage_variables)
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for name in ("a.jpg", "b.jpg"):
+        cv2.imwrite(str(img_dir / name),
+                    rng.randint(0, 255, (60, 80, 3), np.uint8))
+    ann = dict(
+        images=[dict(id=1, file_name="a.jpg", width=80, height=60),
+                dict(id=2, file_name="b.jpg", width=80, height=60)],
+        categories=[dict(id=1, name="cat")],
+        annotations=[dict(id=1, image_id=1, category_id=1,
+                          bbox=[10, 10, 30, 30], area=900, iscrowd=0)])
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    ds = CocoDataset(ann_file=str(tmp_path / "ann.json"),
+                     img_prefix=str(img_dir), pipeline=[], test_mode=True)
+
+    det = build_two_stage_detector(dict(
+        type="MaskRCNN",
+        backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=0, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      strides=[4, 8, 16, 32, 64]),
+        bbox_head=dict(type="Shared2FCBBoxHead", num_classes=1,
+                       in_channels=32, roi_size=7, fc_channels=64),
+        mask_head=dict(type="FCNMaskHead", num_classes=1, in_channels=32,
+                       roi_size=14),
+        test_cfg=dict(rcnn=dict(score_thr=0.01,
+                                nms=dict(iou_threshold=0.5),
+                                max_per_img=5))))
+    variables = init_two_stage_variables(
+        det, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    merged = tta_test(det, variables, ds, img_scales=((96, 64),),
+                      flip=True, canvas_hw=(96, 96), batch_size=2,
+                      max_per_img=5, evaluate=False)
+    results = tta_test_masks(det, variables, ds, merged,
+                             img_scales=((96, 64),), flip=True,
+                             canvas_hw=(96, 96), batch_size=2,
+                             max_per_img=5)
+    assert len(results) == 2
+    for dets, labels, masks in results:
+        assert len(dets) == len(labels) == len(masks)
+        for mask in masks:
+            assert mask.shape == (60, 80)
+            assert mask.dtype == bool or mask.dtype == np.uint8
