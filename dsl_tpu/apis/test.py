@@ -71,7 +71,7 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
                        canvas_hw=DEFAULT_CANVAS, batch_size: int = 8,
                        img_scale=(1333, 800), img_norm=None,
                        return_results: bool = False, evaluate: bool = True,
-                       flip: bool = False):
+                       flip: bool = False, boxes_only: bool = False):
     """Run inference over a dataset; returns eval metrics (and/or results).
 
     For Mask R-CNN the per-image results are ``(dets, labels, masks)`` with
@@ -79,7 +79,8 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
     ``simple_test_mask``); ``dataset.evaluate(metric=["bbox", "segm"])``
     consumes them."""
     det_name = type(detector).__name__
-    with_masks = det_name in ("MaskRCNN", "MaskScoringRCNN", "YOLACT")
+    with_masks = det_name in ("MaskRCNN", "MaskScoringRCNN", "YOLACT") \
+        and not boxes_only
 
     @jax.jit
     def predict(variables, images, shapes, sfs):
@@ -187,7 +188,7 @@ def tta_test(detector, variables, dataset, test_cfg=None,
                 detector, variables, dataset, test_cfg=test_cfg,
                 canvas_hw=canvas_hw, batch_size=batch_size,
                 img_scale=scale, img_norm=img_norm,
-                evaluate=False, flip=flipped)
+                evaluate=False, flip=flipped, boxes_only=True)
             if flipped:
                 unflipped = []
                 for i, r in enumerate(res):
@@ -209,7 +210,7 @@ def tta_test(detector, variables, dataset, test_cfg=None,
     return dataset.evaluate(merged, metric="bbox", verbose=False)
 
 
-def tta_test_masks(detector, variables, dataset, merged, test_cfg=None,
+def tta_test_masks(detector, variables, dataset, merged,
                    img_scales=((1333, 800),), flip: bool = True,
                    canvas_hw=DEFAULT_CANVAS, batch_size: int = 4,
                    img_norm=None, max_per_img: int = 100):

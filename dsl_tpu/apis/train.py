@@ -140,8 +140,19 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         seesaw_counter = SeesawCounter(bh.num_classes)
 
     # generic loss-state feedback: metrics keys ``state_<name>`` become the
-    # next batch's ``<name>`` (e.g. GHM EMA bin counts)
+    # next batch's ``<name>`` (e.g. GHM EMA bin counts). Pre-seed known
+    # states so the batch pytree structure is stable from step 1 (a late
+    # key would retrace the whole step — 1-10 min remote compile)
     loss_state: dict = {}
+    bh0 = getattr(detector, "bbox_head", None)
+    cls0 = dict(getattr(bh0, "loss_cls", None) or {})
+    if cls0.get("type") == "GHMC" and float(cls0.get("momentum", 0)) > 0:
+        loss_state["ghm_acc_sum"] = np.zeros(
+            (int(cls0.get("bins", 10)),), np.float32)
+    bb0 = dict(getattr(bh0, "loss_bbox", None) or {})
+    if bb0.get("type") == "GHMR" and float(bb0.get("momentum", 0)) > 0:
+        loss_state["ghm_r_acc_sum"] = np.zeros(
+            (int(bb0.get("bins", 10)),), np.float32)
 
     def step_with_placement(state, batch):
         from dsl_tpu.parallel.mesh import shard_batch

@@ -144,4 +144,10 @@ def score_hlr_weights(decoded, max_scores, neg_mask, iou_thr: float = 0.5,
     u = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
     w = (bias + (1 - bias) * (u - rank) / u)
     w = jnp.where(w > 0, w, 0.0) ** k
-    return jnp.where(valid, w, 1.0)
+    # below-threshold (easy) negatives get the MINIMUM importance weight
+    # (reference :207: ``neg_label_weights[num_hlr:] = imp_weights.min()``)
+    w_min = jnp.min(jnp.where(valid, w, jnp.inf))
+    w_min = jnp.where(jnp.isfinite(w_min), w_min, 1.0)
+    easy = neg_mask & ~valid
+    out = jnp.where(valid, w, jnp.where(easy, w_min, 1.0))
+    return out

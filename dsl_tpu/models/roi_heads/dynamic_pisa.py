@@ -229,6 +229,14 @@ def pisa_roi_loss(bbox_head, apply_fn, variables, feats, proposals,
             k=float(isr_n.get("k", 0.5)),
             bias=float(isr_n.get("bias", 0.0)),
             score_thr=float(isr_n.get("score_thr", 0.05)))
+        # loss-preserving rescale (reference ``score_hlr_sampler.py``:
+        # norm_ratio = ori_selected_loss.sum() / new_loss.sum())
+        ce0 = jax.lax.stop_gradient(L.cross_entropy(
+            cls_logits, flat_labels, reduction="none"))
+        negf = neg_mask.astype(jnp.float32)
+        ratio = jnp.sum(ce0 * negf) / jnp.maximum(
+            jnp.sum(ce0 * neg_w * negf), 1e-12)
+        neg_w = jnp.where(neg_mask, neg_w * ratio, neg_w)
         base_w = base_w * neg_w
     per_roi_ce = L.cross_entropy(cls_logits, flat_labels, reduction="none")
     weights = isr_p_rescale(per_roi_ce, base_w, isr_w, pos_mask)

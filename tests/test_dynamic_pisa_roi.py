@@ -182,8 +182,9 @@ def test_pisa_score_hlr_negatives():
     scores = jnp.asarray([0.9, 0.6, 0.3, 0.01])
     neg = jnp.asarray([True, True, True, True])
     w = np.asarray(score_hlr_weights(dec, scores, neg, score_thr=0.05))
-    # below score_thr -> easy background, weight 1
-    assert w[3] == 1.0
+    # below score_thr -> easy background at the MINIMUM importance weight
+    # (reference neg_label_weights[num_hlr:] = imp_weights.min())
+    assert np.isclose(w[3], w[:3].min())
     # hardest (highest-score group leader) gets the largest learned weight
     assert w[0] >= w[1] and w[0] >= w[2]
     assert np.all(w > 0) and np.all(w <= 1.0 + 1e-6)
