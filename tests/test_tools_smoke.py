@@ -1,0 +1,112 @@
+"""Smoke tests for the host-only analysis tools (analyze_logs,
+eval_metric, compute_distribution, publish_model)."""
+
+import json
+import os.path as osp
+import sys
+
+import numpy as np
+import cv2
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+sys.path.insert(0, osp.join(REPO, "tools"))
+
+
+def test_analyze_logs_parses_text_and_json(tmp_path):
+    from analyze_logs import parse_log
+
+    log = tmp_path / "train.log"
+    log.write_text(
+        "2026-01-01 INFO Epoch [1][10/100] loss: 1.2345 loss_cls: 0.5 "
+        "time: 0.17\n"
+        "garbage line\n"
+        '{"mode": "train", "epoch": 1, "iter": 20, "loss": 1.1}\n'
+        '{"mode": "val", "bbox_mAP": 0.3}\n')
+    rows = parse_log(str(log))
+    assert len(rows) == 2
+    assert rows[0]["epoch"] == 1 and rows[0]["iter"] == 10
+    assert np.isclose(rows[0]["loss"], 1.2345)
+    assert np.isclose(rows[1]["loss"], 1.1)
+
+
+def test_eval_metric_cli(tmp_path, monkeypatch, capsys):
+    import importlib
+
+    from dsl_tpu.config import Config
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                np.zeros((32, 32, 3), np.uint8))
+    ann = dict(images=[dict(id=1, file_name="a.jpg", width=32, height=32)],
+               categories=[dict(id=1, name="c")],
+               annotations=[dict(id=1, image_id=1, category_id=1,
+                                 bbox=[4, 4, 10, 10], area=100, iscrowd=0)])
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    dets = [dict(image_id=1, category_id=1, bbox=[4, 4, 10, 10],
+                 score=0.9)]
+    (tmp_path / "res.json").write_text(json.dumps(dets))
+    cfg = Config(dict(
+        model=dict(type="FCOS", bbox_head=dict(num_classes=1)),
+        data=dict(test=dict(type="CocoDataset",
+                            ann_file=str(tmp_path / "ann.json"),
+                            img_prefix=str(img_dir), pipeline=[],
+                            filter_empty_gt=False)),
+        optimizer=dict(type="SGD", lr=0.01)))
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+
+    mod = importlib.import_module("eval_metric")
+    monkeypatch.setattr(sys, "argv", ["eval_metric.py", str(cfg_path),
+                                      str(tmp_path / "res.json")])
+    mod.main()
+    out = capsys.readouterr().out
+    assert "Average Precision" in out or "AP" in out
+    # a perfect single detection scores mAP 1.0
+    assert "1.000" in out
+
+
+def test_compute_distribution_cli(tmp_path, monkeypatch, capsys):
+    import importlib
+
+    for i, (n, tags, scores) in enumerate(
+            [(2, ["cat", "dog"], [0.9, 0.4]), (0, [], [])]):
+        (tmp_path / f"{i}.json").write_text(json.dumps(
+            dict(targetNum=n, tags=tags, scores=scores)))
+    mod = importlib.import_module("compute_distribution")
+    mod.report(str(tmp_path), bins=5)
+    out = capsys.readouterr().out
+    assert "images: 2" in out and "boxes: 2" in out
+    assert "empty imgs: 1" in out
+    assert "cat: 0.900" in out
+
+
+def test_publish_model_cli(tmp_path, monkeypatch, capsys):
+    import glob
+    import importlib
+
+    from dsl_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    prefix = str(tmp_path / "epoch_1")
+    state = dict(params={"w": np.ones((3,), np.float32)},
+                 teacher_params={"w": np.full((3,), 2.0, np.float32)},
+                 batch_stats={})
+    save_checkpoint(prefix, state, meta=dict(epoch=1))
+
+    mod = importlib.import_module("publish_model")
+    out_prefix = str(tmp_path / "published")
+    monkeypatch.setattr(sys, "argv", ["publish_model.py", prefix,
+                                      out_prefix, "--teacher"])
+    mod.main()
+    out = capsys.readouterr().out
+    assert "published to" in out
+    published = glob.glob(out_prefix + "-*")
+    assert published, "publish_model wrote nothing"
+    # published checkpoint reloads and carries the teacher weights as params
+    pub_prefix = sorted(p for p in published
+                        if p.endswith(".orbax"))[0][:-len(".orbax")]
+    loaded, meta = load_checkpoint(pub_prefix, None)
+    assert meta.get("published") is True
+    np.testing.assert_allclose(np.asarray(loaded["params"]["w"]),
+                               np.full((3,), 2.0))
