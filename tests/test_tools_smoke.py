@@ -110,3 +110,91 @@ def test_publish_model_cli(tmp_path, monkeypatch, capsys):
     assert meta.get("published") is True
     np.testing.assert_allclose(np.asarray(loaded["params"]["w"]),
                                np.full((3,), 2.0))
+
+
+def _tiny_dataset_cfg(tmp_path, with_pipeline=True):
+    from dsl_tpu.config import Config
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir(exist_ok=True)
+    rng = np.random.RandomState(0)
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                rng.randint(0, 255, (48, 64, 3), np.uint8))
+    ann = dict(images=[dict(id=1, file_name="a.jpg", width=64, height=48)],
+               categories=[dict(id=1, name="c")],
+               annotations=[dict(id=1, image_id=1, category_id=1,
+                                 bbox=[4, 4, 20, 20], area=400, iscrowd=0)])
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    pipeline = [
+        dict(type="LoadImageFromFile"),
+        dict(type="LoadAnnotations", with_bbox=True),
+        dict(type="Resize", img_scale=(64, 48), keep_ratio=True),
+        dict(type="RandomFlip", flip_ratio=0.0),
+        dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1], to_rgb=True),
+        dict(type="Pad", size_divisor=32)] if with_pipeline else []
+    ds = dict(type="CocoDataset", ann_file=str(tmp_path / "ann.json"),
+              img_prefix=str(img_dir), pipeline=pipeline,
+              filter_empty_gt=False)
+    return Config(dict(
+        model=dict(
+            type="FCOS",
+            backbone=dict(type="ResNet", depth=18, out_indices=(1, 2, 3)),
+            neck=dict(type="FPN", in_channels=[128, 256, 512],
+                      out_channels=32, start_level=0, num_outs=5),
+            bbox_head=dict(type="FCOSHead", num_classes=1, in_channels=32,
+                           feat_channels=32, stacked_convs=1),
+            test_cfg=dict(score_thr=0.05, nms=dict(iou_threshold=0.5),
+                          max_per_img=5)),
+        canvas_hw=(64, 64),
+        data=dict(train=dict(ds), val=dict(ds), test=dict(ds)),
+        optimizer=dict(type="SGD", lr=0.01)))
+
+
+def test_browse_dataset_cli(tmp_path, monkeypatch):
+    import importlib
+
+    cfg = _tiny_dataset_cfg(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+    mod = importlib.import_module("browse_dataset")
+    out_dir = str(tmp_path / "browse")
+    monkeypatch.setattr(sys, "argv", [
+        "browse_dataset.py", str(cfg_path), "--output-dir", out_dir,
+        "--number", "1"])
+    mod.main()
+    import glob
+
+    assert glob.glob(osp.join(out_dir, "*")), "no visualization written"
+
+
+def test_analyze_results_cli(tmp_path, monkeypatch):
+    import importlib
+
+    cfg = _tiny_dataset_cfg(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+    dets = [dict(image_id=1, category_id=1, bbox=[4, 4, 20, 20], score=0.9)]
+    (tmp_path / "res.json").write_text(json.dumps(dets))
+    mod = importlib.import_module("analyze_results")
+    show_dir = str(tmp_path / "analysis")
+    monkeypatch.setattr(sys, "argv", [
+        "analyze_results.py", str(cfg_path), str(tmp_path / "res.json"),
+        "--show-dir", show_dir, "--topk", "1"])
+    mod.main()
+    import glob
+
+    assert glob.glob(osp.join(show_dir, "**", "*"), recursive=True)
+
+
+def test_get_flops_cli(tmp_path, monkeypatch, capsys):
+    import importlib
+
+    cfg = _tiny_dataset_cfg(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+    mod = importlib.import_module("get_flops")
+    monkeypatch.setattr(sys, "argv", [
+        "get_flops.py", str(cfg_path), "--shape", "64", "64"])
+    mod.main()
+    out = capsys.readouterr().out
+    assert "FLOP" in out or "flops" in out.lower()
