@@ -198,3 +198,52 @@ def test_get_flops_cli(tmp_path, monkeypatch, capsys):
     mod.main()
     out = capsys.readouterr().out
     assert "FLOP" in out or "flops" in out.lower()
+
+
+@pytest.mark.slow
+def test_serve_http_roundtrip(tmp_path, monkeypatch):
+    import importlib
+    import socket
+    import threading
+    import time
+    import urllib.request
+
+    cfg = _tiny_dataset_cfg(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    mod = importlib.import_module("serve")
+    monkeypatch.setattr(sys, "argv", [
+        "serve.py", str(cfg_path), "--port", str(port),
+        "--score-thr", "0.0"])
+    t = threading.Thread(target=mod.main, daemon=True)
+    t.start()
+
+    # wait for readiness via /health
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/health", timeout=2) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            time.sleep(1.0)
+    else:
+        pytest.fail("serve.py never became healthy")
+
+    img = np.random.RandomState(0).randint(0, 255, (48, 64, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", img)
+    assert ok
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=enc.tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        body = json.loads(r.read())
+    assert "detections" in body
+    for d in body["detections"]:
+        assert set(d) == {"bbox", "score", "label", "class_name"}
