@@ -60,9 +60,14 @@ class COCOEval:
     """
 
     def __init__(self, coco_gt, detections, iou_type: str = "bbox",
-                 img_ids=None, cat_ids=None, max_dets=(1, 10, 100)):
+                 img_ids=None, cat_ids=None, max_dets=(1, 10, 100),
+                 iou_thrs=None):
         assert iou_type in ("bbox", "segm")
         self.iou_type = iou_type
+        # custom thresholds (e.g. [0.1] for coco_error_analysis); the
+        # protocol default is the 0.50:0.95 ladder
+        self.iou_thrs = np.asarray(iou_thrs if iou_thrs is not None
+                                   else IOU_THRS)
         self.gt = coco_gt
         self.img_ids = list(img_ids if img_ids is not None
                             else coco_gt.get_img_ids())
@@ -109,12 +114,12 @@ class COCOEval:
         else:
             ious = _iou_xywh(d_boxes, g_boxes, g_crowd)
 
-        T = len(IOU_THRS)
+        T = len(self.iou_thrs)
         D, G = len(dts), len(gts)
         dt_m = np.zeros((T, D), dtype=np.int64) - 1    # matched gt index
         gt_m = np.zeros((T, G), dtype=np.int64) - 1
         dt_ig = np.zeros((T, D), bool)
-        for ti, thr in enumerate(IOU_THRS):
+        for ti, thr in enumerate(self.iou_thrs):
             for di in range(D):
                 best_iou = min(thr, 1 - 1e-10)
                 best_g = -1
@@ -169,7 +174,7 @@ class COCOEval:
 
     # -- accumulate --------------------------------------------------------
     def evaluate(self):
-        T, R = len(IOU_THRS), len(REC_THRS)
+        T, R = len(self.iou_thrs), len(REC_THRS)
         K = len(self.cat_ids)
         A = len(AREA_RNG)
         M = len(self.max_dets)
@@ -223,7 +228,11 @@ class COCOEval:
                 else len(self.max_dets) - 1
             p = precision[:, :, :, ai, mi]
             if iou_thr is not None:
-                ti = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
+                where = np.where(np.isclose(self.iou_thrs,
+                                                iou_thr))[0]
+                if where.size == 0:      # threshold not in this ladder
+                    return -1.0
+                ti = int(where[0])
                 p = p[ti:ti + 1]
             p = p[p > -1]
             return float(np.mean(p)) if p.size else -1.0

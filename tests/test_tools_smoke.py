@@ -247,3 +247,22 @@ def test_serve_http_roundtrip(tmp_path, monkeypatch):
     assert "detections" in body
     for d in body["detections"]:
         assert set(d) == {"bbox", "score", "label", "class_name"}
+
+
+def test_coco_error_analysis_cli(tmp_path, monkeypatch, capsys):
+    import importlib
+
+    cfg = _tiny_dataset_cfg(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+    # one perfect detection, one badly localized duplicate
+    dets = [dict(image_id=1, category_id=1, bbox=[4, 4, 20, 20], score=0.9),
+            dict(image_id=1, category_id=1, bbox=[10, 10, 24, 24],
+                 score=0.5)]
+    (tmp_path / "res.json").write_text(json.dumps(dets))
+    mod = importlib.import_module("coco_error_analysis")
+    monkeypatch.setattr(sys, "argv", [
+        "coco_error_analysis.py", str(cfg_path), str(tmp_path / "res.json")])
+    mod.main()
+    out = capsys.readouterr().out
+    assert "AP@[.5:.95]" in out
