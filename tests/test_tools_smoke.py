@@ -266,3 +266,35 @@ def test_coco_error_analysis_cli(tmp_path, monkeypatch, capsys):
     mod.main()
     out = capsys.readouterr().out
     assert "AP@[.5:.95]" in out
+
+
+@pytest.mark.slow
+def test_test_robustness_cli(tmp_path, monkeypatch):
+    import importlib
+
+    cfg = _tiny_dataset_cfg(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+    mod = importlib.import_module("test_robustness")
+
+    # the corruption bank itself: every corruption produces a valid image
+    img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
+    for name in mod.CORRUPTIONS:
+        out = mod.corrupt(img, name, 3)
+        assert out.shape == img.shape and out.dtype == np.uint8
+
+    out_json = str(tmp_path / "robust.json")
+    monkeypatch.setattr(sys, "argv", [
+        "test_robustness.py", str(cfg_path),
+        "--corruptions", "gaussian_noise",
+        "--severities", "1", "--out", out_json])
+    mod.main()
+    res = json.loads(open(out_json).read())
+    assert "gaussian_noise@1" in res and "mPC" in res
+    assert np.isfinite(res["mPC"])
+
+    # the aggregator consumes the output
+    from robustness_eval import aggregate
+
+    _, mPC, _ = aggregate(res)
+    assert "bbox_mAP" in mPC
