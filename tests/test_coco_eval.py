@@ -102,3 +102,17 @@ def test_area_split():
     stats = COCOEval(gt, dts).evaluate()
     assert stats["mAP_s"] == 1.0
     assert stats["mAP_l"] == 0.0
+
+
+def test_get_classes_registry():
+    from dsl_tpu.core.eval.class_names import get_classes
+
+    assert len(get_classes("coco")) == 80
+    assert len(get_classes("voc")) == 20
+    assert len(get_classes("cityscapes")) == 8
+    assert get_classes("wider_face") == ["face"]
+    assert len(get_classes("DeepFashion")) == 15
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_classes("imagenet")
