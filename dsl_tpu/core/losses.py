@@ -470,3 +470,24 @@ class SeesawCounter:
             labels = labels[np.asarray(gt_valid).reshape(-1).astype(bool)]
         np.add.at(self.counts, np.clip(labels, 0, self.num_classes), 1.0)
         return self.counts
+
+
+def accuracy(pred, target, topk=1, thresh=None):
+    """Top-k classification accuracy (``mmdet/models/losses/accuracy.py``):
+    fraction of rows whose top-k predictions include ``target`` (optionally
+    requiring the score to exceed ``thresh``). Returns a scalar for int
+    topk, a tuple for tuple topk."""
+    single = isinstance(topk, int)
+    ks = (topk,) if single else tuple(topk)
+    maxk = max(ks)
+    if pred.shape[0] == 0:
+        z = jnp.zeros((), jnp.float32)
+        return z if single else tuple(z for _ in ks)
+    vals, idx = jax.lax.top_k(pred, maxk)                # (N, maxk)
+    correct = idx == target[:, None]
+    if thresh is not None:
+        correct = correct & (vals > thresh)
+    n = pred.shape[0]
+    res = tuple(100.0 * jnp.sum(jnp.any(correct[:, :k], axis=1)) / n
+                for k in ks)
+    return res[0] if single else res

@@ -92,3 +92,22 @@ def test_losses_grad_finite(rng):
     g = jax.grad(lambda x: sigmoid_focal_loss(x, targets, avg_factor=5.0))(
         logits)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_accuracy_topk_golden():
+    """Pinned to the reference's unit test
+    (``tests/test_metrics/test_losses.py`` accuracy cases)."""
+    from dsl_tpu.core.losses import accuracy
+
+    pred = jnp.asarray([[0.2, 0.3, 0.6, 0.2, 0.1],
+                        [0.1, 0.1, 0.2, 0.6, 0.1],
+                        [0.9, 0.0, 0.0, 0.1, 0.0],
+                        [0.4, 0.7, 0.1, 0.1, 0.3]])
+    target = jnp.asarray([2, 3, 0, 1])
+    assert float(accuracy(pred, target, topk=1)) == 100.0
+    # thresh above every score -> zero accuracy
+    assert float(accuracy(pred, target, topk=1, thresh=1.0)) == 0.0
+    t2 = jnp.asarray([1, 2, 1, 3])     # every target is the 2nd/3rd choice?
+    a1 = float(accuracy(pred, t2, topk=1))
+    a1_2 = accuracy(pred, t2, topk=(1, 2))
+    assert a1 == float(a1_2[0]) and float(a1_2[1]) >= a1
