@@ -115,6 +115,15 @@ def build_lr_schedule(base_lr: float, warmup_iters: int = 500,
             decay = min_lr_ratio + (1.0 - min_lr_ratio) * cos
         elif pol == "poly":
             decay = jnp.maximum((1.0 - prog) ** power, min_lr_ratio)
+        elif pol == "cyclic":
+            # one-cycle triangular ramp (mmcv ``CyclicLrUpdaterHook``,
+            # target_ratio=(10, 1e-4), step_ratio_up=0.4): up to
+            # 10x base over the first 40%, down to 1e-4x after
+            up = jnp.minimum(prog / 0.4, 1.0)
+            down = jnp.clip((prog - 0.4) / 0.6, 0.0, 1.0)
+            decay = jnp.where(prog < 0.4,
+                              1.0 + (10.0 - 1.0) * up,
+                              10.0 + (1e-4 - 10.0) * down)
         else:
             raise ValueError(f"unknown lr policy {policy}")
         return warm * decay

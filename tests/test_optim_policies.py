@@ -70,3 +70,13 @@ def test_build_optimizer_adamw_from_detr_style_cfg():
         up, st = opt3.update(g, st, p)
         p = jax.tree_util.tree_map(lambda x, u: x + u, p, up)
     assert abs(float(p["head"]["w"][0])) < 0.2
+
+
+def test_cyclic_schedule():
+    s = build_lr_schedule(0.01, warmup_iters=0, policy="cyclic",
+                          total_iters=100)
+    assert np.isclose(float(s(0)), 0.01)            # start at base
+    assert np.isclose(float(s(40)), 0.1, rtol=1e-3)  # 10x peak at 40%
+    assert float(s(100)) < 1e-4                      # decayed to ~1e-4x
+    assert float(s(20)) > float(s(0))                # ramping up
+    assert float(s(80)) < float(s(40))               # ramping down
