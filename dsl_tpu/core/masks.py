@@ -100,7 +100,10 @@ def rasterize_polygons(polys, height: int, width: int) -> np.ndarray:
         with np.errstate(divide="ignore", invalid="ignore"):
             t = (yc[:, None] - y[None, :]) / (y2 - y)[None, :]
         xs = x[None, :] + t * (x2 - x)[None, :]             # (H, E)
-        xs = np.where(crosses, xs, np.inf)
+        # park non-crossing edges at -inf: `xc < -inf` is never a crossing
+        # (+inf would count once per non-crossing edge and flip the parity
+        # of every scanline where E - crossings is odd — e.g. triangles)
+        xs = np.where(crosses, xs, -np.inf)
         xc = np.arange(width) + 0.5                          # (W,)
         # pixel center inside iff an odd number of crossings to its right
         inside = (xc[None, :, None] < xs[:, None, :]).sum(-1) % 2  # (H, W)

@@ -48,3 +48,22 @@ def test_mask_target():
     assert t.shape == (2, 14, 14)
     assert t[0].mean() > 0.9          # proposal covers the mask exactly
     assert t[1].sum() == 0            # unassigned -> zero target
+
+
+def test_polygon_area_matches_bitmap_golden():
+    """Pinned to the reference's own case
+    (``tests/test_utils/test_masks.py:579-593``): the triangle
+    (1,1)-(5,1)-(3,4) on a 6x6 canvas — shoelace area 6.0, and the
+    pixel-center rasterization agrees with it."""
+    from dsl_tpu.core.masks import PolygonMasks
+
+    pm = PolygonMasks([[np.array([1, 1, 5, 1, 3, 4])]], 6, 6)
+    poly_area = pm.areas
+    bit_area = pm.to_bitmap().areas
+    assert len(poly_area) == 1
+    assert np.isclose(poly_area[0], 6.0)
+    assert np.isclose(poly_area, bit_area).all()
+
+    # empty polygon set
+    empty = PolygonMasks([], 28, 28)
+    assert empty.areas.sum() == 0
