@@ -67,3 +67,39 @@ def test_polygon_area_matches_bitmap_golden():
     # empty polygon set
     empty = PolygonMasks([], 28, 28)
     assert empty.areas.sum() == 0
+
+
+def test_rasterize_polygons_property_vs_matplotlib():
+    """Independent-oracle property test: even-odd pixel-center
+    rasterization must agree with matplotlib's Path.contains_points under
+    the same fill rule, for random polygons of odd AND even vertex
+    counts (the parity bug class the triangle golden caught)."""
+    from matplotlib.path import Path
+
+    from dsl_tpu.core.masks import rasterize_polygons
+
+    rng = np.random.RandomState(0)
+    h = w = 24
+    yy, xx = np.mgrid[0:h, 0:w]
+    centers = np.stack([xx.ravel() + 0.5, yy.ravel() + 0.5], axis=1)
+    for trial in range(8):
+        n = rng.randint(3, 9)                   # 3..8 vertices
+        pts = rng.rand(n, 2) * [w, h]
+        # sort by angle around the centroid -> simple polygon (matplotlib
+        # contains_points uses nonzero winding; even-odd only agrees with
+        # it on non-self-intersecting polygons)
+        c = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+        pts = pts[np.argsort(ang)]
+        flat = pts.ravel()
+        ours = rasterize_polygons([flat], h, w).astype(bool)
+        # even-odd (xor) fill rule without closing-code subtleties:
+        # Path of the closed polygon; radius=0 keeps boundary handling
+        # neutral (centers are generic — measure-zero ties)
+        # closed=True consumes the final vertex as the CLOSEPOLY dummy,
+        # so the ring must repeat the first point explicitly
+        ring = np.vstack([pts, pts[:1]])
+        ref = Path(ring, closed=True).contains_points(
+            centers).reshape(h, w)
+        mism = (ours ^ ref).sum()
+        assert mism <= 2, (trial, n, int(mism))  # boundary-tie tolerance
