@@ -23,13 +23,52 @@ import cv2
 from dsl_tpu.registry import PIPELINES
 
 
+def _octave_noise(h, w, rng, octaves=6, decay=0.55):
+    """Multi-octave value noise in [0, 1] — plasma-like clouds (stands in
+    for imagecorruptions' diamond-square ``plasma_fractal``)."""
+    out = np.zeros((h, w), np.float32)
+    amp, total = 1.0, 0.0
+    for k in range(octaves):
+        n = 2 ** (k + 2)
+        layer = cv2.resize(rng.rand(n, n).astype(np.float32), (w, h),
+                           interpolation=cv2.INTER_LINEAR)
+        out += amp * layer
+        total += amp
+        amp *= decay
+    out /= total
+    out -= out.min()
+    return out / max(out.max(), 1e-6)
+
+
+def _motion_kernel(k, angle_deg):
+    """Length-k line kernel at the given angle (for snow streaks)."""
+    kern = np.zeros((k, k), np.float32)
+    kern[k // 2, :] = 1.0
+    m = cv2.getRotationMatrix2D((k / 2 - 0.5, k / 2 - 0.5), angle_deg, 1.0)
+    kern = cv2.warpAffine(kern, m, (k, k))
+    ssum = kern.sum()
+    return kern / max(ssum, 1e-6)
+
+
 @PIPELINES.register
 class Corrupt:
-    """Apply a named corruption at a severity (1-5)."""
+    """Apply a named corruption at a severity (1-5).
 
-    SUPPORTED = ("gaussian_noise", "shot_noise", "impulse_noise",
-                 "defocus_blur", "motion_blur", "brightness", "contrast",
-                 "pixelate", "jpeg_compression", "gaussian_blur")
+    Covers the reference benchmark protocol's full 15-corruption set
+    (``tools/analysis_tools/test_robustness.py:104-110``) plus the holdout
+    set (speckle_noise, gaussian_blur, spatter, saturate). Reimplemented
+    imagecorruptions-style with cv2/numpy; ``frost`` uses a procedural
+    fractal-ice texture instead of the package's bundled JPEG assets
+    (unavailable offline), and ``fog`` uses octave value-noise in place of
+    the diamond-square plasma — same visual family, severity-monotonic.
+    """
+
+    BENCHMARK = ("gaussian_noise", "shot_noise", "impulse_noise",
+                 "defocus_blur", "glass_blur", "motion_blur", "zoom_blur",
+                 "snow", "frost", "fog", "brightness", "contrast",
+                 "elastic_transform", "pixelate", "jpeg_compression")
+    HOLDOUT = ("speckle_noise", "gaussian_blur", "spatter", "saturate")
+    SUPPORTED = BENCHMARK + HOLDOUT
 
     def __init__(self, corruption: str = "gaussian_noise", severity: int = 1):
         if corruption not in self.SUPPORTED:
@@ -78,6 +117,121 @@ class Corrupt:
                 ".jpg", np.clip(img, 0, 255).astype(np.uint8),
                 [int(cv2.IMWRITE_JPEG_QUALITY), q])
             img = cv2.imdecode(enc, cv2.IMREAD_COLOR).astype(np.float32)
+        elif c == "glass_blur":
+            # blur -> local pixel shuffle x iters -> blur
+            sigma, max_d, iters = [(0.7, 1, 2), (0.9, 2, 1), (1.0, 2, 3),
+                                   (1.1, 3, 2), (1.5, 4, 2)][s - 1]
+            img = cv2.GaussianBlur(img, (0, 0), sigma)
+            h, w = img.shape[:2]
+            for _ in range(iters):
+                dy = rng.randint(-max_d, max_d + 1, (h, w))
+                dx = rng.randint(-max_d, max_d + 1, (h, w))
+                ys = np.clip(np.arange(h)[:, None] + dy, 0, h - 1)
+                xs = np.clip(np.arange(w)[None, :] + dx, 0, w - 1)
+                img = img[ys, xs]
+            img = cv2.GaussianBlur(img, (0, 0), sigma)
+        elif c == "zoom_blur":
+            max_zoom = [1.11, 1.16, 1.21, 1.26, 1.31][s - 1]
+            h, w = img.shape[:2]
+            acc = np.zeros_like(img, np.float32)
+            zooms = np.arange(1.0, max_zoom, 0.02)
+            for z in zooms:
+                zh, zw = max(1, int(round(h / z))), max(1, int(round(w / z)))
+                y0, x0 = (h - zh) // 2, (w - zw) // 2
+                acc += cv2.resize(img[y0:y0 + zh, x0:x0 + zw], (w, h),
+                                  interpolation=cv2.INTER_LINEAR)
+            img = (img + acc) / (len(zooms) + 1)
+        elif c == "snow":
+            loc, scale, zoom, thr, blur_k, mix = [
+                (0.1, 0.3, 3.0, 0.5, 9, 0.8), (0.2, 0.3, 2.0, 0.5, 11, 0.7),
+                (0.55, 0.3, 4.0, 0.9, 11, 0.7),
+                (0.55, 0.3, 4.5, 0.85, 11, 0.65),
+                (0.55, 0.3, 2.5, 0.85, 15, 0.6)][s - 1]
+            h, w = img.shape[:2]
+            layer = rng.normal(loc, scale, (h, w)).astype(np.float32)
+            layer = cv2.resize(layer, (0, 0), fx=zoom, fy=zoom,
+                               interpolation=cv2.INTER_LINEAR)[:h, :w]
+            if layer.shape != (h, w):   # zoom < 1 upscale guard
+                layer = cv2.resize(layer, (w, h))
+            layer[layer < thr] = 0.0
+            layer = cv2.filter2D(layer, -1,
+                                 _motion_kernel(blur_k,
+                                                rng.uniform(-135, -45)))
+            gray = img.mean(axis=-1, keepdims=True)
+            base = mix * img + (1 - mix) * np.maximum(
+                img, gray * 1.5 + 0.5 * 255)
+            snow = np.clip(layer, 0, 1)[..., None] * 255.0
+            img = base + snow + np.rot90(snow, k=2, axes=(0, 1))
+        elif c == "frost":
+            keep, fweight = [(1.0, 0.4), (0.8, 0.6), (0.7, 0.7),
+                             (0.65, 0.7), (0.6, 0.75)][s - 1]
+            h, w = img.shape[:2]
+            # procedural icy texture: sharpened octave noise + streaks
+            tex = _octave_noise(h, w, rng, octaves=5, decay=0.7)
+            tex = cv2.filter2D(tex, -1,
+                               _motion_kernel(9, rng.uniform(0, 180)))
+            tex = np.clip((tex - 0.4) * 2.5, 0, 1)
+            frost = (tex[..., None] * np.asarray([235, 240, 255],
+                                                 np.float32))
+            img = keep * img + fweight * frost
+        elif c == "fog":
+            amt, decay = [(1.5, 0.48), (2.0, 0.48), (2.5, 0.55),
+                          (2.5, 0.62), (3.0, 0.68)][s - 1]
+            h, w = img.shape[:2]
+            plasma = _octave_noise(h, w, rng, octaves=7, decay=decay)
+            max_val = max(img.max(), 1.0)
+            img = img + amt * plasma[..., None] * 255.0
+            img = img * max_val / (max_val + amt * 255.0)
+        elif c == "elastic_transform":
+            h, w = img.shape[:2]
+            ref = min(h, w)
+            alpha_f, sigma_f, affine_f = [
+                (2.0, 0.7, 0.1), (2.0, 0.08, 0.2), (0.05, 0.01, 0.02),
+                (0.07, 0.01, 0.02), (0.12, 0.01, 0.02)][s - 1]
+            # random affine jitter of a center triangle
+            ctr = np.float32([w, h]) / 2
+            sq = ref // 3
+            pts1 = np.float32([ctr + sq, [ctr[0] + sq, ctr[1] - sq],
+                               ctr - sq])
+            pts2 = pts1 + rng.uniform(-affine_f * ref, affine_f * ref,
+                                      pts1.shape).astype(np.float32)
+            img = cv2.warpAffine(img, cv2.getAffineTransform(pts1, pts2),
+                                 (w, h), borderMode=cv2.BORDER_REFLECT_101)
+            # smoothed displacement field
+            sigma = max(sigma_f * ref, 1.0)
+            dx = cv2.GaussianBlur(
+                rng.uniform(-1, 1, (h, w)).astype(np.float32), (0, 0),
+                sigma) * alpha_f * ref
+            dy = cv2.GaussianBlur(
+                rng.uniform(-1, 1, (h, w)).astype(np.float32), (0, 0),
+                sigma) * alpha_f * ref
+            mx = (np.arange(w)[None, :] + dx).astype(np.float32)
+            my = (np.arange(h)[:, None] + dy).astype(np.float32)
+            img = cv2.remap(img, mx, my, cv2.INTER_LINEAR,
+                            borderMode=cv2.BORDER_REFLECT_101)
+        elif c == "speckle_noise":
+            amt = [0.15, 0.2, 0.35, 0.45, 0.6][s - 1]
+            img = img + img * rng.randn(*img.shape) * amt
+        elif c == "spatter":
+            loc, scale, sigma, thr, mud = [
+                (0.65, 0.3, 4, 0.69, False), (0.65, 0.3, 3, 0.68, False),
+                (0.65, 0.3, 2, 0.68, False), (0.65, 0.3, 1, 0.65, True),
+                (0.67, 0.4, 1, 0.65, True)][s - 1]
+            h, w = img.shape[:2]
+            liquid = rng.normal(loc, scale, (h, w)).astype(np.float32)
+            liquid = cv2.GaussianBlur(liquid, (0, 0), sigma)
+            m = (liquid > thr).astype(np.float32)[..., None]
+            color = (np.asarray([63, 42, 20], np.float32) if mud
+                     else np.asarray([238, 238, 175], np.float32))  # BGR
+            img = img * (1 - 0.7 * m) + color * 0.7 * m
+        elif c == "saturate":
+            fac, add = [(0.3, 0.0), (0.1, 0.0), (2.0, 0.0),
+                        (5.0, 0.1), (20.0, 0.2)][s - 1]
+            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                               cv2.COLOR_BGR2HSV).astype(np.float32)
+            hsv[..., 1] = np.clip(hsv[..., 1] * fac + add * 255, 0, 255)
+            img = cv2.cvtColor(hsv.astype(np.uint8),
+                               cv2.COLOR_HSV2BGR).astype(np.float32)
         results["img"] = np.clip(img, 0, 255).astype(
             results["img"].dtype if results["img"].dtype == np.uint8
             else np.float32)

@@ -73,9 +73,17 @@ def test_corrupt_and_albu_shapes():
     from dsl_tpu.data.pipelines.fillin_transforms import Albu, Corrupt
 
     img = np.random.RandomState(0).randint(0, 255, (32, 40, 3), np.uint8)
+    # full reference benchmark protocol (test_robustness.py:104-110) = 15
+    # corruptions, + the 4 holdout ones
+    assert len(Corrupt.BENCHMARK) == 15
+    assert set(Corrupt.BENCHMARK).isdisjoint(Corrupt.HOLDOUT)
     for c in Corrupt.SUPPORTED:
         out = Corrupt(c, severity=3)({"img": img.copy()})
         assert out["img"].shape == img.shape
+        # severity 3 must corrupt materially (sanity: not a no-op)
+        diff = np.abs(out["img"].astype(np.float32)
+                      - img.astype(np.float32)).mean()
+        assert diff > 1.0, f"{c} severity-3 changed image by only {diff}"
     aug = Albu([dict(type="RandomBrightnessContrast", p=1.0),
                 dict(type="HueSaturationValue", p=1.0),
                 dict(type="OneOf", p=1.0, transforms=[

@@ -197,3 +197,21 @@ def test_mobilenet_v2_shapes():
     # first stage has no expand conv (ratio 1)
     assert "expand_conv" not in v["params"]["layer1_0"]
     assert "expand_conv" in v["params"]["layer2_0"]
+
+
+def test_fcos_head_dcn_on_last_conv():
+    """dcn_on_last_conv swaps the towers' final conv for DCNv2 (reference
+    anchor_free_head.py _init_cls_convs + configs/fcos/*dcn*); must build,
+    forward, and actually create the offset convs."""
+    import jax
+
+    head = FCOSHead(num_classes=4, in_channels=32, feat_channels=32,
+                    stacked_convs=2, dcn_on_last_conv=True)
+    feats = tuple(jnp.zeros((1, s, s, 32)) for s in (16, 8, 4, 2, 1))
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    names = set(variables["params"].keys())
+    assert "cls_conv1_offset" in names and "reg_conv1_offset" in names
+    assert "cls_conv1_kernel" in names
+    cls, bbox, cent = head.apply(variables, feats, training=True)
+    assert cls[0].shape == (1, 16, 16, 4)
+    assert bbox[0].shape == (1, 16, 16, 4)

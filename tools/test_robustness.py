@@ -18,58 +18,49 @@ import numpy as np
 import cv2
 
 
+from dsl_tpu.data.pipelines.fillin_transforms import Corrupt
+
+# Named corruption sets, parity with the reference CLI's choices
+# (``test_robustness.py:102-110`` + imagecorruptions get_corruption_names).
+CORRUPTION_SETS = {
+    "benchmark": list(Corrupt.BENCHMARK),
+    "all": list(Corrupt.SUPPORTED),
+    "holdout": list(Corrupt.HOLDOUT),
+    "noise": ["gaussian_noise", "shot_noise", "impulse_noise"],
+    "blur": ["defocus_blur", "glass_blur", "motion_blur", "zoom_blur"],
+    "weather": ["snow", "frost", "fog", "brightness"],
+    "digital": ["contrast", "elastic_transform", "pixelate",
+                "jpeg_compression"],
+}
+
+
 def corrupt(img: np.ndarray, name: str, severity: int) -> np.ndarray:
-    """A representative corruption bank (severity 1..5)."""
-    s = severity
-    rng = np.random.RandomState(severity)
-    img = img.astype(np.float32)
-    if name == "gaussian_noise":
-        sigma = [8, 12, 18, 26, 38][s - 1]
-        out = img + rng.randn(*img.shape) * sigma
-    elif name == "shot_noise":
-        lam = [60, 25, 12, 5, 3][s - 1]
-        out = rng.poisson(np.clip(img, 0, 255) / 255.0 * lam) / lam * 255.0
-    elif name == "gaussian_blur":
-        k = [3, 5, 7, 9, 11][s - 1]
-        out = cv2.GaussianBlur(img, (k, k), 0)
-    elif name == "motion_blur":
-        k = [5, 7, 9, 13, 17][s - 1]
-        kernel = np.zeros((k, k), np.float32)
-        kernel[k // 2] = 1.0 / k
-        out = cv2.filter2D(img, -1, kernel)
-    elif name == "brightness":
-        out = img + [20, 35, 50, 65, 80][s - 1]
-    elif name == "contrast":
-        f = [0.75, 0.6, 0.45, 0.3, 0.2][s - 1]
-        out = (img - img.mean()) * f + img.mean()
-    elif name == "pixelate":
-        f = [0.8, 0.65, 0.5, 0.4, 0.3][s - 1]
-        h, w = img.shape[:2]
-        small = cv2.resize(img, (max(1, int(w * f)), max(1, int(h * f))))
-        out = cv2.resize(small, (w, h), interpolation=cv2.INTER_NEAREST)
-    elif name == "jpeg_compression":
-        q = [70, 50, 35, 20, 10][s - 1]
-        ok, enc = cv2.imencode(".jpg", np.clip(img, 0, 255).astype(np.uint8),
-                               [cv2.IMWRITE_JPEG_QUALITY, q])
-        out = cv2.imdecode(enc, cv2.IMREAD_COLOR).astype(np.float32)
-    else:
-        raise ValueError(name)
+    """Apply one named corruption via the pipeline bank (severity 0 = clean)."""
+    if severity == 0:
+        return img
+    out = Corrupt(name, severity)({"img": img})["img"]
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
-CORRUPTIONS = ("gaussian_noise", "shot_noise", "gaussian_blur",
-               "motion_blur", "brightness", "contrast", "pixelate",
-               "jpeg_compression")
+def expand_corruptions(names):
+    out = []
+    for n in names:
+        out.extend(CORRUPTION_SETS.get(n, [n]))
+    for n in out:
+        if n not in Corrupt.SUPPORTED:
+            raise ValueError(f"unknown corruption {n!r}")
+    return out
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("config")
     p.add_argument("checkpoint", nargs="?", default=None)
-    p.add_argument("--corruptions", nargs="+", default=list(CORRUPTIONS))
+    p.add_argument("--corruptions", nargs="+", default=["benchmark"])
     p.add_argument("--severities", nargs="+", type=int, default=[1, 3, 5])
     p.add_argument("--out", default="robustness.json")
     args = p.parse_args()
+    args.corruptions = expand_corruptions(args.corruptions)
 
     import jax
     import jax.numpy as jnp
