@@ -110,9 +110,14 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
                                               or {}).get('ratio', 0.99))
 
     ema_cfg = dict(cfg.get("ema_config", {}) or {})
+    # cfg.fp16 (reference Fp16OptimizerHook, ``apis/train.py:153-156``) maps
+    # to bf16 mixed precision on TPU: bf16 keeps f32's exponent range so the
+    # reference's loss_scale machinery is unnecessary and ignored.
+    fp16_cfg = cfg.get("fp16", None)
     train_step = make_train_step(
         detector, tx,
         frozen_mask=frozen,
+        compute_dtype=jnp.bfloat16 if fp16_cfg else None,
         ema_interval=ema_cfg.get("interval", 1)
         if ema_cfg.get("mode", "iteration") == "iteration" else -1,
         ema_start_iter=ema_cfg.get("start_point", 1))

@@ -38,18 +38,23 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     style: str = "pytorch"
     norm_cfg: dict | None = None
+    conv_cfg: dict | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = conv3x3(self.planes, self.stride, name="conv1")(x)
+        out = conv3x3(self.planes, self.stride, name="conv1",
+                      conv_cfg=self.conv_cfg)(x)
         out = make_norm(self.norm_cfg, name="bn1")(out)
         out = nn.relu(out)
-        out = conv3x3(self.planes, 1, self.dilation, name="conv2")(out)
+        out = conv3x3(self.planes, 1, self.dilation, name="conv2",
+                      conv_cfg=self.conv_cfg)(out)
         out = make_norm(self.norm_cfg, name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            identity = conv1x1(self.planes, self.stride, name="downsample_conv")(x)
+            identity = conv1x1(self.planes, self.stride,
+                               name="downsample_conv",
+                               conv_cfg=self.conv_cfg)(x)
             identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -64,6 +69,7 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     expansion: int = 4
+    conv_cfg: dict | None = None
     dcn: dict | None = None      # dict(type='DCN'|'DCNv2') on conv2
     plugins: tuple = ()          # ((position, cfg), ...) e.g. ContextBlock
 
@@ -77,7 +83,7 @@ class Bottleneck(nn.Module):
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
 
         identity = x
-        out = conv1x1(width, s1, name="conv1")(x)
+        out = conv1x1(width, s1, name="conv1", conv_cfg=self.conv_cfg)(x)
         out = make_norm(self.norm_cfg, name="bn1")(out)
         out = nn.relu(out)
         if self.dcn is not None:
@@ -102,21 +108,19 @@ class Bottleneck(nn.Module):
             out = deform_conv2d(out, offsets, w, mask=dmask,
                                 dilation=self.dilation, stride=s2)
         else:
-            out = nn.Conv(width, (3, 3), strides=(s2, s2),
-                          padding=((self.dilation, self.dilation),
-                                   (self.dilation, self.dilation)),
-                          kernel_dilation=(self.dilation, self.dilation),
-                          feature_group_count=self.groups, use_bias=False,
-                          kernel_init=nn.initializers.he_normal(),
-                          name="conv2")(out)
+            from dsl_tpu.models.layers import make_conv
+            out = make_conv(self.conv_cfg, width, 3, stride=s2,
+                            dilation=self.dilation, groups=self.groups,
+                            name="conv2")(out)
         out = make_norm(self.norm_cfg, name="bn2")(out)
         out = nn.relu(out)
         out = self._run_plugins(out, "after_conv2")
-        out = conv1x1(out_ch, 1, name="conv3")(out)
+        out = conv1x1(out_ch, 1, name="conv3", conv_cfg=self.conv_cfg)(out)
         out = make_norm(self.norm_cfg, name="bn3")(out)
         out = self._run_plugins(out, "after_conv3")
         if self.stride != 1 or x.shape[-1] != out_ch:
-            identity = conv1x1(out_ch, self.stride, name="downsample_conv")(x)
+            identity = conv1x1(out_ch, self.stride, name="downsample_conv",
+                               conv_cfg=self.conv_cfg)(x)
             identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -159,6 +163,7 @@ class ResNet(nn.Module):
     frozen_stages: int = -1
     norm_eval: bool = True
     norm_cfg: dict | None = None
+    conv_cfg: dict | None = None
     pretrained: str | None = None
     stem_channels: int = 64
     base_channels: int = 64
@@ -173,9 +178,9 @@ class ResNet(nn.Module):
         block_name, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
 
-        x = nn.Conv(self.stem_channels, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)), use_bias=False,
-                    kernel_init=nn.initializers.he_normal(), name="conv1")(x)
+        from dsl_tpu.models.layers import make_conv
+        x = make_conv(self.conv_cfg, self.stem_channels, 7, stride=2,
+                      name="conv1")(x)
         x = make_norm(self.norm_cfg, name="bn1")(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
@@ -200,6 +205,7 @@ class ResNet(nn.Module):
                     dilation=self.dilations[i],
                     style=self.style,
                     norm_cfg=self.norm_cfg,
+                    conv_cfg=self.conv_cfg,
                     name=f"layer{i + 1}_{j}", **kwargs)(x)
             if i in self.out_indices:
                 outs.append(x)

@@ -50,6 +50,7 @@ class SABLRetinaHead(nn.Module):
     loss_cls: dict | None = None
     loss_bbox_cls: dict | None = None
     loss_bbox_reg: dict | None = None
+    norm_cfg: dict | None = None   # GN towers (sabl *gn* configs)
 
     @property
     def side_num(self) -> int:
@@ -91,13 +92,26 @@ class SABLRetinaHead(nn.Module):
         retina_bbox_reg = nn.Conv(self.side_num * 4, (3, 3), padding=1,
                                   kernel_init=normal_init(0.01),
                                   name="retina_bbox_reg")
+        from dsl_tpu.models.layers import make_norm
+        cls_norms = [make_norm(self.norm_cfg, name=f"cls_gn{i}")
+                     if self.norm_cfg else None
+                     for i in range(self.stacked_convs)]
+        reg_norms = [make_norm(self.norm_cfg, name=f"reg_gn{i}")
+                     if self.norm_cfg else None
+                     for i in range(self.stacked_convs)]
         cls_scores, bucket_cls, bucket_reg = [], [], []
         for x in feats:
             cf, rf = x, x
-            for conv in cls_convs:
-                cf = nn.relu(conv(cf))
-            for conv in reg_convs:
-                rf = nn.relu(conv(rf))
+            for conv, norm in zip(cls_convs, cls_norms):
+                cf = conv(cf)
+                if norm is not None:
+                    cf = norm(cf)
+                cf = nn.relu(cf)
+            for conv, norm in zip(reg_convs, reg_norms):
+                rf = conv(rf)
+                if norm is not None:
+                    rf = norm(rf)
+                rf = nn.relu(rf)
             cls_scores.append(retina_cls(cf))
             bucket_cls.append(retina_bbox_cls(rf))
             bucket_reg.append(retina_bbox_reg(rf))

@@ -76,22 +76,87 @@ class Scale(nn.Module):
         return x * s
 
 
+class WSConv(nn.Module):
+    """Weight-standardized convolution (mmcv ``ConvWS2d``,
+    ``mmcv/cnn/bricks/conv_ws.py``): the kernel is standardized per OUTPUT
+    channel — (mean, std) over (kh, kw, Cin) — before the convolution.
+    Used by the reference's ``gn+ws`` config family. Std is the unbiased
+    estimate (torch ``Tensor.std``), computed as sqrt(var + tiny) so the
+    gradient stays bounded at zero spread (see CLAUDE.md jnp.std note)."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: Sequence[int] = (1, 1)
+    feature_group_count: int = 1
+    use_bias: bool = False
+    eps: float = 1e-5
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1] // self.feature_group_count
+        kernel = self.param(
+            "kernel", self.kernel_init or nn.initializers.he_normal(),
+            (kh, kw, cin, self.features))
+        flat = kernel.reshape(-1, self.features)
+        n = flat.shape[0]
+        mean = jnp.mean(flat, axis=0)
+        var = jnp.var(flat, axis=0) * (n / max(n - 1, 1))
+        std = jnp.sqrt(var + 1e-12)
+        kernel = (kernel - mean) / (std + self.eps)
+        pad = (self.padding if isinstance(self.padding, str)
+               else [tuple(p) for p in self.padding])
+        out = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype), window_strides=tuple(self.strides),
+            padding=pad, rhs_dilation=tuple(self.kernel_dilation),
+            feature_group_count=self.feature_group_count,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros,
+                                   (self.features,))
+        return out
+
+
+def _is_ws(conv_cfg: dict | None) -> bool:
+    return bool(conv_cfg) and conv_cfg.get("type") in ("ConvWS", "ConvWS2d")
+
+
+def make_conv(conv_cfg: dict | None, features: int, kernel_size,
+              stride: int = 1, dilation: int = 1, use_bias: bool = False,
+              groups: int = 1, padding=None, name: str | None = None,
+              kernel_init=None):
+    """nn.Conv, or WSConv when ``conv_cfg=dict(type='ConvWS')`` (mmcv
+    build_conv_layer dispatch). Unknown conv types raise."""
+    kh = kernel_size[0] if isinstance(kernel_size, (tuple, list)) \
+        else kernel_size
+    if padding is None:
+        p = dilation * (kh - 1) // 2
+        padding = "VALID" if p == 0 else ((p, p), (p, p))
+    if conv_cfg and not _is_ws(conv_cfg):
+        raise ValueError(f"unknown conv type {conv_cfg.get('type')!r}")
+    cls = WSConv if _is_ws(conv_cfg) else nn.Conv
+    return cls(features, (kh, kh), strides=(stride, stride), padding=padding,
+               kernel_dilation=(dilation, dilation),
+               feature_group_count=groups, use_bias=use_bias,
+               kernel_init=kernel_init or nn.initializers.he_normal(),
+               name=name)
+
+
 def conv3x3(features: int, stride: int = 1, dilation: int = 1,
             use_bias: bool = False, name: str | None = None,
-            kernel_init=None) -> nn.Conv:
-    return nn.Conv(features, (3, 3), strides=(stride, stride),
-                   padding=((dilation, dilation), (dilation, dilation)),
-                   kernel_dilation=(dilation, dilation), use_bias=use_bias,
-                   kernel_init=kernel_init or nn.initializers.he_normal(),
-                   name=name)
+            kernel_init=None, conv_cfg: dict | None = None):
+    return make_conv(conv_cfg, features, 3, stride, dilation, use_bias,
+                     name=name, kernel_init=kernel_init)
 
 
 def conv1x1(features: int, stride: int = 1, use_bias: bool = False,
-            name: str | None = None, kernel_init=None) -> nn.Conv:
-    return nn.Conv(features, (1, 1), strides=(stride, stride), padding="VALID",
-                   use_bias=use_bias,
-                   kernel_init=kernel_init or nn.initializers.he_normal(),
-                   name=name)
+            name: str | None = None, kernel_init=None,
+            conv_cfg: dict | None = None):
+    return make_conv(conv_cfg, features, 1, stride, use_bias=use_bias,
+                     name=name, kernel_init=kernel_init)
 
 
 def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:

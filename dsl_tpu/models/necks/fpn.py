@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dsl_tpu.registry import NECKS
+from dsl_tpu.models.layers import make_conv, make_norm
 
 
 def _upsample_nearest_2x(x: jnp.ndarray, target_hw) -> jnp.ndarray:
@@ -37,6 +38,8 @@ class FPN(nn.Module):
     add_extra_convs: bool | str = False
     relu_before_extra_convs: bool = False
     no_norm_on_lateral: bool = True
+    conv_cfg: dict | None = None   # dict(type='ConvWS') for gn+ws
+    norm_cfg: dict | None = None   # dict(type='GN', ...) for gn(+ws)
     upsample_cfg: dict | None = None
 
     @nn.compact
@@ -46,24 +49,33 @@ class FPN(nn.Module):
         used = list(inputs[self.start_level:end])
         n_used = len(used)
 
-        # build laterals
-        laterals = [
-            nn.Conv(self.out_channels, (1, 1), padding="VALID",
-                    kernel_init=nn.initializers.xavier_uniform(),
-                    name=f"lateral_conv{i}")(used[i])
-            for i in range(n_used)
-        ]
+        # build laterals (ConvModule: conv -> optional norm, no act;
+        # bias='auto' -> off when a norm follows)
+        bias = self.norm_cfg is None
+
+        def _conv(feats, k, stride, name):
+            return make_conv(self.conv_cfg, feats, k, stride=stride,
+                             use_bias=bias,
+                             kernel_init=nn.initializers.xavier_uniform(),
+                             name=name)
+
+        laterals = []
+        for i in range(n_used):
+            lat = _conv(self.out_channels, 1, 1, f"lateral_conv{i}")(used[i])
+            if self.norm_cfg is not None and not self.no_norm_on_lateral:
+                lat = make_norm(self.norm_cfg, name=f"lateral_norm{i}")(lat)
+            laterals.append(lat)
         # top-down pathway
         for i in range(n_used - 1, 0, -1):
             laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(
                 laterals[i], laterals[i - 1].shape[1:3])
         # output convs
-        outs = [
-            nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    kernel_init=nn.initializers.xavier_uniform(),
-                    name=f"fpn_conv{i}")(laterals[i])
-            for i in range(n_used)
-        ]
+        outs = []
+        for i in range(n_used):
+            o = _conv(self.out_channels, 3, 1, f"fpn_conv{i}")(laterals[i])
+            if self.norm_cfg is not None:
+                o = make_norm(self.norm_cfg, name=f"fpn_norm{i}")(o)
+            outs.append(o)
         # extra levels
         extra_needed = self.num_outs - n_used
         if extra_needed > 0:
@@ -83,10 +95,10 @@ class FPN(nn.Module):
                 for i in range(extra_needed):
                     if i > 0 and self.relu_before_extra_convs:
                         src = nn.relu(src)
-                    src = nn.Conv(
-                        self.out_channels, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)),
-                        kernel_init=nn.initializers.xavier_uniform(),
-                        name=f"extra_conv{i}")(src)
+                    src = _conv(self.out_channels, 3, 2,
+                                f"extra_conv{i}")(src)
+                    if self.norm_cfg is not None:
+                        src = make_norm(self.norm_cfg,
+                                        name=f"extra_norm{i}")(src)
                     outs.append(src)
         return tuple(outs)

@@ -57,6 +57,51 @@ class Shared2FCBBoxHead(nn.Module):
         return cls, reg
 
 
+@HEADS.register
+class Shared4Conv1FCBBoxHead(nn.Module):
+    """ConvFCBBoxHead(num_shared_convs=4, num_shared_fcs=1) — reference
+    ``roi_heads/bbox_heads/convfc_bbox_head.py`` Shared4Conv1FCBBoxHead,
+    the ``gn+ws`` family's RoI head. Supports conv_cfg (ConvWS) and
+    norm_cfg (GN) on the shared convs."""
+
+    num_classes: int = 80
+    in_channels: int = 256
+    roi_size: int = 7
+    conv_out_channels: int = 256
+    fc_channels: int = 1024
+    target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
+    with_reg: bool = True
+    roi_extractor: str = "single"
+    loss_cls: dict | None = None
+    conv_cfg: dict | None = None
+    norm_cfg: dict | None = None
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        from dsl_tpu.models.layers import make_conv, make_norm
+
+        x = roi_feats
+        for i in range(4):
+            x = make_conv(self.conv_cfg, self.conv_out_channels, 3,
+                          use_bias=self.norm_cfg is None,
+                          name=f"shared_conv{i}")(x)
+            if self.norm_cfg is not None:
+                x = make_norm(self.norm_cfg, name=f"shared_norm{i}")(x)
+            x = nn.relu(x)
+        n = x.shape[0]
+        x = nn.relu(nn.Dense(self.fc_channels,
+                             name="shared_fc0")(x.reshape(n, -1)))
+        seesaw = dict(self.loss_cls or {}).get("type") == "SeesawLoss"
+        cls = nn.Dense(self.num_classes + (2 if seesaw else 1),
+                       kernel_init=normal_init(0.01), name="fc_cls")(x)
+        if not self.with_reg:
+            return cls, jnp.zeros((n, self.num_classes * 4), cls.dtype)
+        reg = nn.Dense(self.num_classes * 4,
+                       kernel_init=normal_init(0.001), name="fc_reg")(x)
+        return cls, reg
+
+
 def map_rois_to_levels(rois: jnp.ndarray, num_levels: int,
                        finest_scale: int = 56) -> jnp.ndarray:
     """FPN level per roi (mmdet single-level extractor formula)."""

@@ -120,13 +120,29 @@ class SemiRunner:
                 / self.data_loader.ratio[0])))
 
         t_data = time.perf_counter()
+        pending_refresh = None
         for it, batch in enumerate(self.data_loader):
             data_time = time.perf_counter() - t_data
             meta = batch.pop("meta", None)
             self.state, metrics = self.train_step(self.state, batch)
             if self.refresher is not None and upcoming is not None:
-                self.refresher.after_train_iter(
-                    self.state, self.epoch, upcoming, it, consumed_per_iter)
+                # Overlap the pseudo-label refresh with device compute:
+                # complete LAST iter's teacher predict (device long done),
+                # then dispatch this iter's — the blocking result fetch
+                # never sits between two device programs. The refresher's
+                # ``preload`` margin covers the one-iter write delay.
+                if pending_refresh is not None:
+                    pending_refresh()
+                dispatch = getattr(self.refresher,
+                                   "dispatch_after_train_iter", None)
+                if dispatch is not None:
+                    pending_refresh = dispatch(self.state, self.epoch,
+                                               upcoming, it,
+                                               consumed_per_iter)
+                else:       # simple recorder/mock refreshers
+                    self.refresher.after_train_iter(
+                        self.state, self.epoch, upcoming, it,
+                        consumed_per_iter)
             iter_time = time.perf_counter() - t_data
             self.log_buffer.update(
                 {**{k: v for k, v in metrics.items()},
@@ -144,6 +160,9 @@ class SemiRunner:
                                                 for k, v in avg.items()}))
                             + "\n")
             t_data = time.perf_counter()
+
+        if pending_refresh is not None:     # flush the overlapped refresh
+            pending_refresh()
 
         # EMA ratio step decay at configured epochs (EMAOWNHook.step_decay:
         # ratio -> max(1 - (1-ratio)/decay_ratio, 0.01), ``ema.py:22-26``)

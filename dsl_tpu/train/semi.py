@@ -40,7 +40,7 @@ class PseudoLabelRefresher:
                  first_score_thre: float = 0.1, use_ema: bool = True,
                  eval_flip: bool = False, mode: str = "iteration",
                  interval: int = 1, start_point: int = 8, preload: int = 6,
-                 refresh_batch: int = 8):
+                 refresh_batch: int = 8, compute_dtype=None):
         self.detector = detector
         self.store = store
         self.image_root = image_root
@@ -61,6 +61,10 @@ class PseudoLabelRefresher:
         self.start_point = start_point
         self.preload = preload
         self.refresh_batch = refresh_batch
+        # bf16 teacher inference: ~f32-range exponent, boxes within decode
+        # tolerance (tests/test_refresher.py bf16 test); halves HBM traffic
+        # on the refresh path
+        self.compute_dtype = compute_dtype
         self._first_done = False
         # Reference semantics (unlabel_pred_hook.py:383): first_ignore starts
         # True unless first_fuse; while fuse_history and first_ignore, the
@@ -72,14 +76,14 @@ class PseudoLabelRefresher:
     # -- jitted predict ----------------------------------------------------
     def _get_predict(self):
         if self._predict is None:
-            det, tc = self.detector, self.test_cfg
+            det, tc, cd = self.detector, self.test_cfg, self.compute_dtype
 
             @jax.jit
             def predict(variables, images, img_shapes, scale_factors):
                 return detector_predict(det, variables, images,
                                         img_shapes=img_shapes,
                                         scale_factors=scale_factors,
-                                        test_cfg=tc)
+                                        test_cfg=tc, compute_dtype=cd)
 
             self._predict = predict
         return self._predict
@@ -99,24 +103,43 @@ class PseudoLabelRefresher:
         return out, np.asarray([nh, nw], np.float32), sf
 
     # -- core: refresh a list of images ------------------------------------
-    def refresh_images(self, state, filenames: list[str]):
-        """Run teacher inference on ``filenames`` and update the store."""
+    def dispatch_refresh(self, state, filenames: list[str]):
+        """Host-prep + dispatch teacher inference on ``filenames``.
+
+        Returns a zero-arg ``complete()`` closure that fetches the device
+        results and writes the store (or ``None`` if nothing to do). The
+        split lets the runner overlap the device predict with the next
+        train step: dispatch is cheap (host decode/resize + async jit
+        call), and the blocking ``np.asarray`` fetch happens one iteration
+        later, when the device has long finished (JAX async dispatch).
+        Thresholds/fuse flags are captured at dispatch time, so a delayed
+        completion writes exactly what a synchronous refresh would have.
+        """
         variables = (state.teacher_variables if self.use_ema
                      else state.student_variables)
         predict = self._get_predict()
 
         fuse = self.fuse_history
         first_ignore = self._first_ignore
+        score_thre = (self.first_score_thre if not self._first_done
+                      else self.infer_score_thre)
+        # the dispatch IS the refresh event for first-refresh bookkeeping
+        self._first_done = True
+        if self.fuse_history and self._first_ignore:
+            self._first_ignore = False
 
         todo = []
         for name in filenames:
             prep = self._prep(name)
             if prep is not None:
                 todo.append((name, *prep))
+        if not todo:
+            return None
         from dsl_tpu.apis.test import normalize_pad
         from dsl_tpu.data.formatting import select_canvas
 
         bs = self.refresh_batch
+        pending = []     # (names, [(vi, dets, labels, valid)])
         for i in range(0, len(todo), bs):
             chunk = todo[i:i + bs]
             names = [c[0] for c in chunk]
@@ -146,54 +169,77 @@ class PseudoLabelRefresher:
                 shapes = np.concatenate(
                     [shapes, np.repeat(shapes[-1:], pad, axis=0)])
                 sfs = np.concatenate([sfs, np.repeat(sfs[-1:], pad, axis=0)])
-            all_dets = [[] for _ in names]
-            all_labels = [[] for _ in names]
+            results = []
             for vi, v in enumerate(variants):
-                dets, labels, valid = predict(
+                # async dispatch: no host transfer here
+                results.append((vi, *predict(
                     variables, jnp.asarray(v), jnp.asarray(shapes),
-                    jnp.asarray(sfs))
-                dets = np.asarray(dets)
-                labels = np.asarray(labels)
-                valid = np.asarray(valid)
+                    jnp.asarray(sfs))))
+            pending.append((names, results))
+
+        def complete():
+            for names, results in pending:
+                all_dets = [[] for _ in names]
+                all_labels = [[] for _ in names]
+                for vi, dets, labels, valid in results:
+                    dets = np.asarray(dets)
+                    labels = np.asarray(labels)
+                    valid = np.asarray(valid)
+                    for bi, name in enumerate(names):
+                        d = dets[bi][valid[bi]].astype(np.float32)
+                        l = labels[bi][valid[bi]]
+                        if vi == 1:  # unflip boxes back to original coords
+                            info = next(x for x in self.image_infos
+                                        if x["filename"] == name)
+                            ow = info["width"]
+                            d = d.copy()
+                            d[:, [0, 2]] = ow - d[:, [2, 0]]
+                        all_dets[bi].append(d)
+                        all_labels[bi].append(l)
                 for bi, name in enumerate(names):
-                    d = dets[bi][valid[bi]]
-                    l = labels[bi][valid[bi]]
-                    if vi == 1:  # unflip boxes back to original coords
-                        info = next(x for x in self.image_infos
-                                    if x["filename"] == name)
-                        ow = info["width"]
-                        d = d.copy()
-                        d[:, [0, 2]] = ow - d[:, [2, 0]]
-                    all_dets[bi].append(d)
-                    all_labels[bi].append(l)
-            for bi, name in enumerate(names):
-                d = np.concatenate(all_dets[bi]) if all_dets[bi] else \
-                    np.zeros((0, 5), np.float32)
-                l = np.concatenate(all_labels[bi]) if all_labels[bi] else \
-                    np.zeros((0,), np.int64)
-                self.store.update(
-                    name, d[:, :4], d[:, 4], l,
-                    infer_score_thre=(self.first_score_thre
-                                      if not self._first_done
-                                      else self.infer_score_thre),
-                    iou=self.iou, fuse=fuse, first_ignore=first_ignore)
-        self._first_done = True
-        if self.fuse_history and self._first_ignore:
-            self._first_ignore = False
+                    d = np.concatenate(all_dets[bi]) if all_dets[bi] else \
+                        np.zeros((0, 5), np.float32)
+                    l = np.concatenate(all_labels[bi]) if all_labels[bi] \
+                        else np.zeros((0,), np.int64)
+                    self.store.update(
+                        name, d[:, :4], d[:, 4], l,
+                        infer_score_thre=score_thre,
+                        iou=self.iou, fuse=fuse, first_ignore=first_ignore)
+
+        return complete
+
+    def refresh_images(self, state, filenames: list[str]):
+        """Synchronous refresh: dispatch + complete in one call."""
+        done = self.dispatch_refresh(state, filenames)
+        if done is not None:
+            done()
 
     # -- scheduling --------------------------------------------------------
-    def after_train_iter(self, state, epoch: int, upcoming: list[str],
-                         iter_in_epoch: int, consumed_per_iter: int):
-        """Iteration mode: refresh the unlabeled images ``preload`` iters
-        ahead of the consumer (reference ``:455-469``)."""
+    def dispatch_after_train_iter(self, state, epoch: int,
+                                  upcoming: list[str], iter_in_epoch: int,
+                                  consumed_per_iter: int):
+        """Iteration mode: dispatch a refresh of the unlabeled images
+        ``preload`` iters ahead of the consumer (reference ``:455-469``).
+        Returns the ``complete()`` closure (or None) so the runner can
+        overlap the device predict with the next train step; the preload
+        margin already covers the one-iteration completion delay."""
         if self.mode != "iteration" or epoch + 1 < self.start_point:
-            return
+            return None
         if self.interval <= 0 or (iter_in_epoch + 1) % self.interval != 0:
-            return
+            return None
         pos = (iter_in_epoch + self.preload) * consumed_per_iter
         names = upcoming[pos: pos + consumed_per_iter]
-        if names:
-            self.refresh_images(state, names)
+        if not names:
+            return None
+        return self.dispatch_refresh(state, names)
+
+    def after_train_iter(self, state, epoch: int, upcoming: list[str],
+                         iter_in_epoch: int, consumed_per_iter: int):
+        """Synchronous iteration-mode refresh (dispatch + complete)."""
+        done = self.dispatch_after_train_iter(
+            state, epoch, upcoming, iter_in_epoch, consumed_per_iter)
+        if done is not None:
+            done()
 
     def after_train_epoch(self, state, epoch: int, adathres_file: str | None,
                           adathres_settings: dict | None = None):

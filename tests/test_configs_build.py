@@ -21,6 +21,12 @@ ALL_CONFIGS = [p for p in glob.glob(osp.join(CFG_DIR, "**", "*.py"),
 @pytest.mark.parametrize("path", ALL_CONFIGS, ids=lambda p: osp.basename(p))
 def test_config_parses_and_builds(path):
     cfg = Config.fromfile(path)
+    if osp.basename(osp.dirname(path)) == "common":
+        # configs/common/* are modelless data/schedule fragments
+        # (reference configs/common/mstrain_3x_coco.py)
+        assert "data" in cfg and "train" in cfg.data
+        assert "lr_config" in cfg
+        return
     assert "model" in cfg
     det = build_detector(dict(cfg.model))
     head = det.bbox_heads[0] if hasattr(det, "bbox_heads") \

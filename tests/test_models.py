@@ -215,3 +215,50 @@ def test_fcos_head_dcn_on_last_conv():
     cls, bbox, cent = head.apply(variables, feats, training=True)
     assert cls[0].shape == (1, 16, 16, 4)
     assert bbox[0].shape == (1, 16, 16, 4)
+
+
+def test_wsconv_standardizes_kernel_per_out_channel():
+    """WSConv == conv with the per-out-channel standardized kernel (mmcv
+    conv_ws_2d: mean/unbiased-std over (kh, kw, Cin), eps=1e-5)."""
+    import jax
+    import numpy as np
+    from dsl_tpu.models.layers import WSConv
+
+    ws = WSConv(features=8, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                use_bias=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 10, 4), jnp.float32)
+    variables = ws.init(jax.random.PRNGKey(0), x)
+    out = ws.apply(variables, x)
+    assert out.shape == (2, 8, 10, 8)
+
+    k = np.asarray(variables["params"]["kernel"])      # (3, 3, 4, 8)
+    flat = k.reshape(-1, 8)
+    mean = flat.mean(0)
+    std = flat.std(0, ddof=1)                          # torch .std() unbiased
+    k_std = (k - mean) / (std + 1e-5)
+    # standardized kernel stats per out channel
+    f2 = k_std.reshape(-1, 8)
+    np.testing.assert_allclose(f2.mean(0), 0.0, atol=1e-6)
+    np.testing.assert_allclose(f2.std(0, ddof=1), 1.0, atol=1e-3)
+    expected = jax.lax.conv_general_dilated(
+        x, jnp.asarray(k_std), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    expected = expected + variables["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_gn_ws_forward():
+    """ResNet-18 with conv_cfg=ConvWS + GN builds and keeps param naming
+    (conv kernels live under the same conv names)."""
+    import jax
+
+    bk = ResNet(depth=18, out_indices=(0, 1, 2, 3),
+                conv_cfg=dict(type="ConvWS"),
+                norm_cfg=dict(type="GN", num_groups=32))
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = bk.init(jax.random.PRNGKey(0), x)
+    outs = bk.apply(variables, x)
+    assert [o.shape[-1] for o in outs] == [64, 128, 256, 512]
+    assert "kernel" in variables["params"]["conv1"]
+    assert "scale" in variables["params"]["bn1"]   # GN affine present

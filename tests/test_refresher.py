@@ -163,6 +163,64 @@ def test_eval_flip_merges_by_nms(env):
     assert len(calls) == 2  # two predict passes (orig + flip)
 
 
+def test_dispatch_complete_split_defers_store_write(env):
+    """dispatch_refresh returns a completion closure; the store is written
+    only when it runs (the runner overlaps it with the next train step),
+    and the delayed write equals a synchronous refresh_images call."""
+    img_dir, store, infos = env
+    r, calls = _make_refresher(img_dir, store, infos)
+    done = r.dispatch_refresh(FakeState(), ["u0.jpg"])
+    assert store.read("u0.jpg")["targetNum"] == 0     # not yet written
+    assert len(calls) == 1                            # predict dispatched
+    done()
+    data = store.read("u0.jpg")
+    assert data["targetNum"] == 1 and data["tags"] == ["a"]
+
+
+def test_dispatch_captures_first_refresh_thresholds(env):
+    """A delayed completion must use the thresholds captured at dispatch
+    time: the FIRST dispatch uses first_score_thre even if a second
+    dispatch happens before its completion runs."""
+    img_dir, store, infos = env
+    r, _ = _make_refresher(img_dir, store, infos, first_score_thre=0.9,
+                           infer_score_thre=0.5)
+    # fake predict emits score 0.8: first refresh (thre 0.9) must drop it,
+    # later refreshes (thre 0.5) keep it — even when completed out of band
+    first = r.dispatch_refresh(FakeState(), ["u0.jpg"])
+    second = r.dispatch_refresh(FakeState(), ["u1.jpg"])
+    first()
+    second()
+    assert store.read("u0.jpg")["targetNum"] == 0     # 0.8 < 0.9
+    assert store.read("u1.jpg")["targetNum"] == 1     # 0.8 >= 0.5
+
+
+def test_bf16_teacher_predict_matches_f32_boxes():
+    """bf16 refresh-path inference (VERDICT r2 #9): the bf16 forward's
+    decoded boxes/scores match f32 within decode tolerance. Compared
+    pre-NMS — with random init weights every score is a near-tie, so
+    post-NMS selection order is not a meaningful numerics signal."""
+    import jax
+    from __graft_entry__ import _flagship_detector
+    from dsl_tpu.utils.precision import to_compute, outputs_to_f32
+
+    det = _flagship_detector(tiny=True)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3) * 4 - 2,
+                       jnp.float32)
+    variables = det.init(jax.random.PRNGKey(0), imgs)
+    cls32, bbox32, cent32 = det.apply(variables, imgs, training=False)
+    fwd_vars, imgs16 = to_compute(variables, imgs, jnp.bfloat16)
+    cls16, bbox16, cent16 = outputs_to_f32(
+        det.apply(fwd_vars, imgs16, training=False))
+    for lvl in range(len(cls32)):
+        s_diff = np.abs(1 / (1 + np.exp(-np.asarray(cls16[lvl])))
+                        - 1 / (1 + np.exp(-np.asarray(cls32[lvl])))).max()
+        assert s_diff < 0.02, f"lvl {lvl} bf16 scores drifted: {s_diff}"
+        # inference-mode bbox preds are in image pixels (x stride)
+        b_diff = np.abs(np.asarray(bbox16[lvl])
+                        - np.asarray(bbox32[lvl])).mean()
+        assert b_diff < 1.0, f"lvl {lvl} bf16 boxes drifted: {b_diff}"
+
+
 def test_eval_flip_does_not_shift_boxes_on_padded_canvas(tmp_path):
     """Flip-TTA must flip the image *content*, not the padded canvas
     (reference ``unlabel_pred_hook.py:194-242`` flips before the pipeline).
