@@ -135,8 +135,26 @@ def atss_loss(head: ATSSHead, cls_scores, bbox_preds, centernesses, batch,
     def _psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    # honor the loss config dicts (reference atss config: FocalLoss
+    # gamma2/alpha.25 w1, GIoULoss w2.0, sigmoid-CE w1) or fail loudly
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "FocalLoss") != "FocalLoss":
+        raise NotImplementedError(
+            f"ATSS loss_cls {cls_cfg.get('type')!r} unsupported")
+    bbox_cfg = dict(head.loss_bbox or {})
+    if bbox_cfg.get("type", "GIoULoss") != "GIoULoss":
+        raise NotImplementedError(
+            f"ATSS loss_bbox {bbox_cfg.get('type')!r} unsupported")
+    cent_cfg = dict(head.loss_centerness or {})
+    if cent_cfg.get("type", "CrossEntropyLoss") != "CrossEntropyLoss":
+        raise NotImplementedError(
+            f"ATSS loss_centerness {cent_cfg.get('type')!r} unsupported")
+    bbox_lw = float(bbox_cfg.get("loss_weight", 2.0))   # atss config :46
+
     num_pos = jnp.maximum(_psum(jnp.sum(pos_f)), 1.0)
-    loss_cls = L.sigmoid_focal_loss(flat_cls, labels, avg_factor=num_pos)
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * L.sigmoid_focal_loss(
+        flat_cls, labels, gamma=float(cls_cfg.get("gamma", 2.0)),
+        alpha=float(cls_cfg.get("alpha", 0.25)), avg_factor=num_pos)
 
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
@@ -144,10 +162,11 @@ def atss_loss(head: ATSSHead, cls_scores, bbox_preds, centernesses, batch,
     cent_denorm = jnp.maximum(_psum(jnp.sum(cent_t)), 1e-6)
     decoded = delta2bbox(anchors[None], flat_reg, head.target_means,
                          head.target_stds)
-    loss_bbox = L.giou_loss(decoded, gt, weight=cent_t,
-                            avg_factor=cent_denorm)
-    loss_centerness = L.binary_cross_entropy(
-        flat_cent, cent_t, weight=pos_f, avg_factor=num_pos)
+    loss_bbox = bbox_lw * L.giou_loss(decoded, gt, weight=cent_t,
+                                      avg_factor=cent_denorm)
+    loss_centerness = float(cent_cfg.get("loss_weight", 1.0)) * \
+        L.binary_cross_entropy(flat_cent, cent_t, weight=pos_f,
+                               avg_factor=num_pos)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                 loss_centerness=loss_centerness)
 

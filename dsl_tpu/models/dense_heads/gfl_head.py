@@ -131,25 +131,45 @@ def gfl_loss(head: GFLHead, cls_scores, bbox_dists, batch,
 
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
+    # QFL target = IoU of the decoded box (reference gfl_head.py:265-268)
     quality = bbox_overlaps(decoded, gt, is_aligned=True)  # (B, A)
     quality = jnp.where(pos, jax.lax.stop_gradient(quality), 0.0)
+    # bbox/DFL weights = detached max sigmoid score at positives
+    # (reference gfl_head.py:257-258), normalized by their sum (:320-325)
+    wt = jax.lax.stop_gradient(
+        jnp.max(jax.nn.sigmoid(flat_cls), axis=-1)) * pos_f
+
+    # loss config dicts honored (reference gfl config: QFL beta2 w1,
+    # DFL w0.25, GIoU w2.0) or loudly rejected
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "QualityFocalLoss") != "QualityFocalLoss":
+        raise NotImplementedError(
+            f"GFL loss_cls {cls_cfg.get('type')!r} unsupported")
+    bbox_cfg = dict(head.loss_bbox or {})
+    if bbox_cfg.get("type", "GIoULoss") != "GIoULoss":
+        raise NotImplementedError(
+            f"GFL loss_bbox {bbox_cfg.get('type')!r} unsupported")
+    dfl_cfg = dict(head.loss_dfl or {})
 
     num_pos = jnp.maximum(_psum(jnp.sum(pos_f)), 1.0)
-    weight_denorm = jnp.maximum(_psum(jnp.sum(quality)), 1e-6)
+    weight_denorm = jnp.maximum(_psum(jnp.sum(wt)), 1e-6)
 
-    loss_cls = L.quality_focal_loss(flat_cls, labels, quality,
-                                    avg_factor=num_pos)
-    loss_bbox = L.giou_loss(decoded, gt, weight=quality,
-                            avg_factor=weight_denorm)
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * \
+        L.quality_focal_loss(flat_cls, labels, quality,
+                             beta=float(cls_cfg.get("beta", 2.0)),
+                             avg_factor=num_pos)
+    loss_bbox = float(bbox_cfg.get("loss_weight", 2.0)) * \
+        L.giou_loss(decoded, gt, weight=wt, avg_factor=weight_denorm)
     # DFL on the per-side distance targets in bin units
     tgt = bbox2distance(centers[None], gt,
                         max_dis=head.reg_max, eps=0.1) / \
         stride_arr[None, :, None]
     tgt = jnp.clip(tgt, 0, head.reg_max - 0.01)
     dist_logits = flat_dist.reshape(b, -1, 4, head.reg_max + 1)
-    loss_dfl = L.distribution_focal_loss(
-        dist_logits, tgt, weight=quality[..., None] / 4.0,
-        avg_factor=weight_denorm)
+    loss_dfl = float(dfl_cfg.get("loss_weight", 0.25)) * \
+        L.distribution_focal_loss(
+            dist_logits, tgt, weight=wt[..., None] / 4.0,
+            avg_factor=weight_denorm)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox, loss_dfl=loss_dfl)
 
 
