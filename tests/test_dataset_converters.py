@@ -120,3 +120,55 @@ def test_convert_checkpoint_styles():
     assert dict(out) == {"conv1.weight": 1}
     swav = {"module.conv1.weight": 4, "prototypes.weight": 5}
     assert dict(convert_state_dict(swav, "swav")) == {"conv1.weight": 4}
+
+
+def test_upgrade_model_version_channel_transforms(tmp_path):
+    """v1->v2: cls background channel 0 moves to last; per-class reg drops
+    the background group (reference upgrade_model_version.py semantics)."""
+    import sys
+    import os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools",
+                                "model_converters"))
+    import numpy as np
+    import torch
+    from upgrade_model_version import convert
+
+    nc = 5   # v1: 5 incl. background-first
+    sd = {
+        "bbox_head.retina_cls.bias": torch.arange(nc, dtype=torch.float32),
+        "bbox_head.fc_reg.weight": torch.arange(
+            nc * 4 * 3, dtype=torch.float32).reshape(nc * 4, 3),
+        "backbone.conv1.weight": torch.ones(4, 3, 3, 3),
+    }
+    src, dst = str(tmp_path / "v1.pth"), str(tmp_path / "v2.pth")
+    torch.save({"state_dict": sd}, src)
+    convert(src, dst, num_classes=nc)
+    out = torch.load(dst)["state_dict"]
+    np.testing.assert_allclose(out["bbox_head.retina_cls.bias"].numpy(),
+                               [1, 2, 3, 4, 0])       # bg rolled to last
+    assert out["bbox_head.fc_reg.weight"].shape == ((nc - 1) * 4, 3)
+    np.testing.assert_allclose(
+        out["bbox_head.fc_reg.weight"].numpy(),
+        sd["bbox_head.fc_reg.weight"].numpy()[4:])    # bg group dropped
+    np.testing.assert_allclose(out["backbone.conv1.weight"].numpy(),
+                               sd["backbone.conv1.weight"].numpy())
+
+
+def test_upgrade_ssd_version_key_renames(tmp_path):
+    import sys
+    import os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools",
+                                "model_converters"))
+    import torch
+    from upgrade_ssd_version import convert
+
+    sd = {"backbone.extra.2.weight": torch.ones(1),
+          "backbone.l2_norm.weight": torch.ones(1),
+          "bbox_head.cls_convs.0.weight": torch.ones(1)}
+    src, dst = str(tmp_path / "old.pth"), str(tmp_path / "new.pth")
+    torch.save({"state_dict": sd}, src)
+    convert(src, dst)
+    out = torch.load(dst)["state_dict"]
+    assert "neck.extra_layers.1.0.conv.weight" in out
+    assert "neck.l2_norm.weight" in out
+    assert "bbox_head.cls_convs.0.0.weight" in out

@@ -32,11 +32,25 @@ def parse_args():
     p.add_argument("--ema", action="store_true",
                    help="evaluate the EMA (teacher) weights")
     p.add_argument("--cfg-options", nargs="+", action=DictAction)
+    p.add_argument("--launcher", choices=["none", "jax", "slurm"],
+                   default="none", help="multi-host init (see train.py)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if getattr(args, "launcher", "none") != "none":
+        import os as _os
+
+        from dsl_tpu.parallel.dist import init_dist
+
+        if args.launcher == "jax":
+            init_dist(
+                coordinator_address=_os.environ.get("COORDINATOR_ADDRESS"),
+                num_processes=int(_os.environ.get("NUM_PROCESSES", "1")),
+                process_id=int(_os.environ.get("PROCESS_ID", "0")))
+        else:
+            init_dist()
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)

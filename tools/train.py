@@ -5,8 +5,11 @@ Usage:
   python tools/train.py CONFIG [--work-dir DIR] [--resume-from CKPT]
       [--seed N] [--cfg-options k=v ...]
 
-No launcher/init_dist: the process drives every local TPU device through the
-mesh (SURVEY.md §2.3: torch DDP ranks → jit over the data axis).
+Single host: one process drives every local TPU device through the mesh
+(SURVEY.md §2.3: torch DDP ranks → jit over the data axis). Multi-host:
+``--launcher jax`` (env COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID, see
+tools/dist_train.sh) or ``--launcher slurm`` (auto-detected by
+jax.distributed.initialize) — replacing torch.distributed.launch.
 """
 
 import argparse
@@ -30,11 +33,27 @@ def parse_args():
                    help="limit the number of devices in the mesh")
     p.add_argument("--cfg-options", nargs="+", action=DictAction,
                    help="override config: key=value with dots for nesting")
+    p.add_argument("--launcher", choices=["none", "jax", "slurm"],
+                   default="none",
+                   help="multi-host init (jax: COORDINATOR_ADDRESS/"
+                        "NUM_PROCESSES/PROCESS_ID env; slurm: auto)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.launcher != "none":
+        import os as _os
+
+        from dsl_tpu.parallel.dist import init_dist
+
+        if args.launcher == "jax":
+            init_dist(
+                coordinator_address=_os.environ.get("COORDINATOR_ADDRESS"),
+                num_processes=int(_os.environ.get("NUM_PROCESSES", "1")),
+                process_id=int(_os.environ.get("PROCESS_ID", "0")))
+        else:           # slurm: jax auto-detects the cluster env
+            init_dist()
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(args.cfg_options)
