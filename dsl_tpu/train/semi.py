@@ -75,11 +75,22 @@ class PseudoLabelRefresher:
 
     # -- jitted predict ----------------------------------------------------
     def _get_predict(self):
+        """Jitted teacher predict taking UINT8 padded canvases.
+
+        Normalization runs on-device inside the jit: the host->device
+        upload is the refresh path's bottleneck on bandwidth-limited links
+        (the axon relay moves ~50 MB/s — a bs8 f32 800x1344 canvas batch is
+        103 MB = ~2 s/iter; uint8 is 4x smaller), and XLA fuses the
+        (x - mean)/std into the first conv anyway.
+        """
         if self._predict is None:
             det, tc, cd = self.detector, self.test_cfg, self.compute_dtype
+            mean = jnp.asarray(self.img_norm["mean"], jnp.float32)
+            std = jnp.asarray(self.img_norm["std"], jnp.float32)
 
             @jax.jit
-            def predict(variables, images, img_shapes, scale_factors):
+            def predict(variables, images_u8, img_shapes, scale_factors):
+                images = (images_u8.astype(jnp.float32) - mean) / std
                 return detector_predict(det, variables, images,
                                         img_shapes=img_shapes,
                                         scale_factors=scale_factors,
@@ -87,6 +98,18 @@ class PseudoLabelRefresher:
 
             self._predict = predict
         return self._predict
+
+    @staticmethod
+    def _pad_u8(img: np.ndarray, canvas_hw, to_rgb: bool) -> np.ndarray:
+        """Zero-pad the resized uint8 image into the canvas (top-left),
+        BGR->RGB on host (a cheap byte shuffle; normalization happens
+        on-device in the jitted predict)."""
+        ch, cw = canvas_hw
+        canvas = np.zeros((ch, cw, 3), np.uint8)
+        content = img[..., ::-1] if to_rgb else img
+        nh, nw = img.shape[:2]
+        canvas[:min(nh, ch), :min(nw, cw)] = content[:ch, :cw]
+        return canvas
 
     # -- host preprocessing (test pipeline: resize; pad at batch time) -----
     def _prep(self, filename: str):
@@ -117,7 +140,13 @@ class PseudoLabelRefresher:
         """
         variables = (state.teacher_variables if self.use_ema
                      else state.student_variables)
-        predict = self._get_predict()
+        # Device-side copy of the weights, dispatched on THIS thread before
+        # returning: the runner's next train step donates the state's
+        # buffers, and the worker thread's predict dispatch would race that
+        # donation. The jitted copy (one dispatch, fresh output buffers,
+        # ~1 ms of HBM traffic) pins a teacher snapshot the worker can use
+        # at any time.
+        variables = self._get_copy_fn()(variables)
 
         fuse = self.fuse_history
         first_ignore = self._first_ignore
@@ -128,14 +157,45 @@ class PseudoLabelRefresher:
         if self.fuse_history and self._first_ignore:
             self._first_ignore = False
 
+        # Host decode/resize + the uint8 upload + predict dispatch run on a
+        # single worker thread: through a bandwidth-limited link the upload
+        # is the refresh path's wall cost (see _get_predict), and on this
+        # thread it overlaps the train step the runner dispatches next.
+        fut = self._get_pool().submit(self._prep_and_dispatch, variables,
+                                      list(filenames))
+
+        def complete():
+            for names, results in fut.result():
+                self._write_results(names, results, score_thre, fuse,
+                                    first_ignore)
+
+        return complete
+
+    def _get_pool(self):
+        if getattr(self, "_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        return self._pool
+
+    def _get_copy_fn(self):
+        if getattr(self, "_copy_fn", None) is None:
+            self._copy_fn = jax.jit(
+                lambda tree: jax.tree_util.tree_map(jnp.copy, tree))
+        return self._copy_fn
+
+    def _prep_and_dispatch(self, variables, filenames: list[str]):
+        """Worker-thread body: decode/resize, pad to uint8 canvases, upload
+        and dispatch the jitted predict. Returns [(names, results)] with
+        results still on device (no blocking fetch here)."""
+        predict = self._get_predict()
         todo = []
         for name in filenames:
             prep = self._prep(name)
             if prep is not None:
                 todo.append((name, *prep))
         if not todo:
-            return None
-        from dsl_tpu.apis.test import normalize_pad
+            return []
         from dsl_tpu.data.formatting import select_canvas
 
         bs = self.refresh_batch
@@ -145,7 +205,8 @@ class PseudoLabelRefresher:
             names = [c[0] for c in chunk]
             canvas = select_canvas([c[1].shape[:2] for c in chunk],
                                    self.canvas_hw)
-            variants = [np.stack([normalize_pad(c[1], canvas, self.img_norm)
+            to_rgb = self.img_norm.get("to_rgb", True)
+            variants = [np.stack([self._pad_u8(c[1], canvas, to_rgb)
                                   for c in chunk])]
             if self.eval_flip:
                 # Flip the *resized image content* before padding (parity with
@@ -154,8 +215,8 @@ class PseudoLabelRefresher:
                 # ``canvas_w - nw`` pixels, displacing every flip-pass box by
                 # that amount in resized coords (VERDICT r2 weak #1).
                 variants.append(np.stack(
-                    [normalize_pad(np.ascontiguousarray(c[1][:, ::-1]),
-                                   canvas, self.img_norm) for c in chunk]))
+                    [self._pad_u8(np.ascontiguousarray(c[1][:, ::-1]),
+                                  canvas, to_rgb) for c in chunk]))
             shapes = np.stack([c[2] for c in chunk])
             sfs = np.stack([c[3] for c in chunk])
             if len(chunk) < bs:
@@ -176,37 +237,37 @@ class PseudoLabelRefresher:
                     variables, jnp.asarray(v), jnp.asarray(shapes),
                     jnp.asarray(sfs))))
             pending.append((names, results))
+        return pending
 
-        def complete():
-            for names, results in pending:
-                all_dets = [[] for _ in names]
-                all_labels = [[] for _ in names]
-                for vi, dets, labels, valid in results:
-                    dets = np.asarray(dets)
-                    labels = np.asarray(labels)
-                    valid = np.asarray(valid)
-                    for bi, name in enumerate(names):
-                        d = dets[bi][valid[bi]].astype(np.float32)
-                        l = labels[bi][valid[bi]]
-                        if vi == 1:  # unflip boxes back to original coords
-                            info = next(x for x in self.image_infos
-                                        if x["filename"] == name)
-                            ow = info["width"]
-                            d = d.copy()
-                            d[:, [0, 2]] = ow - d[:, [2, 0]]
-                        all_dets[bi].append(d)
-                        all_labels[bi].append(l)
-                for bi, name in enumerate(names):
-                    d = np.concatenate(all_dets[bi]) if all_dets[bi] else \
-                        np.zeros((0, 5), np.float32)
-                    l = np.concatenate(all_labels[bi]) if all_labels[bi] \
-                        else np.zeros((0,), np.int64)
-                    self.store.update(
-                        name, d[:, :4], d[:, 4], l,
-                        infer_score_thre=score_thre,
-                        iou=self.iou, fuse=fuse, first_ignore=first_ignore)
-
-        return complete
+    def _write_results(self, names, results, score_thre, fuse,
+                       first_ignore):
+        """Fetch one chunk's device results and write the store."""
+        all_dets = [[] for _ in names]
+        all_labels = [[] for _ in names]
+        for vi, dets, labels, valid in results:
+            dets = np.asarray(dets)
+            labels = np.asarray(labels)
+            valid = np.asarray(valid)
+            for bi, name in enumerate(names):
+                d = dets[bi][valid[bi]].astype(np.float32)
+                l = labels[bi][valid[bi]]
+                if vi == 1:  # unflip boxes back to original coords
+                    info = next(x for x in self.image_infos
+                                if x["filename"] == name)
+                    ow = info["width"]
+                    d = d.copy()
+                    d[:, [0, 2]] = ow - d[:, [2, 0]]
+                all_dets[bi].append(d)
+                all_labels[bi].append(l)
+        for bi, name in enumerate(names):
+            d = np.concatenate(all_dets[bi]) if all_dets[bi] else \
+                np.zeros((0, 5), np.float32)
+            l = np.concatenate(all_labels[bi]) if all_labels[bi] \
+                else np.zeros((0,), np.int64)
+            self.store.update(
+                name, d[:, :4], d[:, 4], l,
+                infer_score_thre=score_thre,
+                iou=self.iou, fuse=fuse, first_ignore=first_ignore)
 
     def refresh_images(self, state, filenames: list[str]):
         """Synchronous refresh: dispatch + complete in one call."""

@@ -171,8 +171,8 @@ def test_dispatch_complete_split_defers_store_write(env):
     r, calls = _make_refresher(img_dir, store, infos)
     done = r.dispatch_refresh(FakeState(), ["u0.jpg"])
     assert store.read("u0.jpg")["targetNum"] == 0     # not yet written
-    assert len(calls) == 1                            # predict dispatched
     done()
+    assert len(calls) == 1                            # predict ran (async)
     data = store.read("u0.jpg")
     assert data["targetNum"] == 1 and data["tags"] == ["a"]
 
