@@ -160,11 +160,13 @@ def gfl_loss(head: GFLHead, cls_scores, bbox_dists, batch,
                              avg_factor=num_pos)
     loss_bbox = float(bbox_cfg.get("loss_weight", 2.0)) * \
         L.giou_loss(decoded, gt, weight=wt, avg_factor=weight_denorm)
-    # DFL on the per-side distance targets in bin units
-    tgt = bbox2distance(centers[None], gt,
-                        max_dis=head.reg_max, eps=0.1) / \
-        stride_arr[None, :, None]
-    tgt = jnp.clip(tgt, 0, head.reg_max - 0.01)
+    # DFL per-side distance targets in BIN units: stride-normalize FIRST,
+    # then clamp to [0, reg_max - 0.1] (reference gfl_head.py:255,268-271 —
+    # clamping image-scale distances before normalizing would saturate at
+    # reg_max PIXELS; caught by the torch oracle)
+    s = stride_arr[None, :, None]
+    tgt = bbox2distance(centers[None] / s, gt / s,
+                        max_dis=head.reg_max, eps=0.1)
     dist_logits = flat_dist.reshape(b, -1, 4, head.reg_max + 1)
     loss_dfl = float(dfl_cfg.get("loss_weight", 0.25)) * \
         L.distribution_focal_loss(

@@ -1,0 +1,442 @@
+"""Torch oracle for the ATSS loss against the reference's OWN code.
+
+Extends the FCOS-oracle approach (``test_torch_oracle_fcos.py``) to the
+anchor tier: the reference's actual ``ATSSHead.loss`` / ``get_targets``
+(``/root/reference/mmdet/models/dense_heads/atss_head.py``) runs on CPU
+with its real ``AnchorHead`` parent, ``AnchorGenerator``,
+``DeltaXYWHBBoxCoder``, ``ATSSAssigner``, ``PseudoSampler``, anchor utils
+and loss modules all loaded from the reference tree (mmcv + registries
+stubbed), and our dense ``atss_loss`` must reproduce every component to
+fp32 tolerance. Pins: anchor grids, ATSS candidate selection (topk center
+distance + mean+std IoU threshold + inside-gt), delta decode, centerness
+targets, GIoU x2.0 weighting, focal cls.
+
+Skipped automatically when /root/reference or torch is unavailable.
+"""
+
+import os.path as osp
+import sys
+import types
+from functools import partial
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference/mmdet"
+REF_ATSS = osp.join(REF_ROOT, "models/dense_heads/atss_head.py")
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not osp.exists(REF_ATSS),
+                                reason="reference tree not available")
+
+NUM_CLASSES = 6
+STRIDES = (8, 16, 32, 64, 128)
+SIZES = [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)]
+IMG_HW = (128, 160)
+K_GT = 8
+
+
+def _load_reference_anchor_tier():
+    import importlib.util
+    import torch.nn as nn
+
+    new_mods = {}
+
+    def _stub(name):
+        mod = types.ModuleType(name)
+        new_mods[name] = mod
+        return mod
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        new_mods[name] = mod
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    # ---- mmcv stubs --------------------------------------------------------
+    mmcv = _stub("mmcv")
+    mmcv.jit = lambda **kw: (lambda f: f)
+    mmcv.is_tuple_of = lambda seq, t: isinstance(seq, tuple) and all(
+        isinstance(x, t) for x in seq)
+    mmcv_cnn = _stub("mmcv.cnn")
+
+    class Scale(nn.Module):
+        def __init__(self, scale=1.0):
+            super().__init__()
+            self.scale = nn.Parameter(torch.tensor(float(scale)))
+
+        def forward(self, x):
+            return x * self.scale
+
+    class ConvModule(nn.Module):
+        """Constructible stand-in (towers are never forwarded by the
+        loss-only oracle)."""
+
+        def __init__(self, in_c, out_c, k, stride=1, padding=0,
+                     conv_cfg=None, norm_cfg=None, bias="auto", **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(in_c, out_c, k, stride, padding,
+                                  bias=(bias if isinstance(bias, bool)
+                                        else norm_cfg is None))
+
+        def forward(self, x):
+            return self.conv(x)
+
+    mmcv_cnn.Scale = Scale
+    mmcv_cnn.ConvModule = ConvModule
+    mmcv_cnn.normal_init = lambda *a, **k: None
+    mmcv_cnn.bias_init_with_prob = lambda p: float(
+        -np.log((1 - p) / p))
+    mmcv_runner = _stub("mmcv.runner")
+    mmcv_runner.force_fp32 = lambda **kw: (lambda f: f)
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
+    mmcv_runner.BaseModule = BaseModule
+    mmcv_ops = _stub("mmcv.ops")
+
+    def _no_cuda(*a, **k):
+        raise RuntimeError("CUDA op must not be reached on CPU")
+
+    mmcv_ops.sigmoid_focal_loss = _no_cuda
+    mmcv.cnn, mmcv.runner, mmcv.ops = mmcv_cnn, mmcv_runner, mmcv_ops
+
+    # ---- registry / builder stubs ------------------------------------------
+    class _Reg:
+        def __init__(self):
+            self.classes = {}
+
+        def register_module(self, *a, **k):
+            def deco(cls):
+                self.classes[cls.__name__] = cls
+                return cls
+            return deco
+
+    regs = {n: _Reg() for n in
+            ("LOSSES", "HEADS", "PRIOR_GENERATORS", "BBOX_ASSIGNERS",
+             "BBOX_SAMPLERS", "BBOX_CODERS", "IOU_CALCULATORS")}
+
+    def _build(reg):
+        def build(cfg, **kw):
+            cfg = dict(cfg)
+            return regs[reg].classes[cfg.pop("type")](**cfg, **kw)
+        return build
+
+    # fake mmdet.utils.util_mixins (NiceRepr base used by results classes)
+    mm_utils = _stub("mmdet.utils")
+
+    class NiceRepr:
+        def __repr__(self):
+            return self.__class__.__name__
+
+    util_mixins = types.ModuleType("mmdet.utils.util_mixins")
+    util_mixins.NiceRepr = NiceRepr
+    mm_utils.util_mixins = util_mixins
+    new_mods["mmdet.utils.util_mixins"] = util_mixins
+
+    # fake package scaffolding for relative imports
+    for pkg in ("refmm2", "refmm2.core", "refmm2.core.anchor",
+                "refmm2.core.bbox", "refmm2.core.bbox.assigners",
+                "refmm2.core.bbox.samplers", "refmm2.core.bbox.coder",
+                "refmm2.core.bbox.iou_calculators", "refmm2.models",
+                "refmm2.models.losses", "refmm2.models.dense_heads"):
+        _stub(pkg)
+    anchor_builder = _stub("refmm2.core.anchor.builder")
+    anchor_builder.PRIOR_GENERATORS = regs["PRIOR_GENERATORS"]
+    anchor_builder.ANCHOR_GENERATORS = regs["PRIOR_GENERATORS"]
+    bbox_builder = _stub("refmm2.core.bbox.builder")
+    bbox_builder.BBOX_ASSIGNERS = regs["BBOX_ASSIGNERS"]
+    bbox_builder.BBOX_SAMPLERS = regs["BBOX_SAMPLERS"]
+    bbox_builder.BBOX_CODERS = regs["BBOX_CODERS"]
+    iou_builder = _stub("refmm2.core.bbox.iou_calculators.builder")
+    iou_builder.IOU_CALCULATORS = regs["IOU_CALCULATORS"]
+    models_builder = _stub("refmm2.models.builder")
+    models_builder.HEADS = regs["HEADS"]
+    models_builder.LOSSES = regs["LOSSES"]
+    models_builder.build_loss = _build("LOSSES")
+
+    saved = {k: sys.modules.get(k)
+             for k in set(new_mods) | {"mmdet", "mmdet.core",
+                                       "mmdet.utils",
+                                       "mmdet.utils.util_mixins"}}
+    sys.modules.update(new_mods)
+    sys.modules["mmdet.utils"] = mm_utils
+    try:
+        iou2d = _load(
+            "refmm2.core.bbox.iou_calculators.iou2d_calculator",
+            osp.join(REF_ROOT,
+                     "core/bbox/iou_calculators/iou2d_calculator.py"))
+        # iou_calculators package re-export used by atss_assigner
+        iou_pkg = sys.modules["refmm2.core.bbox.iou_calculators"]
+        iou_pkg.build_iou_calculator = _build("IOU_CALCULATORS")
+
+        transforms = _load("refmm2.core.bbox.transforms",
+                           osp.join(REF_ROOT, "core/bbox/transforms.py"))
+        anchor_utils = _load("refmm2.core.anchor.utils",
+                             osp.join(REF_ROOT, "core/anchor/utils.py"))
+        anchor_gen = _load("refmm2.core.anchor.anchor_generator",
+                           osp.join(REF_ROOT,
+                                    "core/anchor/anchor_generator.py"))
+        _load("refmm2.core.bbox.coder.base_bbox_coder",
+              osp.join(REF_ROOT, "core/bbox/coder/base_bbox_coder.py"))
+        _load("refmm2.core.bbox.coder.delta_xywh_bbox_coder",
+              osp.join(REF_ROOT,
+                       "core/bbox/coder/delta_xywh_bbox_coder.py"))
+        _load("refmm2.core.bbox.assigners.base_assigner",
+              osp.join(REF_ROOT, "core/bbox/assigners/base_assigner.py"))
+        _load("refmm2.core.bbox.assigners.assign_result",
+              osp.join(REF_ROOT, "core/bbox/assigners/assign_result.py"))
+        _load("refmm2.core.bbox.assigners.atss_assigner",
+              osp.join(REF_ROOT, "core/bbox/assigners/atss_assigner.py"))
+        _load("refmm2.core.bbox.samplers.sampling_result",
+              osp.join(REF_ROOT, "core/bbox/samplers/sampling_result.py"))
+        _load("refmm2.core.bbox.samplers.base_sampler",
+              osp.join(REF_ROOT, "core/bbox/samplers/base_sampler.py"))
+        _load("refmm2.core.bbox.samplers.pseudo_sampler",
+              osp.join(REF_ROOT, "core/bbox/samplers/pseudo_sampler.py"))
+
+        def multi_apply(func, *args, **kwargs):
+            pfunc = partial(func, **kwargs) if kwargs else func
+            return tuple(map(list, zip(*map(pfunc, *args))))
+
+        mmdet_core = types.ModuleType("mmdet.core")
+        mmdet_core.bbox_overlaps = iou2d.bbox_overlaps
+        mmdet_core.distance2bbox = transforms.distance2bbox
+        mmdet_core.bbox2distance = transforms.bbox2distance
+        mmdet_core.bbox_mapping_back = None
+        mmdet_core.merge_aug_proposals = None
+        mmdet_core.multiclass_nms = None
+        mmdet_core.multi_apply = multi_apply
+        mmdet_core.reduce_mean = lambda t: t
+        mmdet_core.anchor_inside_flags = anchor_utils.anchor_inside_flags
+        mmdet_core.images_to_levels = anchor_utils.images_to_levels
+        def unmap(data, count, inds, fill=0):
+            """core/utils/misc.py:32 semantics (tiny scatter util; the
+            heavy misc.py module drags in mask structures)."""
+            inds = inds.type(torch.bool)
+            if data.dim() == 1:
+                ret = data.new_full((count,), fill)
+                ret[inds] = data
+            else:
+                ret = data.new_full((count,) + data.size()[1:], fill)
+                ret[inds, :] = data
+            return ret
+
+        mmdet_core.unmap = unmap
+        mmdet_core.build_anchor_generator = _build("PRIOR_GENERATORS")
+        mmdet_core.build_assigner = _build("BBOX_ASSIGNERS")
+        mmdet_core.build_sampler = _build("BBOX_SAMPLERS")
+        mmdet_core.build_bbox_coder = _build("BBOX_CODERS")
+        mmdet_core.build_prior_generator = _build("PRIOR_GENERATORS")
+        mmdet_mod = types.ModuleType("mmdet")
+        mmdet_mod.core = mmdet_core
+        mmdet_mod.utils = mm_utils
+        sys.modules["mmdet"] = mmdet_mod
+        sys.modules["mmdet.core"] = mmdet_core
+
+        _load("refmm2.models.losses.utils",
+              osp.join(REF_ROOT, "models/losses/utils.py"))
+        _load("refmm2.models.losses.focal_loss",
+              osp.join(REF_ROOT, "models/losses/focal_loss.py"))
+        _load("refmm2.models.losses.iou_loss",
+              osp.join(REF_ROOT, "models/losses/iou_loss.py"))
+        _load("refmm2.models.losses.cross_entropy_loss",
+              osp.join(REF_ROOT, "models/losses/cross_entropy_loss.py"))
+
+        # base_dense_head is real; dense_test_mixins stubbed (aug-test only)
+        _load("refmm2.models.dense_heads.base_dense_head",
+              osp.join(REF_ROOT, "models/dense_heads/base_dense_head.py"))
+        mixins = _stub("refmm2.models.dense_heads.dense_test_mixins")
+
+        class BBoxTestMixin:
+            pass
+
+        mixins.BBoxTestMixin = BBoxTestMixin
+        sys.modules["refmm2.models.dense_heads.dense_test_mixins"] = mixins
+
+        _load("refmm2.models.losses.gfocal_loss",
+              osp.join(REF_ROOT, "models/losses/gfocal_loss.py"))
+        _load("refmm2.models.dense_heads.anchor_head",
+              osp.join(REF_ROOT, "models/dense_heads/anchor_head.py"))
+        atss = _load("refmm2.models.dense_heads.atss_head", REF_ATSS)
+        gfl = _load("refmm2.models.dense_heads.gfl_head",
+                    osp.join(REF_ROOT, "models/dense_heads/gfl_head.py"))
+        ns = types.SimpleNamespace(ATSSHead=atss.ATSSHead,
+                                   GFLHead=gfl.GFLHead)
+        return ns
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return _load_reference_anchor_tier()
+
+
+class _Cfg(dict):
+    """mmcv-Config-style attribute access over a plain dict."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def _make_inputs(batch, seed, gt_counts):
+    rng = np.random.RandomState(seed)
+    cls = [rng.randn(batch, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(batch, 4, h, w) * 0.5).astype(np.float32)
+            for h, w in SIZES]
+    cent = [rng.randn(batch, 1, h, w).astype(np.float32) for h, w in SIZES]
+    H, W = IMG_HW
+
+    def _boxes(n):
+        x1 = rng.rand(n) * W * 0.6
+        y1 = rng.rand(n) * H * 0.6
+        bw = rng.rand(n) * (W * 0.4) + 8.0
+        bh = rng.rand(n) * (H * 0.4) + 8.0
+        return np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                         np.minimum(y1 + bh, H - 1)], -1).astype(np.float32)
+
+    gts = [_boxes(n) for n in gt_counts]
+    gt_labels = [rng.randint(0, NUM_CLASSES, size=n).astype(np.int64)
+                 for n in gt_counts]
+    return cls, bbox, cent, gts, gt_labels
+
+
+def test_atss_loss_matches_reference(ref_mod):
+    B = 3
+    cls, bbox, cent, gts, gt_labels = _make_inputs(
+        B, seed=0, gt_counts=[3, 1, 5])
+    head = ref_mod.ATSSHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32,
+        anchor_generator=dict(type="AnchorGenerator", ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type="GIoULoss", loss_weight=2.0),
+        loss_centerness=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                             loss_weight=1.0),
+        train_cfg=_Cfg(assigner=dict(type="ATSSAssigner", topk=9),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(c) for c in cent], [t(g) for g in gts],
+                        [t(l) for l in gt_labels], metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    # ---- ours (dense) -----------------------------------------------------
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.atss_head import ATSSHead, atss_loss
+
+    our_head = ATSSHead(num_classes=NUM_CLASSES, strides=STRIDES, topk=9)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = atss_loss(our_head, nhwc(cls), nhwc(bbox), nhwc(cent),
+                     dict(gt_bboxes=jnp.asarray(gt_b),
+                          gt_labels=jnp.asarray(gt_l),
+                          gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_centerness"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_gfl_loss_matches_reference(ref_mod):
+    """GFL: QFL(IoU target) + score-weighted GIoU x2.0 + DFL x0.25 with
+    score-sum normalization (reference gfl_head.py:222-330) — the exact
+    weighting our round-3 fix installed."""
+    B = 3
+    REG_MAX = 8
+    rng = np.random.RandomState(7)
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    dist = [rng.randn(B, 4 * (REG_MAX + 1), h, w).astype(np.float32)
+            for h, w in SIZES]
+    H, W = IMG_HW
+    gt_counts = [2, 4, 1]
+    gts, gt_labels = [], []
+    for n in gt_counts:
+        x1 = rng.rand(n) * W * 0.6
+        y1 = rng.rand(n) * H * 0.6
+        bw = rng.rand(n) * (W * 0.4) + 8.0
+        bh = rng.rand(n) * (H * 0.4) + 8.0
+        gts.append(np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                             np.minimum(y1 + bh, H - 1)],
+                            -1).astype(np.float32))
+        gt_labels.append(rng.randint(0, NUM_CLASSES, size=n)
+                         .astype(np.int64))
+
+    head = ref_mod.GFLHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32, reg_max=REG_MAX,
+        anchor_generator=dict(type="AnchorGenerator", ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(STRIDES)),
+        loss_cls=dict(type="QualityFocalLoss", use_sigmoid=True, beta=2.0,
+                      loss_weight=1.0),
+        loss_dfl=dict(type="DistributionFocalLoss", loss_weight=0.25),
+        loss_bbox=dict(type="GIoULoss", loss_weight=2.0),
+        train_cfg=_Cfg(assigner=dict(type="ATSSAssigner", topk=9),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(d) for d in dist],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.gfl_head import GFLHead, gfl_loss
+
+    our_head = GFLHead(num_classes=NUM_CLASSES, strides=STRIDES,
+                       reg_max=REG_MAX, topk=9)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = gfl_loss(our_head, nhwc(cls), nhwc(dist),
+                    dict(gt_bboxes=jnp.asarray(gt_b),
+                         gt_labels=jnp.asarray(gt_l),
+                         gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_dfl"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
