@@ -1,4 +1,4 @@
-"""Torch oracle for the ATSS loss against the reference's OWN code.
+"""Torch oracles for the anchor-tier (ATSS/GFL/Retina) losses against the reference's OWN code.
 
 Extends the FCOS-oracle approach (``test_torch_oracle_fcos.py``) to the
 anchor tier: the reference's actual ``ATSSHead.loss`` / ``get_targets``
@@ -193,6 +193,9 @@ def _load_reference_anchor_tier():
               osp.join(REF_ROOT, "core/bbox/assigners/assign_result.py"))
         _load("refmm2.core.bbox.assigners.atss_assigner",
               osp.join(REF_ROOT, "core/bbox/assigners/atss_assigner.py"))
+        _load("refmm2.core.bbox.assigners.max_iou_assigner",
+              osp.join(REF_ROOT,
+                       "core/bbox/assigners/max_iou_assigner.py"))
         _load("refmm2.core.bbox.samplers.sampling_result",
               osp.join(REF_ROOT, "core/bbox/samplers/sampling_result.py"))
         _load("refmm2.core.bbox.samplers.base_sampler",
@@ -261,13 +264,19 @@ def _load_reference_anchor_tier():
 
         _load("refmm2.models.losses.gfocal_loss",
               osp.join(REF_ROOT, "models/losses/gfocal_loss.py"))
+        _load("refmm2.models.losses.smooth_l1_loss",
+              osp.join(REF_ROOT, "models/losses/smooth_l1_loss.py"))
         _load("refmm2.models.dense_heads.anchor_head",
               osp.join(REF_ROOT, "models/dense_heads/anchor_head.py"))
         atss = _load("refmm2.models.dense_heads.atss_head", REF_ATSS)
         gfl = _load("refmm2.models.dense_heads.gfl_head",
                     osp.join(REF_ROOT, "models/dense_heads/gfl_head.py"))
+        retina = _load("refmm2.models.dense_heads.retina_head",
+                       osp.join(REF_ROOT,
+                                "models/dense_heads/retina_head.py"))
         ns = types.SimpleNamespace(ATSSHead=atss.ATSSHead,
-                                   GFLHead=gfl.GFLHead)
+                                   GFLHead=gfl.GFLHead,
+                                   RetinaHead=retina.RetinaHead)
         return ns
     finally:
         for k, v in saved.items():
@@ -437,6 +446,85 @@ def test_gfl_loss_matches_reference(ref_mod):
                          gt_valid=jnp.asarray(gt_v)))
     ours = {k: float(v) for k, v in ours.items()}
     for k in ("loss_cls", "loss_bbox", "loss_dfl"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_retina_loss_matches_reference(ref_mod):
+    """RetinaHead = stock AnchorHead.loss: MaxIoU assignment (incl. the
+    low-quality each-gt-best-anchor rule), delta encoding with unit stds,
+    focal cls avg'd by num_pos, L1 bbox — pins the anchor-based family's
+    shared target machinery."""
+    B = 3
+    rng = np.random.RandomState(11)
+    na = 9     # 3 scales x 3 ratios
+    cls = [rng.randn(B, na * NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, na * 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    H, W = IMG_HW
+    gt_counts = [3, 2, 4]
+    gts, gt_labels = [], []
+    for n in gt_counts:
+        x1 = rng.rand(n) * W * 0.6
+        y1 = rng.rand(n) * H * 0.6
+        bw = rng.rand(n) * (W * 0.4) + 10.0
+        bh = rng.rand(n) * (H * 0.4) + 10.0
+        gts.append(np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                             np.minimum(y1 + bh, H - 1)],
+                            -1).astype(np.float32))
+        gt_labels.append(rng.randint(0, NUM_CLASSES, size=n)
+                         .astype(np.int64))
+
+    head = ref_mod.RetinaHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32,
+        anchor_generator=dict(type="AnchorGenerator",
+                              octave_base_scale=4, scales_per_octave=3,
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[1.0] * 4),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=1.0),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner",
+                                     pos_iou_thr=0.5, neg_iou_thr=0.4,
+                                     min_pos_iou=0,
+                                     ignore_iof_thr=-1),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.retina_head import (RetinaHead,
+                                                        retina_loss)
+
+    our_head = RetinaHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = retina_loss(our_head, nhwc(cls), nhwc(bbox),
+                       dict(gt_bboxes=jnp.asarray(gt_b),
+                            gt_labels=jnp.asarray(gt_l),
+                            gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items() if k.startswith("loss")}
+    for k in ("loss_cls", "loss_bbox"):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
