@@ -23,7 +23,8 @@ from dsl_tpu.core.boxes import bbox_overlaps
 
 def _max_iou_assign_single(anchors, gt_bboxes, gt_labels, gt_valid,
                            pos_iou_thr, neg_iou_thr, min_pos_iou,
-                           num_classes, match_low_quality):
+                           num_classes, match_low_quality,
+                           gt_max_assign_all=True):
     """(A,) labels (num_classes = bg), (A,) assigned gt idx, (A,) weights."""
     ious = bbox_overlaps(anchors, gt_bboxes)             # (A, K)
     ious = jnp.where(gt_valid[None, :], ious, -1.0)
@@ -37,9 +38,16 @@ def _max_iou_assign_single(anchors, gt_bboxes, gt_labels, gt_valid,
     if match_low_quality:
         # each gt forces its best anchor positive when iou >= min_pos_iou
         gt_best_iou = jnp.max(ious, axis=0)              # (K,)
-        # anchor a is the best for gt k (gt_max_assign_all=True semantics:
-        # all anchors sharing the max iou)
-        is_best = (ious == gt_best_iou[None, :]) & \
+        if gt_max_assign_all:
+            # all anchors sharing the max iou (mmdet default)
+            is_best = ious == gt_best_iou[None, :]
+        else:
+            # only the single argmax anchor per gt (SSD:
+            # MaxIoUAssigner(gt_max_assign_all=False) — caught by the SSD
+            # torch oracle: ties at the gt max otherwise over-assign)
+            best_anchor = jnp.argmax(ious, axis=0)       # (K,)
+            is_best = jnp.arange(ious.shape[0])[:, None] == best_anchor[None]
+        is_best = is_best & \
             (gt_best_iou[None, :] >= min_pos_iou) & gt_valid[None, :]
         forced = jnp.any(is_best, axis=1)
         forced_gt = jnp.argmax(is_best, axis=1)
@@ -56,10 +64,12 @@ def _max_iou_assign_single(anchors, gt_bboxes, gt_labels, gt_valid,
 
 @partial(jax.jit, static_argnames=("pos_iou_thr", "neg_iou_thr",
                                    "min_pos_iou", "num_classes",
-                                   "match_low_quality"))
+                                   "match_low_quality",
+                                   "gt_max_assign_all"))
 def max_iou_assign(anchors, gt_bboxes, gt_labels, gt_valid,
                    pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
-                   num_classes=80, match_low_quality=True):
+                   num_classes=80, match_low_quality=True,
+                   gt_max_assign_all=True):
     """Batched MaxIoU assignment.
 
     anchors: (A, 4); gt_*: (B, K, ...). Returns labels (B, A),
@@ -68,7 +78,8 @@ def max_iou_assign(anchors, gt_bboxes, gt_labels, gt_valid,
     single = partial(_max_iou_assign_single, anchors,
                      pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
                      min_pos_iou=min_pos_iou, num_classes=num_classes,
-                     match_low_quality=match_low_quality)
+                     match_low_quality=match_low_quality,
+                     gt_max_assign_all=gt_max_assign_all)
     return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)
 
 

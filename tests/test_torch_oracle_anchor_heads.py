@@ -86,6 +86,7 @@ def _load_reference_anchor_tier():
 
     mmcv_cnn.Scale = Scale
     mmcv_cnn.ConvModule = ConvModule
+    mmcv_cnn.DepthwiseSeparableConvModule = ConvModule
     mmcv_cnn.normal_init = lambda *a, **k: None
     mmcv_cnn.bias_init_with_prob = lambda p: float(
         -np.log((1 - p) / p))
@@ -274,9 +275,16 @@ def _load_reference_anchor_tier():
         retina = _load("refmm2.models.dense_heads.retina_head",
                        osp.join(REF_ROOT,
                                 "models/dense_heads/retina_head.py"))
+        # ssd_head does `from ..losses import smooth_l1_loss`
+        sl1 = sys.modules["refmm2.models.losses.smooth_l1_loss"]
+        sys.modules["refmm2.models.losses"].smooth_l1_loss = \
+            sl1.smooth_l1_loss
+        ssd = _load("refmm2.models.dense_heads.ssd_head",
+                    osp.join(REF_ROOT, "models/dense_heads/ssd_head.py"))
         ns = types.SimpleNamespace(ATSSHead=atss.ATSSHead,
                                    GFLHead=gfl.GFLHead,
-                                   RetinaHead=retina.RetinaHead)
+                                   RetinaHead=retina.RetinaHead,
+                                   SSDHead=ssd.SSDHead)
         return ns
     finally:
         for k, v in saved.items():
@@ -524,6 +532,84 @@ def test_retina_loss_matches_reference(ref_mod):
                             gt_labels=jnp.asarray(gt_l),
                             gt_valid=jnp.asarray(gt_v)))
     ours = {k: float(v) for k, v in ours.items() if k.startswith("loss")}
+    for k in ("loss_cls", "loss_bbox"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_ssd_loss_matches_reference(ref_mod):
+    """SSDHead: softmax CE with per-image hard-negative mining (topk
+    3x-pos negatives by loss), smooth-L1 on deltas, num_pos averaging —
+    our dense threshold-trick OHEM must equal the reference's exact topk."""
+    B = 2
+    rng = np.random.RandomState(13)
+    na = 6     # 2 scales x 3 ratios
+    cls = [rng.randn(B, na * (NUM_CLASSES + 1), h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, na * 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    H, W = IMG_HW
+    gt_counts = [3, 2]
+    gts, gt_labels = [], []
+    for n in gt_counts:
+        x1 = rng.rand(n) * W * 0.6
+        y1 = rng.rand(n) * H * 0.6
+        bw = rng.rand(n) * (W * 0.4) + 10.0
+        bh = rng.rand(n) * (H * 0.4) + 10.0
+        gts.append(np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                             np.minimum(y1 + bh, H - 1)],
+                            -1).astype(np.float32))
+        gt_labels.append(rng.randint(0, NUM_CLASSES, size=n)
+                         .astype(np.int64))
+
+    head = ref_mod.SSDHead(
+        num_classes=NUM_CLASSES, in_channels=[32] * 5,
+        anchor_generator=dict(type="AnchorGenerator", scales=[4, 8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner",
+                                     pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                     min_pos_iou=0.0,
+                                     ignore_iof_thr=-1,
+                                     gt_max_assign_all=False),
+                       smoothl1_beta=1.0, allowed_border=-1,
+                       pos_weight=-1, neg_pos_ratio=3, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.ssd_head import SSDHead, ssd_loss
+
+    our_head = SSDHead(num_classes=NUM_CLASSES, strides=STRIDES,
+                       anchor_scales=(4.0, 8.0),
+                       anchor_ratios=(0.5, 1.0, 2.0),
+                       target_stds=(0.1, 0.1, 0.2, 0.2),
+                       pos_iou_thr=0.5, neg_iou_thr=0.5, neg_pos_ratio=3)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = ssd_loss(our_head, nhwc(cls), nhwc(bbox),
+                    dict(gt_bboxes=jnp.asarray(gt_b),
+                         gt_labels=jnp.asarray(gt_l),
+                         gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
     for k in ("loss_cls", "loss_bbox"):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
