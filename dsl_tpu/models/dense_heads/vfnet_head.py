@@ -71,7 +71,7 @@ class VFNetHead(nn.Module):
     def make_anchor_generator(self) -> AnchorGenerator:
         return AnchorGenerator(strides=list(self.strides), ratios=(1.0,),
                                scales=(self.anchor_scale,),
-                               center_offset=0.5)
+                               center_offset=0.0)
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -142,7 +142,10 @@ def vfnet_loss(head: VFNetHead, cls_scores, bbox_preds, bbox_refines, batch,
         anchors, npl, batch["gt_bboxes"], batch["gt_labels"],
         batch["gt_valid"], topk=head.atss_topk, num_classes=nc)
 
-    pgen = MlvlPointGenerator(list(head.strides), offset=0.5)
+    # reference vfnet: anchor_generator center_offset=0.0 and points at
+    # grid*stride + stride*center_offset (vfnet_head.py:93-99,596-614) —
+    # NOT the fcos stride//2 offset (torch-oracle pinned)
+    pgen = MlvlPointGenerator(list(head.strides), offset=0.0)
     pts = jnp.asarray(pgen.flat_points(shapes))
 
     b = labels.shape[0]
@@ -192,7 +195,7 @@ def vfnet_get_bboxes(head: VFNetHead, cls_scores, bbox_preds, bbox_refines,
     nc = head.num_classes
     b = cls_scores[0].shape[0]
     shapes = [tuple(c.shape[1:3]) for c in cls_scores]
-    pgen = MlvlPointGenerator(list(head.strides), offset=0.5)
+    pgen = MlvlPointGenerator(list(head.strides), offset=0.0)
     lvl_pts = pgen.grid_points(shapes)
 
     boxes_all, scores_all = [], []

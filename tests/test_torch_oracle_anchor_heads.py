@@ -105,6 +105,19 @@ def _load_reference_anchor_tier():
         raise RuntimeError("CUDA op must not be reached on CPU")
 
     mmcv_ops.sigmoid_focal_loss = _no_cuda
+
+    class DeformConv2d(nn.Module):
+        """Constructible stand-in (loss-only oracles never forward it)."""
+
+        def __init__(self, in_c, out_c, k, stride=1, padding=0,
+                     dilation=1, **kw):
+            super().__init__()
+            self.weight = nn.Parameter(torch.zeros(out_c, in_c, k, k))
+
+        def forward(self, x, offset):
+            raise RuntimeError("not to be forwarded in the oracle")
+
+    mmcv_ops.DeformConv2d = DeformConv2d
     mmcv.cnn, mmcv.runner, mmcv.ops = mmcv_cnn, mmcv_runner, mmcv_ops
 
     # ---- registry / builder stubs ------------------------------------------
@@ -281,10 +294,95 @@ def _load_reference_anchor_tier():
             sl1.smooth_l1_loss
         ssd = _load("refmm2.models.dense_heads.ssd_head",
                     osp.join(REF_ROOT, "models/dense_heads/ssd_head.py"))
+        _load("refmm2.models.losses.varifocal_loss",
+              osp.join(REF_ROOT, "models/losses/varifocal_loss.py"))
+        # vfnet inherits ATSSHead + FCOSHead; fcos_head needs anchor_free
+        afh = types.ModuleType(
+            "refmm2.models.dense_heads.anchor_free_head")
+
+        class AnchorFreeHead(sys.modules[
+                "refmm2.models.dense_heads.base_dense_head"].BaseDenseHead):
+            _version = 1
+
+            def __init__(self, num_classes, in_channels, feat_channels=256,
+                         stacked_convs=4, strides=(4, 8, 16, 32, 64),
+                         dcn_on_last_conv=False, conv_bias="auto",
+                         loss_cls=None, loss_bbox=None, bbox_coder=None,
+                         conv_cfg=None, norm_cfg=None, train_cfg=None,
+                         test_cfg=None, init_cfg=None, **kw):
+                super().__init__()
+                self.num_classes = num_classes
+                self.cls_out_channels = num_classes
+                self.in_channels = in_channels
+                self.feat_channels = feat_channels
+                self.stacked_convs = stacked_convs
+                self.strides = strides
+                self.dcn_on_last_conv = dcn_on_last_conv
+                self.conv_bias = conv_bias
+                self.conv_cfg = conv_cfg
+                self.norm_cfg = norm_cfg
+                self.train_cfg = train_cfg
+                self.test_cfg = test_cfg
+                self.fp16_enabled = False
+                # real AnchorFreeHead defaults (vfnet calls
+                # super(FCOSHead, self).__init__ without loss kwargs and
+                # rebuilds its own losses afterwards)
+                self.loss_cls = models_builder.build_loss(
+                    loss_cls or dict(type="FocalLoss", use_sigmoid=True,
+                                     gamma=2.0, alpha=0.25,
+                                     loss_weight=1.0))
+                self.loss_bbox = models_builder.build_loss(
+                    loss_bbox or dict(type="IoULoss", loss_weight=1.0))
+                self._init_layers()
+
+            def _init_cls_convs(self):
+                self.cls_convs = nn.ModuleList()
+
+            def _init_reg_convs(self):
+                self.reg_convs = nn.ModuleList()
+
+            def _init_predictor(self):
+                self.conv_cls = nn.Conv2d(self.feat_channels,
+                                          self.cls_out_channels, 3,
+                                          padding=1)
+                self.conv_reg = nn.Conv2d(self.feat_channels, 4, 3,
+                                          padding=1)
+
+            def _init_layers(self):
+                self._init_cls_convs()
+                self._init_reg_convs()
+                self._init_predictor()
+
+            def _get_points_single(self, featmap_size, stride, dtype,
+                                   device, flatten=False):
+                h, w = featmap_size
+                x_range = torch.arange(w, device=device).to(dtype)
+                y_range = torch.arange(h, device=device).to(dtype)
+                y, x = torch.meshgrid(y_range, x_range)
+                if flatten:
+                    y, x = y.flatten(), x.flatten()
+                return y, x
+
+            def get_points(self, featmap_sizes, dtype, device,
+                           flatten=False):
+                return [self._get_points_single(featmap_sizes[i],
+                                                self.strides[i], dtype,
+                                                device, flatten)
+                        for i in range(len(featmap_sizes))]
+
+        afh.AnchorFreeHead = AnchorFreeHead
+        new_mods["refmm2.models.dense_heads.anchor_free_head"] = afh
+        sys.modules["refmm2.models.dense_heads.anchor_free_head"] = afh
+        _load("refmm2.models.dense_heads.fcos_head",
+              osp.join(REF_ROOT, "models/dense_heads/fcos_head.py"))
+        vfnet = _load("refmm2.models.dense_heads.vfnet_head",
+                      osp.join(REF_ROOT,
+                               "models/dense_heads/vfnet_head.py"))
         ns = types.SimpleNamespace(ATSSHead=atss.ATSSHead,
                                    GFLHead=gfl.GFLHead,
                                    RetinaHead=retina.RetinaHead,
-                                   SSDHead=ssd.SSDHead)
+                                   SSDHead=ssd.SSDHead,
+                                   VFNetHead=vfnet.VFNetHead)
         return ns
     finally:
         for k, v in saved.items():
@@ -611,6 +709,81 @@ def test_ssd_loss_matches_reference(ref_mod):
                          gt_valid=jnp.asarray(gt_v)))
     ours = {k: float(v) for k, v in ours.items()}
     for k in ("loss_cls", "loss_bbox"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_vfnet_loss_matches_reference(ref_mod):
+    """VFNet: ATSS assignment on center_offset=0 anchors/points, IoU-
+    weighted GIoU (x1.5 initial / x2.0 refine), varifocal cls with
+    refined-IoU targets at the assigned class."""
+    B = 2
+    rng = np.random.RandomState(17)
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    # distances must be positive (post-exp/scale semantics)
+    ini = [(rng.rand(B, 4, h, w) * 32 + 1).astype(np.float32)
+           for h, w in SIZES]
+    ref_p = [(rng.rand(B, 4, h, w) * 32 + 1).astype(np.float32)
+             for h, w in SIZES]
+    H, W = IMG_HW
+    gts, gt_labels = [], []
+    for n in [3, 2]:
+        x1 = rng.rand(n) * W * 0.6
+        y1 = rng.rand(n) * H * 0.6
+        bw = rng.rand(n) * (W * 0.4) + 10.0
+        bh = rng.rand(n) * (H * 0.4) + 10.0
+        gts.append(np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                             np.minimum(y1 + bh, H - 1)],
+                            -1).astype(np.float32))
+        gt_labels.append(rng.randint(0, NUM_CLASSES, size=n)
+                         .astype(np.int64))
+
+    head = ref_mod.VFNetHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32, strides=list(STRIDES),
+        center_sampling=False, dcn_on_last_conv=False, use_atss=True,
+        loss_cls=dict(type="VarifocalLoss", use_sigmoid=True,
+                      alpha=0.75, gamma=2.0, iou_weighted=True,
+                      loss_weight=1.0),
+        loss_bbox=dict(type="GIoULoss", loss_weight=1.5),
+        loss_bbox_refine=dict(type="GIoULoss", loss_weight=2.0),
+        anchor_generator=dict(type="AnchorGenerator", ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              center_offset=0.0, strides=list(STRIDES)),
+        train_cfg=_Cfg(assigner=dict(type="ATSSAssigner", topk=9),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in ini],
+                        [t(b) for b in ref_p], [t(g) for g in gts],
+                        [t(l) for l in gt_labels], metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.vfnet_head import VFNetHead, vfnet_loss
+
+    our_head = VFNetHead(num_classes=NUM_CLASSES, strides=STRIDES,
+                         atss_topk=9)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = vfnet_loss(our_head, nhwc(cls), nhwc(ini), nhwc(ref_p),
+                      dict(gt_bboxes=jnp.asarray(gt_b),
+                           gt_labels=jnp.asarray(gt_l),
+                           gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_bbox_rf"):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
