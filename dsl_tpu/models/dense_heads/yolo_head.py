@@ -4,9 +4,10 @@ Parity with ``/root/reference/mmdet/models/necks/yolo_neck.py`` +
 ``dense_heads/yolo_head.py``: the DetectionBlock neck (5-conv squeeze/expand
 towers with top-down 1x1+upsample lateral fusion) and the per-scale YOLO
 predictor (objectness + class logits + xywh offsets against 3 anchors per
-cell). Loss: BCE objectness with MaxIoU-assigned anchors, BCE classes, MSE
-on xy-offset/wh-log targets. Decode: sigmoid-offset inside the cell,
-exp-scaled anchors, objectness×class score into multiclass NMS.
+cell). Loss: responsible-cell GridAssigner + YOLOBBoxCoder targets with
+config-driven CE/MSE reductions (see ``yolo_loss``). Decode: sigmoid-offset
+inside the cell, exp-scaled anchors, objectness×class score into
+multiclass NMS.
 """
 
 from __future__ import annotations
@@ -18,7 +19,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from dsl_tpu.registry import HEADS, NECKS
-from dsl_tpu.core.assigners import max_iou_assign
+from dsl_tpu.core.boxes import bbox_overlaps
 from dsl_tpu.core import losses as L
 from dsl_tpu.core.nms import multiclass_nms
 from dsl_tpu.models.layers import make_norm, normal_init
@@ -79,6 +80,17 @@ class YOLOV3Head(nn.Module):
     strides: Sequence[int] = YOLO_STRIDES
     anchors: Sequence = YOLO_ANCHORS
     norm_cfg: dict | None = None
+    # GridAssigner thresholds (reference yolov3 train_cfg)
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.0
+    one_hot_smoother: float = 0.0
+    # loss configs (reference head defaults: CE-sigmoid/MSE, mean, lw 1.0;
+    # the shipped yolov3 config uses reduction='sum' with xy/wh lw 2.0)
+    loss_cls: dict | None = None
+    loss_conf: dict | None = None
+    loss_xy: dict | None = None
+    loss_wh: dict | None = None
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -115,72 +127,164 @@ def _yolo_grid_boxes(pred, anchors, stride, num_classes):
 
 
 def yolo_loss(head: YOLOV3Head, preds, batch, axis_name: str | None = None):
+    """YOLOv3 loss with reference semantics (``yolo_head.py:414-605``):
+
+    - GridAssigner over ALL levels jointly: an anchor is *responsible* when
+      any gt center falls in its cell (``single_level_responsible_flags``);
+      negatives are anchors whose max IoU (over all gts) <= neg_iou_thr;
+      positives are responsible anchors with IoU > pos_iou_thr, plus each
+      gt's best responsible anchor(s) (``grid_assigner.py:42-155``);
+      anchors above neg_iou_thr that are not positive are IGNORED.
+    - Targets via YOLOBBoxCoder.encode: sigmoid-space xy offsets
+      (+0.5, clamped to [eps, 1-eps]), log wh ratios
+      (``yolo_bbox_coder.py:26-58``).
+    - Normalization/weighting is config-driven per component: per-LEVEL
+      element mean for ``reduction='mean'`` (mmdet CE/MSE inside per-level
+      ``loss_single``, head defaults ``yolo_head.py:65-77``) or a plain sum
+      for ``reduction='sum'`` (the shipped yolov3 config, which also sets
+      xy/wh ``loss_weight=2.0``) — both torch-oracle pinned.
+    """
     nc = head.num_classes
-    losses = dict(loss_obj=0.0, loss_cls=0.0, loss_xy=0.0, loss_wh=0.0)
-    total_pos = 0.0
+    eps = 1e-6
+    b = preds[0].shape[0]
+
+    anchors_lvl, resp_dims, flat_preds, stride_per_anchor = [], [], [], []
     for lvl, pred in enumerate(preds):
-        b, h, w, _ = pred.shape
-        stride = head.strides[lvl]
+        _, h, w, _ = pred.shape
+        stride = float(head.strides[lvl])
         anchors = head.anchors[lvl]
         na = len(anchors)
-        # anchor boxes centered at each cell
         gx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
         gy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
         cxg, cyg = jnp.meshgrid(gx, gy)
-        centers = jnp.stack([cxg, cyg], -1).reshape(-1, 2)   # (HW, 2)
+        centers = jnp.stack([cxg, cyg], -1).reshape(-1, 2)     # (HW, 2)
         aw = jnp.asarray([a[0] for a in anchors], jnp.float32)
         ah = jnp.asarray([a[1] for a in anchors], jnp.float32)
         anc = jnp.stack([
             centers[:, None, 0] - aw[None, :] / 2,
             centers[:, None, 1] - ah[None, :] / 2,
             centers[:, None, 0] + aw[None, :] / 2,
-            centers[:, None, 1] + ah[None, :] / 2], axis=-1).reshape(-1, 4)
+            centers[:, None, 1] + ah[None, :] / 2],
+            axis=-1).reshape(-1, 4)                            # (HW*A, 4)
+        anchors_lvl.append(anc)
+        resp_dims.append((h, w, na, stride))
+        flat_preds.append(pred.reshape(b, -1, 5 + nc))
+        stride_per_anchor.append(
+            jnp.full((h * w * na,), stride, jnp.float32))
+    all_anchors = jnp.concatenate(anchors_lvl)                 # (A, 4)
+    all_strides = jnp.concatenate(stride_per_anchor)           # (A,)
+    p = jnp.concatenate(flat_preds, axis=1)                    # (B, A, 5+C)
 
-        labels, assigned, weights, _ = max_iou_assign(
-            anc, batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"],
-            pos_iou_thr=0.5, neg_iou_thr=0.5, min_pos_iou=1e-3,
-            num_classes=nc)                                  # (B, HW*A)
-        pos = labels < nc
-        pos_f = pos.astype(jnp.float32)
-        total_pos = total_pos + jnp.sum(pos_f)
+    def _responsible(gt, gt_valid):
+        """(A,) bool: any valid gt center falls in the anchor's cell."""
+        cx = (gt[:, 0] + gt[:, 2]) * 0.5
+        cy = (gt[:, 1] + gt[:, 3]) * 0.5
+        flags = []
+        for (h, w, na, stride) in resp_dims:
+            gxi = jnp.clip(jnp.floor(cx / stride), 0, w - 1)
+            gyi = jnp.clip(jnp.floor(cy / stride), 0, h - 1)
+            idx = (gyi * w + gxi).astype(jnp.int32)            # (K,)
+            grid = jnp.zeros((h * w,), bool).at[idx].set(
+                gt_valid, mode="drop")
+            flags.append(jnp.repeat(grid, na))
+        return jnp.concatenate(flags)
 
-        p = pred.reshape(b, -1, 5 + nc)                      # (B, HW*A)
-        gt = jnp.take_along_axis(
-            batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
-        # targets in the yolo parameterization
-        gcx = (gt[..., 0] + gt[..., 2]) / 2
-        gcy = (gt[..., 1] + gt[..., 3]) / 2
-        gw = jnp.maximum(gt[..., 2] - gt[..., 0], 1.0)
-        gh = jnp.maximum(gt[..., 3] - gt[..., 1], 1.0)
-        cell = jnp.tile(centers[:, None, :], (1, na, 1)).reshape(-1, 2)
-        tx = jnp.clip((gcx - (cell[None, :, 0] - stride * 0.5)) / stride,
-                      1e-3, 1 - 1e-3)
-        ty = jnp.clip((gcy - (cell[None, :, 1] - stride * 0.5)) / stride,
-                      1e-3, 1 - 1e-3)
-        anc_w = jnp.tile(aw[None, :], (h * w, 1)).reshape(-1)
-        anc_h = jnp.tile(ah[None, :], (h * w, 1)).reshape(-1)
-        tw = jnp.log(gw / anc_w[None, :])
-        th = jnp.log(gh / anc_h[None, :])
+    def _assign_single(gt, gt_label, gt_valid):
+        ious = bbox_overlaps(gt, all_anchors)                  # (K, A)
+        # step 2 uses raw IoUs over valid gts (IoU 0 when none are valid,
+        # matching the reference's num_gts==0 → everything-negative path)
+        max_iou = jnp.max(jnp.where(gt_valid[:, None], ious, 0.0), axis=0)
+        neg = max_iou <= head.neg_iou_thr
+        resp = _responsible(gt, gt_valid)                      # (A,)
+        iou_r = jnp.where(resp[None, :] & gt_valid[:, None], ious, -1.0)
+        max_r = jnp.max(iou_r, axis=0)
+        arg_r = jnp.argmax(iou_r, axis=0)
+        pos3 = (max_r > head.pos_iou_thr) & resp
+        assigned = jnp.where(pos3, arg_r, -1)
+        # step 4 (overrides step 3): each gt claims its best responsible
+        # anchor(s) when iou > min_pos_iou (gt_max_assign_all=True ties);
+        # the reference loops gts in order, so on conflict the LAST gt wins
+        gt_max = jnp.max(iou_r, axis=1)                        # (K,)
+        is_best = (iou_r == gt_max[:, None]) & resp[None, :] & \
+            (gt_max[:, None] > head.min_pos_iou) & gt_valid[:, None]
+        forced = jnp.any(is_best, axis=0)
+        k = is_best.shape[0]
+        forced_gt = k - 1 - jnp.argmax(is_best[::-1], axis=0)
+        assigned = jnp.where(forced, forced_gt, assigned)
+        return assigned, neg
 
-        losses["loss_obj"] = losses["loss_obj"] + L.binary_cross_entropy(
-            p[..., 4], pos_f, weight=weights, reduction="sum")
-        onehot = jax.nn.one_hot(jnp.clip(labels, 0, nc - 1), nc)
-        cls_bce = (jnp.maximum(p[..., 5:], 0) - p[..., 5:] * onehot
-                   + jnp.log1p(jnp.exp(-jnp.abs(p[..., 5:]))))
-        losses["loss_cls"] = losses["loss_cls"] + jnp.sum(
-            cls_bce * pos_f[..., None])
-        xy_bce = (L.binary_cross_entropy(p[..., 0], tx, reduction="none")
-                  + L.binary_cross_entropy(p[..., 1], ty, reduction="none"))
-        losses["loss_xy"] = losses["loss_xy"] + jnp.sum(xy_bce * pos_f)
-        wh_mse = (p[..., 2] - tw) ** 2 + (p[..., 3] - th) ** 2
-        losses["loss_wh"] = losses["loss_wh"] + jnp.sum(wh_mse * pos_f) * 0.5
+    assigned, neg_map = jax.vmap(_assign_single)(
+        batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"])
+    pos = assigned >= 0
+    pos_f = pos.astype(jnp.float32)                            # (B, A)
+    neg_f = jnp.clip(neg_map.astype(jnp.float32) + pos_f, 0, 1)
+
+    gt = jnp.take_along_axis(
+        batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
+    gl = jnp.take_along_axis(batch["gt_labels"],
+                             jnp.maximum(assigned, 0), axis=1)
+    # YOLOBBoxCoder.encode
+    acx = (all_anchors[:, 0] + all_anchors[:, 2]) * 0.5
+    acy = (all_anchors[:, 1] + all_anchors[:, 3]) * 0.5
+    aw = all_anchors[:, 2] - all_anchors[:, 0]
+    ah = all_anchors[:, 3] - all_anchors[:, 1]
+    gcx = (gt[..., 0] + gt[..., 2]) * 0.5
+    gcy = (gt[..., 1] + gt[..., 3]) * 0.5
+    gw = gt[..., 2] - gt[..., 0]
+    gh = gt[..., 3] - gt[..., 1]
+    tx = jnp.clip((gcx - acx[None]) / all_strides[None] + 0.5,
+                  eps, 1 - eps)
+    ty = jnp.clip((gcy - acy[None]) / all_strides[None] + 0.5,
+                  eps, 1 - eps)
+    tw = jnp.log(jnp.maximum(gw / aw[None], eps))
+    th = jnp.log(jnp.maximum(gh / ah[None], eps))
+    s = float(head.one_hot_smoother)
+    onehot = jax.nn.one_hot(jnp.clip(gl, 0, nc - 1), nc)
+    onehot = onehot * (1.0 - s) + s / nc
 
     def _psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    denom = jnp.maximum(_psum(total_pos), 1.0)
-    return {k: _psum(v) / denom if k != "loss_obj" else _psum(v) / denom
-            for k, v in losses.items()}
+    n_dev = _psum(jnp.ones(())) if axis_name else 1.0
+
+    # per-level element-mean weights (loss_single reduces per level)
+    lvl_sizes = [h * w * na for (h, w, na, _) in resp_dims]
+    inv_mean = jnp.concatenate([
+        jnp.full((n,), 1.0 / (b * n), jnp.float32) for n in lvl_sizes])
+
+    def _reduce(elem, cfg, default_type, chans):
+        """elem: (B, A) per-anchor loss already summed over channels."""
+        cfg = dict(cfg or {})
+        typ = cfg.get("type", default_type)
+        if typ != default_type or (typ == "CrossEntropyLoss"
+                                   and not cfg.get("use_sigmoid", True)):
+            raise NotImplementedError(
+                f"yolo_loss supports only {default_type}"
+                f"{' (use_sigmoid)' if default_type != 'MSELoss' else ''},"
+                f" got {cfg}")
+        lw = float(cfg.get("loss_weight", 1.0))
+        red = cfg.get("reduction", "mean")
+        if red == "sum":
+            return lw * _psum(jnp.sum(elem))
+        if red == "mean":
+            return lw * _psum(jnp.sum(elem * inv_mean[None])) / (
+                chans * n_dev)
+        raise NotImplementedError(f"reduction {red!r}")
+
+    bce = lambda logit, t: (jnp.maximum(logit, 0) - logit * t
+                            + jnp.log1p(jnp.exp(-jnp.abs(logit))))
+    loss_cls = _reduce(
+        jnp.sum(bce(p[..., 5:], onehot), -1) * pos_f,
+        head.loss_cls, "CrossEntropyLoss", nc)
+    loss_conf = _reduce(bce(p[..., 4], pos_f) * neg_f,
+                        head.loss_conf, "CrossEntropyLoss", 1)
+    loss_xy = _reduce((bce(p[..., 0], tx) + bce(p[..., 1], ty)) * pos_f,
+                      head.loss_xy, "CrossEntropyLoss", 2)
+    loss_wh = _reduce(
+        ((p[..., 2] - tw) ** 2 + (p[..., 3] - th) ** 2) * pos_f,
+        head.loss_wh, "MSELoss", 2)
+    return dict(loss_cls=loss_cls, loss_conf=loss_conf, loss_xy=loss_xy,
+                loss_wh=loss_wh)
 
 
 def yolo_get_bboxes(head: YOLOV3Head, preds, img_shapes=None,

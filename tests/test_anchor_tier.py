@@ -304,7 +304,7 @@ def test_yolov3_family():
     )
     total, log_vars = detector_loss(det, variables, batch)
     assert np.isfinite(float(total))
-    assert "loss_obj" in log_vars and "loss_wh" in log_vars
+    assert "loss_conf" in log_vars and "loss_wh" in log_vars
     dets, labels, valid = detector_predict(
         det, variables, imgs, img_shapes=jnp.asarray([[64., 64.]]),
         scale_factors=jnp.ones((1, 4)))

@@ -88,6 +88,8 @@ def _load_reference_anchor_tier():
     mmcv_cnn.ConvModule = ConvModule
     mmcv_cnn.DepthwiseSeparableConvModule = ConvModule
     mmcv_cnn.normal_init = lambda *a, **k: None
+    mmcv_cnn.constant_init = lambda *a, **k: None
+    mmcv_cnn.is_norm = lambda m: False
     mmcv_cnn.bias_init_with_prob = lambda p: float(
         -np.log((1 - p) / p))
     mmcv_runner = _stub("mmcv.runner")
@@ -378,11 +380,20 @@ def _load_reference_anchor_tier():
         vfnet = _load("refmm2.models.dense_heads.vfnet_head",
                       osp.join(REF_ROOT,
                                "models/dense_heads/vfnet_head.py"))
+        _load("refmm2.core.bbox.assigners.grid_assigner",
+              osp.join(REF_ROOT, "core/bbox/assigners/grid_assigner.py"))
+        _load("refmm2.core.bbox.coder.yolo_bbox_coder",
+              osp.join(REF_ROOT, "core/bbox/coder/yolo_bbox_coder.py"))
+        _load("refmm2.models.losses.mse_loss",
+              osp.join(REF_ROOT, "models/losses/mse_loss.py"))
+        yolo = _load("refmm2.models.dense_heads.yolo_head",
+                     osp.join(REF_ROOT, "models/dense_heads/yolo_head.py"))
         ns = types.SimpleNamespace(ATSSHead=atss.ATSSHead,
                                    GFLHead=gfl.GFLHead,
                                    RetinaHead=retina.RetinaHead,
                                    SSDHead=ssd.SSDHead,
-                                   VFNetHead=vfnet.VFNetHead)
+                                   VFNetHead=vfnet.VFNetHead,
+                                   YOLOV3Head=yolo.YOLOV3Head)
         return ns
     finally:
         for k, v in saved.items():
@@ -784,6 +795,88 @@ def test_vfnet_loss_matches_reference(ref_mod):
                            gt_valid=jnp.asarray(gt_v)))
     ours = {k: float(v) for k, v in ours.items()}
     for k in ("loss_cls", "loss_bbox", "loss_bbox_rf"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+@pytest.mark.parametrize("protocol", ["mean", "sum"])
+def test_yolov3_loss_matches_reference(ref_mod, protocol):
+    """YOLOv3: cross-level GridAssigner with responsible cells, YOLO coder
+    targets, and BOTH normalization protocols — per-level element mean
+    (reference head defaults) and global sum with xy/wh x2.0 (the shipped
+    yolov3 config) — the round-3 rewrite of yolo_loss is pinned here."""
+    if protocol == "sum":
+        loss_dicts = dict(
+            loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                          loss_weight=1.0, reduction="sum"),
+            loss_conf=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                           loss_weight=1.0, reduction="sum"),
+            loss_xy=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                         loss_weight=2.0, reduction="sum"),
+            loss_wh=dict(type="MSELoss", loss_weight=2.0, reduction="sum"))
+    else:
+        loss_dicts = {}
+    B = 2
+    rng = np.random.RandomState(23)
+    na = 3
+    yolo_sizes = [(4, 5), (8, 10), (16, 20)]     # strides 32, 16, 8
+    cls = None
+    pred_maps = [rng.randn(B, na * (5 + NUM_CLASSES), h, w)
+                 .astype(np.float32) for h, w in yolo_sizes]
+    H, W = IMG_HW
+    gts, gt_labels = [], []
+    for n in [3, 2]:
+        x1 = rng.rand(n) * W * 0.6
+        y1 = rng.rand(n) * H * 0.6
+        bw = rng.rand(n) * (W * 0.4) + 12.0
+        bh = rng.rand(n) * (H * 0.4) + 12.0
+        gts.append(np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                             np.minimum(y1 + bh, H - 1)],
+                            -1).astype(np.float32))
+        gt_labels.append(rng.randint(0, NUM_CLASSES, size=n)
+                         .astype(np.int64))
+
+    base_sizes = [[(116, 90), (156, 198), (373, 326)],
+                  [(30, 61), (62, 45), (59, 119)],
+                  [(10, 13), (16, 30), (33, 23)]]
+    head = ref_mod.YOLOV3Head(
+        num_classes=NUM_CLASSES, in_channels=[32, 32, 32],
+        out_channels=[32, 32, 32], featmap_strides=[32, 16, 8],
+        anchor_generator=dict(type="YOLOAnchorGenerator",
+                              base_sizes=base_sizes, strides=[32, 16, 8]),
+        bbox_coder=dict(type="YOLOBBoxCoder"),
+        train_cfg=_Cfg(assigner=dict(type="GridAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0),
+                       debug=False),
+        **loss_dicts)
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(p) for p in pred_maps], [t(g) for g in gts],
+                        [t(l) for l in gt_labels], metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.yolo_head import YOLOV3Head, yolo_loss
+
+    our_head = YOLOV3Head(num_classes=NUM_CLASSES, **loss_dicts)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    preds = tuple(jnp.asarray(p.transpose(0, 2, 3, 1)) for p in pred_maps)
+    ours = yolo_loss(our_head, preds,
+                     dict(gt_bboxes=jnp.asarray(gt_b),
+                          gt_labels=jnp.asarray(gt_l),
+                          gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_conf", "loss_xy", "loss_wh"):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
