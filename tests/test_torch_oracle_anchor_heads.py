@@ -388,12 +388,17 @@ def _load_reference_anchor_tier():
               osp.join(REF_ROOT, "models/losses/mse_loss.py"))
         yolo = _load("refmm2.models.dense_heads.yolo_head",
                      osp.join(REF_ROOT, "models/dense_heads/yolo_head.py"))
+        fa = _load("refmm2.models.dense_heads.free_anchor_retina_head",
+                   osp.join(REF_ROOT,
+                            "models/dense_heads/free_anchor_retina_head.py"))
         ns = types.SimpleNamespace(ATSSHead=atss.ATSSHead,
                                    GFLHead=gfl.GFLHead,
                                    RetinaHead=retina.RetinaHead,
                                    SSDHead=ssd.SSDHead,
                                    VFNetHead=vfnet.VFNetHead,
-                                   YOLOV3Head=yolo.YOLOV3Head)
+                                   YOLOV3Head=yolo.YOLOV3Head,
+                                   FreeAnchorRetinaHead=
+                                   fa.FreeAnchorRetinaHead)
         return ns
     finally:
         for k, v in saved.items():
@@ -880,3 +885,89 @@ def test_yolov3_loss_matches_reference(ref_mod, protocol):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_free_anchor_loss_matches_reference(ref_mod):
+    """FreeAnchor: learning-to-match bags — saturated-linear box_prob with
+    per-class scatter-max (negative term), top-k IoU bags with
+    Mean-max(P_cls*P_loc) (positive term), smooth-L1 box likelihood
+    (beta 0.11, w 0.75), (num_gt, num_gt*topk) normalizers.
+    topk is chosen so no gt has an exact IoU tie at the bag boundary
+    (torch top-k tie-breaking is arbitrary; verified tie-free for this
+    seed)."""
+    B = 2
+    rng = np.random.RandomState(31)
+    na = 9
+    cls = [rng.randn(B, na * NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, na * 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    H, W = IMG_HW
+    gt_counts = [3, 2]
+    gts, gt_labels = [], []
+    for n in gt_counts:
+        x1 = rng.rand(n) * W * 0.4
+        y1 = rng.rand(n) * H * 0.4
+        bw = rng.rand(n) * (W * 0.3) + 30.0
+        bh = rng.rand(n) * (H * 0.3) + 30.0
+        gts.append(np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                             np.minimum(y1 + bh, H - 1)],
+                            -1).astype(np.float32))
+        gt_labels.append(rng.randint(0, NUM_CLASSES, size=n)
+                         .astype(np.int64))
+
+    topk = 20
+    head = ref_mod.FreeAnchorRetinaHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32, pre_anchor_topk=topk, bbox_thr=0.6,
+        gamma=2.0, alpha=0.5,
+        anchor_generator=dict(type="AnchorGenerator",
+                              octave_base_scale=4, scales_per_octave=3,
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[1.0] * 4),
+        loss_bbox=dict(type="SmoothL1Loss", beta=0.11, loss_weight=0.75),
+        train_cfg=None)
+    # FreeAnchor's loss() calls get_anchors() with the default device='cuda'
+    _orig_get_anchors = head.get_anchors
+    head.get_anchors = (lambda fs, metas, device="cpu":
+                        _orig_get_anchors(fs, metas, device="cpu"))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.free_anchor_head import (
+        FreeAnchorRetinaHead, free_anchor_loss)
+
+    our_head = FreeAnchorRetinaHead(num_classes=NUM_CLASSES,
+                                    strides=STRIDES,
+                                    pre_anchor_topk=topk)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = free_anchor_loss(our_head, nhwc(cls), nhwc(bbox),
+                            dict(gt_bboxes=jnp.asarray(gt_b),
+                                 gt_labels=jnp.asarray(gt_l),
+                                 gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    pairs = {"loss_positive": "positive_bag_loss",
+             "loss_negative": "negative_bag_loss"}
+    for ok, rk in pairs.items():
+        np.testing.assert_allclose(
+            ours[ok], ref[rk], rtol=5e-5, atol=1e-6,
+            err_msg=f"{ok}: ours={ours[ok]} ref={ref[rk]}")
