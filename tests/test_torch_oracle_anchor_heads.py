@@ -391,6 +391,16 @@ def _load_reference_anchor_tier():
         fa = _load("refmm2.models.dense_heads.free_anchor_retina_head",
                    osp.join(REF_ROOT,
                             "models/dense_heads/free_anchor_retina_head.py"))
+        _load("refmm2.models.losses.accuracy",
+              osp.join(REF_ROOT, "models/losses/accuracy.py"))
+        _load("refmm2.core.bbox.assigners.center_region_assigner",
+              osp.join(REF_ROOT,
+                       "core/bbox/assigners/center_region_assigner.py"))
+        _load("refmm2.core.bbox.coder.tblr_bbox_coder",
+              osp.join(REF_ROOT, "core/bbox/coder/tblr_bbox_coder.py"))
+        fsaf = _load("refmm2.models.dense_heads.fsaf_head",
+                     osp.join(REF_ROOT,
+                              "models/dense_heads/fsaf_head.py"))
         ns = types.SimpleNamespace(ATSSHead=atss.ATSSHead,
                                    GFLHead=gfl.GFLHead,
                                    RetinaHead=retina.RetinaHead,
@@ -398,7 +408,8 @@ def _load_reference_anchor_tier():
                                    VFNetHead=vfnet.VFNetHead,
                                    YOLOV3Head=yolo.YOLOV3Head,
                                    FreeAnchorRetinaHead=
-                                   fa.FreeAnchorRetinaHead)
+                                   fa.FreeAnchorRetinaHead,
+                                   FSAFHead=fsaf.FSAFHead)
         return ns
     finally:
         for k, v in saved.items():
@@ -971,3 +982,82 @@ def test_free_anchor_loss_matches_reference(ref_mod):
         np.testing.assert_allclose(
             ours[ok], ref[rk], rtol=5e-5, atol=1e-6,
             err_msg=f"{ok}: ours={ours[ok]} ref={ref[rk]}")
+
+
+def test_fsaf_loss_matches_reference(ref_mod):
+    """FSAF: CenterRegionAssigner (core iof>0.01 + strict center-in-gt,
+    smallest-area priority, shadowed (anchor, class) weight zeroing,
+    same-class positive demotion, scaled ignore regions) + TBLR-decoded
+    IoU loss + online level selection (per-gt min mean loss) + reweight
+    (rejected positives zero only their label channel) + avg by surviving
+    positives — reference ``fsaf_head.py:186-309`` +
+    ``center_region_assigner.py:125-335``."""
+    B = 3
+    cls, bbox, _, gts, gt_labels = _make_inputs(
+        B, seed=11, gt_counts=[4, 1, 6])
+    # ignore regions for images 0 and 2 (image 1: empty tensor path)
+    ig_rng = np.random.RandomState(99)
+    H, W = IMG_HW
+
+    def _ig(n):
+        x1 = ig_rng.rand(n) * W * 0.5
+        y1 = ig_rng.rand(n) * H * 0.5
+        return np.stack([x1, y1, x1 + 30 + ig_rng.rand(n) * 40,
+                         y1 + 25 + ig_rng.rand(n) * 40],
+                        -1).astype(np.float32)
+
+    igs = [_ig(2), np.zeros((0, 4), np.float32), _ig(1)]
+
+    head = ref_mod.FSAFHead(
+        NUM_CLASSES, 32, stacked_convs=1, feat_channels=32,
+        reg_decoded_bbox=True,
+        anchor_generator=dict(type="AnchorGenerator", octave_base_scale=1,
+                              scales_per_octave=1, ratios=[1.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="TBLRBBoxCoder", normalizer=4.0),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0, reduction="none"),
+        loss_bbox=dict(type="IoULoss", eps=1e-6, loss_weight=1.0,
+                       reduction="none"),
+        train_cfg=_Cfg(assigner=dict(type="CenterRegionAssigner",
+                                     pos_scale=0.2, neg_scale=0.2,
+                                     min_pos_iof=0.01),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        metas, gt_bboxes_ignore=[t(g) for g in igs])
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.fsaf_head import FSAFHead, fsaf_loss
+
+    our_head = FSAFHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b = np.zeros((B, K_GT, 4), np.float32)
+    gt_l = np.zeros((B, K_GT), np.int32)
+    gt_v = np.zeros((B, K_GT), bool)
+    ig_b = np.zeros((B, 2, 4), np.float32)
+    ig_v = np.zeros((B, 2), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+        ig_b[i, :len(igs[i])] = igs[i]
+        ig_v[i, :len(igs[i])] = True
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = fsaf_loss(our_head, nhwc(cls), nhwc(bbox),
+                     dict(gt_bboxes=jnp.asarray(gt_b),
+                          gt_labels=jnp.asarray(gt_l),
+                          gt_valid=jnp.asarray(gt_v),
+                          ignore_bboxes=jnp.asarray(ig_b),
+                          ignore_valid=jnp.asarray(ig_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "num_pos"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
