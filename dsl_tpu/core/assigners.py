@@ -50,8 +50,14 @@ def _max_iou_assign_single(anchors, gt_bboxes, gt_labels, gt_valid,
         is_best = is_best & \
             (gt_best_iou[None, :] >= min_pos_iou) & gt_valid[None, :]
         forced = jnp.any(is_best, axis=1)
-        forced_gt = jnp.argmax(is_best, axis=1)
-        argmax = jnp.where(forced & ~is_pos, forced_gt, argmax)
+        # reference assign_wrt_overlaps iterates gts IN ORDER and
+        # overwrites (``max_iou_assigner.py:212-221``): the LAST gt whose
+        # best this anchor is wins, and the forced assignment replaces
+        # even an above-threshold positive's argmax gt (oracled in
+        # test_torch_oracle_rcnn variant 3)
+        kk = is_best.shape[1]
+        forced_gt = (kk - 1) - jnp.argmax(is_best[:, ::-1], axis=1)
+        argmax = jnp.where(forced, forced_gt, argmax)
         is_pos = is_pos | forced
         is_neg = is_neg & ~forced
 

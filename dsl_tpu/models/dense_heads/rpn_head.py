@@ -36,6 +36,8 @@ class RPNHead(nn.Module):
     pos_iou_thr: float = 0.7
     neg_iou_thr: float = 0.3
     anchor_generator: dict | None = None
+    loss_cls: dict | None = None    # CrossEntropyLoss(use_sigmoid) only
+    loss_bbox: dict | None = None   # L1 (default) or SmoothL1(beta)
 
     def make_anchor_generator(self) -> AnchorGenerator:
         cfg = dict(self.anchor_generator or {})
@@ -62,8 +64,64 @@ class RPNHead(nn.Module):
         return tuple(scores), tuple(deltas)
 
 
+def subsample_anchors(rng_key, is_pos, is_neg, num: int, pos_fraction: float):
+    """Fixed-shape RandomSampler over dense anchors (reference
+    ``random_sampler.py`` via ``anchor_head.py:85-87``): per image, up to
+    ``num*pos_fraction`` random positives, negatives fill to ``num``.
+
+    Returns boolean take-masks ``(pos_take, sel)`` of the anchor axis —
+    ``sel`` is the sampled set (pos_take | sampled negatives). Implemented
+    as two ``top_k``s over random priorities (no unsorted dynamic shapes)."""
+    b, a = is_pos.shape
+    r = jax.random.uniform(rng_key, (b, a))
+    rows = jnp.arange(b)[:, None]
+
+    def _take(mask, pri, k):
+        _, idx = jax.lax.top_k(-pri, min(k, a))
+        take = jnp.zeros_like(mask)
+        take = take.at[rows, idx].set(True)
+        return take & mask
+
+    pos_take = _take(is_pos, jnp.where(is_pos, r, jnp.inf),
+                     int(num * pos_fraction))
+    # positives rank ahead of every negative, so top_k(num) keeps them all
+    # and fills the remainder (num - num_pos) with random negatives
+    pri = jnp.where(pos_take, r, jnp.where(is_neg, 1e6 + r, jnp.inf))
+    sel = _take(pos_take | is_neg, pri, num)
+    return pos_take, sel
+
+
+def _resolve_rpn_bbox_loss(cfg):
+    """RPN ``loss_bbox`` cfg → fn(pred, target, weight, avg_factor). L1 is
+    the reference default (``faster_rcnn_r50_fpn.py:34``); cascade families
+    use SmoothL1(beta=1/9) (``cascade_rcnn_r50_fpn.py:41``)."""
+    cfg = dict(cfg or {})
+    t = cfg.get("type", "L1Loss")
+    lw = float(cfg.get("loss_weight", 1.0))
+    if t == "L1Loss":
+        return lambda p, tg, w, af: lw * L.l1_loss(
+            p, tg, weight=w, avg_factor=af)
+    if t == "SmoothL1Loss":
+        beta = float(cfg.get("beta", 1.0))
+        return lambda p, tg, w, af: lw * L.smooth_l1_loss(
+            p, tg, beta=beta, weight=w, avg_factor=af)
+    raise ValueError(f"unsupported rpn loss_bbox type: {t}")
+
+
 def rpn_loss(head: RPNHead, scores, deltas, batch,
-             axis_name: str | None = None):
+             axis_name: str | None = None, train_cfg: dict | None = None,
+             rng_key=None):
+    """RPN training loss with reference ``train_cfg.rpn`` semantics
+    (``anchor_head.py loss/loss_single:440-489,372-418`` +
+    ``faster_rcnn_r50_fpn.py:58-74``): MaxIoU assignment (0.7/0.3,
+    ``min_pos_iou=0.3``, low-quality match), a 256-anchor random subsample
+    at 1:1 pos fraction, and BOTH losses averaged by
+    ``num_total_samples = num_pos + num_neg`` of the sampled set."""
+    tc = dict(train_cfg or {})
+    asn = dict(tc.get("assigner", {}) or {})
+    smp = dict(tc.get("sampler", {}) or {})
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
     gen = head.make_anchor_generator()
     featmap_sizes = [tuple(s.shape[1:3]) for s in scores]
     anchors = gen.flat_anchors(featmap_sizes)
@@ -72,29 +130,38 @@ def rpn_loss(head: RPNHead, scores, deltas, batch,
     labels, assigned, weights, _ = max_iou_assign(
         anchors, batch["gt_bboxes"],
         jnp.zeros_like(batch["gt_labels"]), batch["gt_valid"],
-        pos_iou_thr=head.pos_iou_thr, neg_iou_thr=head.neg_iou_thr,
-        min_pos_iou=1e-3, num_classes=1)
+        pos_iou_thr=float(asn.get("pos_iou_thr", head.pos_iou_thr)),
+        neg_iou_thr=float(asn.get("neg_iou_thr", head.neg_iou_thr)),
+        min_pos_iou=float(asn.get("min_pos_iou", 0.3)),
+        match_low_quality=bool(asn.get("match_low_quality", True)),
+        num_classes=1)
 
     b = labels.shape[0]
     flat_score = jnp.concatenate(
         [s.reshape(b, -1) for s in scores], axis=1)
     flat_delta = jnp.concatenate(
         [d.reshape(b, -1, 4) for d in deltas], axis=1)
-    pos = labels < 1
-    pos_f = pos.astype(jnp.float32)
+    is_pos = labels < 1
+    is_neg = (weights > 0) & ~is_pos
+    pos_take, sel = subsample_anchors(
+        rng_key, is_pos, is_neg, num=int(smp.get("num", 256)),
+        pos_fraction=float(smp.get("pos_fraction", 0.5)))
+    pos_f = pos_take.astype(jnp.float32)
+    sel_f = sel.astype(jnp.float32)
 
     def _psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    num_valid = jnp.maximum(_psum(jnp.sum(weights)), 1.0)
-    num_pos = jnp.maximum(_psum(jnp.sum(pos_f)), 1.0)
-    loss_cls = L.binary_cross_entropy(flat_score, pos_f, weight=weights,
-                                      avg_factor=num_valid)
+    num_total = jnp.maximum(_psum(jnp.sum(sel_f)), 1.0)
+    cls_cfg = dict(head.loss_cls or {})
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) \
+        * L.binary_cross_entropy(flat_score, pos_f, weight=sel_f,
+                                 avg_factor=num_total)
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
     tgt = bbox2delta(anchors[None], gt, head.target_means, head.target_stds)
-    loss_reg = L.l1_loss(flat_delta, tgt, weight=pos_f[..., None],
-                         avg_factor=num_pos)
+    loss_reg = _resolve_rpn_bbox_loss(head.loss_bbox)(
+        flat_delta, tgt, pos_f[..., None], num_total)
     return dict(loss_rpn_cls=loss_cls, loss_rpn_bbox=loss_reg)
 
 
@@ -142,9 +209,10 @@ def rpn_proposals(head: RPNHead, scores, deltas, img_shapes=None,
     return jax.vmap(_single)(boxes, sc)
 
 
-def rpn_loss_any(head, rpn_out, batch, **kw):
+def rpn_loss_any(head, rpn_out, batch, train_cfg=None, rng_key=None, **kw):
     """Dispatch RPN losses by head type (RPNHead / GARPNHead /
-    CascadeRPNHead)."""
+    CascadeRPNHead). ``train_cfg``/``rng_key`` apply to the plain RPNHead
+    (GA/Cascade RPN carry their own assignment machinery)."""
     if type(head).__name__ == "GARPNHead":
         from dsl_tpu.models.dense_heads.ga_rpn_head import ga_rpn_loss
 
@@ -155,7 +223,8 @@ def rpn_loss_any(head, rpn_out, batch, **kw):
 
         return cascade_rpn_loss(head, rpn_out, batch)
     scores, deltas = rpn_out
-    return rpn_loss(head, scores, deltas, batch, **kw)
+    return rpn_loss(head, scores, deltas, batch, train_cfg=train_cfg,
+                    rng_key=rng_key, **kw)
 
 
 def rpn_proposals_any(head, rpn_out, img_shapes=None, nms_pre: int = 1000,

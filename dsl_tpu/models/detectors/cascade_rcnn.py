@@ -61,7 +61,16 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     neck = build_from_cfg(cfg.pop("neck"), MODELS)
     rpn = build_from_cfg(cfg.pop("rpn_head"), MODELS)
     head_cfgs = cfg.pop("bbox_heads")
-    heads = tuple(build_from_cfg(dict(c), MODELS) for c in head_cfgs)
+    heads = []
+    for c in head_cfgs:
+        c = dict(c)
+        if str(c.get("type", "")).startswith("Shared"):
+            # reference cascade stages: class-agnostic reg + SmoothL1
+            # (``cascade_rcnn_r50_fpn.py`` bbox_head entries)
+            c.setdefault("reg_class_agnostic", True)
+            c.setdefault("loss_bbox", dict(type="SmoothL1Loss", beta=1.0))
+        heads.append(build_from_cfg(c, MODELS))
+    heads = tuple(heads)
     mask_cfg = cfg.pop("mask_head", None)
     mask_head = build_from_cfg(mask_cfg, MODELS) if mask_cfg else None
     if det_type == "SCNet":
@@ -91,9 +100,13 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
 
 
 def _decode_stage(head, proposals, reg, labels=None):
-    """Decode one stage's (class-mean or class-specific) refinement."""
+    """Decode one stage's refinement (class-agnostic 4-vector — the
+    reference cascade contract — else class-mean / class-specific)."""
     nc = head.num_classes
     b, p = proposals.shape[:2]
+    if getattr(head, "reg_class_agnostic", False):
+        return delta2bbox(proposals, reg.reshape(b, p, 4),
+                          head.target_means, head.target_stds)
     reg = reg.reshape(b, p, nc, 4)
     if labels is None:
         reg_sel = reg.mean(axis=2)
@@ -104,13 +117,46 @@ def _decode_stage(head, proposals, reg, labels=None):
                       head.target_stds)
 
 
+def _stage_rcnn_kw(detector, stage: int, num_samples: int | None):
+    """Per-stage sampling knobs. ``train_cfg['rcnn']`` may be a list — the
+    reference cascade schema (``cascade_rcnn_r50_fpn.py:120-165``: stage
+    IoU ladder 0.5/0.6/0.7 with ``min_pos_iou`` = the stage IoU and
+    ``match_low_quality=False``) — or a single dict; the defaults encode
+    the ladder."""
+    from dsl_tpu.models.detectors.two_stage import parse_rcnn_train_cfg
+
+    tc = dict(detector.train_cfg or {})
+    rc = tc.get("rcnn")
+    if isinstance(rc, (list, tuple)):
+        kw = parse_rcnn_train_cfg(None, stage_cfg=rc[stage])
+    elif rc is not None:
+        kw = parse_rcnn_train_cfg(tc)
+    else:
+        iou = CASCADE_IOUS[stage]
+        kw = dict(num_samples=512, pos_fraction=0.25,
+                  add_gt_as_proposals=True, pos_iou_thr=iou,
+                  neg_iou_thr=iou, min_pos_iou=iou,
+                  match_low_quality=False)
+    if num_samples is not None:
+        kw["num_samples"] = num_samples
+    return kw
+
+
+def _cascade_rpn_losses(detector, rpn_scores, rpn_deltas, batch, rng_key):
+    tc = dict(detector.train_cfg or {})
+    return rpn_loss(detector.rpn_head, rpn_scores, rpn_deltas, batch,
+                    train_cfg=dict(tc.get("rpn", {}) or {}),
+                    rng_key=jax.random.fold_in(rng_key, 97))
+
+
 def cascade_rcnn_loss(detector, variables, batch, rng_key=None,
                       num_proposals: int = 512, num_samples: int = 256):
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
     feats, (rpn_scores, rpn_deltas) = detector.apply(
         variables, batch["images"], training=True)
-    losses = rpn_loss(detector.rpn_head, rpn_scores, rpn_deltas, batch)
+    losses = _cascade_rpn_losses(detector, rpn_scores, rpn_deltas, batch,
+                                 rng_key)
 
     proposals, _, prop_valid = rpn_proposals(
         detector.rpn_head, rpn_scores, rpn_deltas,
@@ -129,7 +175,7 @@ def cascade_rcnn_loss(detector, variables, batch, rng_key=None,
 
         samples = sample_batch_rois(
             proposals, prop_valid, batch, keys[stage], head.num_classes,
-            num_samples=num_samples)
+            **_stage_rcnn_kw(detector, stage, num_samples))
         stage_losses = roi_head_loss(
             head, roi_apply, variables, feats, proposals, prop_valid,
             batch, keys[stage], strides=strides, num_samples=num_samples,
@@ -281,7 +327,8 @@ def htc_loss(detector, variables, batch, rng_key=None,
         rng_key = jax.random.PRNGKey(0)
     feats, (rpn_scores, rpn_deltas) = detector.apply(
         variables, batch["images"], training=True)
-    losses = rpn_loss(detector.rpn_head, rpn_scores, rpn_deltas, batch)
+    losses = _cascade_rpn_losses(detector, rpn_scores, rpn_deltas, batch,
+                                 rng_key)
 
     seg_logits, semantic_feat = detector.apply(
         variables, feats, method=detector.semantic_forward)
@@ -306,12 +353,11 @@ def htc_loss(detector, variables, batch, rng_key=None,
 
         samples = sample_batch_rois(
             proposals, prop_valid, batch, keys[stage], head.num_classes,
-            num_samples=num_samples)
+            **_stage_rcnn_kw(detector, stage, num_samples))
 
         # ---- bbox stage with semantic fusion ----
         b = proposals.shape[0]
-        rois, labels = samples["rois"], samples["labels"]
-        valid = samples["valid"]
+        rois, valid = samples["rois"], samples["valid"]
         batch_idx = jnp.broadcast_to(
             jnp.arange(b)[:, None], (b, num_samples)).reshape(-1, 1)
         flat = jnp.concatenate(
@@ -322,29 +368,11 @@ def htc_loss(detector, variables, batch, rng_key=None,
             semantic_feat, flat, valid.reshape(-1), head.roi_size)
         cls_logits, reg = roi_apply(variables, rfeats)
 
-        from dsl_tpu.core import losses as L
-        from dsl_tpu.core.boxes import bbox2delta
+        from dsl_tpu.models.roi_heads.standard_roi_head import rcnn_bbox_loss
 
-        nc = head.num_classes
-        flat_labels = labels.reshape(-1)
-        flat_valid = valid.reshape(-1).astype(jnp.float32)
-        flat_pos = samples["is_pos"].reshape(-1).astype(jnp.float32)
-        num_valid = jnp.maximum(flat_valid.sum(), 1.0)
-        num_pos = jnp.maximum(flat_pos.sum(), 1.0)
-        losses[f"s{stage}.loss_cls"] = w * L.cross_entropy(
-            cls_logits, flat_labels, weight=flat_valid, avg_factor=num_valid)
-        gt = jnp.take_along_axis(
-            batch["gt_bboxes"],
-            jnp.maximum(samples["assigned"], 0)[..., None],
-            axis=1).reshape(-1, 4)
-        tgt = bbox2delta(rois.reshape(-1, 4), gt, head.target_means,
-                         head.target_stds)
-        reg_sel = jnp.take_along_axis(
-            reg.reshape(-1, nc, 4),
-            jnp.clip(flat_labels, 0, nc - 1)[:, None, None].repeat(4, -1),
-            axis=1)[:, 0]
-        losses[f"s{stage}.loss_bbox"] = w * L.smooth_l1_loss(
-            reg_sel, tgt, weight=flat_pos[:, None], avg_factor=num_pos)
+        stage_out = rcnn_bbox_loss(head, cls_logits, reg, samples, batch)
+        losses[f"s{stage}.loss_cls"] = w * stage_out["loss_cls"]
+        losses[f"s{stage}.loss_bbox"] = w * stage_out["loss_bbox"]
 
         # ---- mask stage with info flow ----
         if detector.mask_heads is not None and "gt_mask_crops" in batch:
@@ -485,7 +513,8 @@ def scnet_loss(detector, variables, batch, rng_key=None,
         rng_key = jax.random.PRNGKey(0)
     feats, (rpn_scores, rpn_deltas) = detector.apply(
         variables, batch["images"], training=True)
-    losses = rpn_loss(detector.rpn_head, rpn_scores, rpn_deltas, batch)
+    losses = _cascade_rpn_losses(detector, rpn_scores, rpn_deltas, batch,
+                                 rng_key)
 
     seg_logits, semantic_feat = detector.apply(
         variables, feats, method=detector.semantic_forward)
@@ -514,9 +543,8 @@ def scnet_loss(detector, variables, batch, rng_key=None,
         w = CASCADE_WEIGHTS[stage]
         samples = sample_batch_rois(
             proposals, prop_valid, batch, keys[stage], head.num_classes,
-            num_samples=num_samples)
-        rois, labels, valid = (samples["rois"], samples["labels"],
-                               samples["valid"])
+            **_stage_rcnn_kw(detector, stage, num_samples))
+        rois, valid = samples["rois"], samples["valid"]
         batch_idx = jnp.broadcast_to(
             jnp.arange(b)[:, None], (b, num_samples)).reshape(-1, 1)
         flat = jnp.concatenate(
@@ -527,26 +555,11 @@ def scnet_loss(detector, variables, batch, rng_key=None,
                              valid.reshape(-1), head.roi_size)
         cls_logits, reg = detector.apply(variables, rfeats, stage,
                                          method=detector.roi_forward)
-        nc = head.num_classes
-        flat_labels = labels.reshape(-1)
-        flat_valid = valid.reshape(-1).astype(jnp.float32)
-        flat_pos = samples["is_pos"].reshape(-1).astype(jnp.float32)
-        num_valid = jnp.maximum(flat_valid.sum(), 1.0)
-        num_pos = jnp.maximum(flat_pos.sum(), 1.0)
-        losses[f"s{stage}.loss_cls"] = w * L.cross_entropy(
-            cls_logits, flat_labels, weight=flat_valid, avg_factor=num_valid)
-        gt = jnp.take_along_axis(
-            batch["gt_bboxes"],
-            jnp.maximum(samples["assigned"], 0)[..., None],
-            axis=1).reshape(-1, 4)
-        tgt = bbox2delta(rois.reshape(-1, 4), gt, head.target_means,
-                         head.target_stds)
-        reg_sel = jnp.take_along_axis(
-            reg.reshape(-1, nc, 4),
-            jnp.clip(flat_labels, 0, nc - 1)[:, None, None].repeat(4, -1),
-            axis=1)[:, 0]
-        losses[f"s{stage}.loss_bbox"] = w * L.smooth_l1_loss(
-            reg_sel, tgt, weight=flat_pos[:, None], avg_factor=num_pos)
+        from dsl_tpu.models.roi_heads.standard_roi_head import rcnn_bbox_loss
+
+        stage_out = rcnn_bbox_loss(head, cls_logits, reg, samples, batch)
+        losses[f"s{stage}.loss_cls"] = w * stage_out["loss_cls"]
+        losses[f"s{stage}.loss_bbox"] = w * stage_out["loss_bbox"]
         if stage < len(detector.bbox_heads) - 1:
             p = proposals.shape[1]
             pidx = jnp.broadcast_to(

@@ -248,22 +248,52 @@ def init_two_stage_variables(detector, rng, images):
     return variables
 
 
+def parse_rcnn_train_cfg(train_cfg, stage_cfg=None):
+    """Flatten a reference-style ``train_cfg.rcnn`` dict (assigner +
+    sampler sub-dicts) into the ``sample_batch_rois`` kwargs, with the
+    reference defaults (``faster_rcnn_r50_fpn.py:80-94``)."""
+    rc = dict(stage_cfg if stage_cfg is not None
+              else dict(train_cfg or {}).get("rcnn", {}) or {})
+    asn = dict(rc.get("assigner", {}) or {})
+    smp = dict(rc.get("sampler", {}) or {})
+    return dict(
+        num_samples=int(smp.get("num", 512)),
+        pos_fraction=float(smp.get("pos_fraction", 0.25)),
+        add_gt_as_proposals=bool(smp.get("add_gt_as_proposals", True)),
+        pos_iou_thr=float(asn.get("pos_iou_thr", 0.5)),
+        neg_iou_thr=float(asn.get("neg_iou_thr", 0.5)),
+        min_pos_iou=float(asn.get("min_pos_iou", 0.5)),
+        match_low_quality=bool(asn.get("match_low_quality", False)))
+
+
 def two_stage_loss(detector, variables, batch, rng_key=None,
-                   num_proposals: int = 512, num_samples: int = 256,
+                   num_proposals: int = 512, num_samples: int | None = None,
                    ohem: bool = False):
     """Full two-stage training loss (jittable; rng drives roi sampling).
 
-    When the detector has a mask head (MaskRCNN) and the batch carries
-    ``gt_mask_crops``, the mask branch runs on the positive subset of the
-    SAME sampled rois (reference ``standard_roi_head.py:180-266``)."""
+    Assignment/sampling knobs come from the detector's ``train_cfg``
+    (reference ``train_cfg.rpn``/``train_cfg.rcnn`` schema), defaulting to
+    the reference Faster R-CNN values. When the detector has a mask head
+    (MaskRCNN) and the batch carries ``gt_mask_crops``, the mask branch
+    runs on the positive subset of the SAME sampled rois (reference
+    ``standard_roi_head.py:180-266``)."""
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
+    tc_all = dict(detector.train_cfg or {})
+    rpn_cfg = dict(tc_all.get("rpn", {}) or {})
+    rcnn_kw = parse_rcnn_train_cfg(tc_all)
+    if num_samples is None:
+        num_samples = rcnn_kw["num_samples"]
+    else:
+        rcnn_kw["num_samples"] = num_samples
 
     def fwd(variables, images):
         return detector.apply(variables, images, training=True)
 
     feats, rpn_out = fwd(variables, batch["images"])
-    losses = rpn_loss_any(detector.rpn_head, rpn_out, batch)
+    losses = rpn_loss_any(detector.rpn_head, rpn_out, batch,
+                          train_cfg=rpn_cfg,
+                          rng_key=jax.random.fold_in(rng_key, 97))
 
     img_shapes = batch.get("img_shapes")
     proposals, _, prop_valid = rpn_proposals_any(
@@ -317,8 +347,7 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
             prop_valid, batch, strides=_strides_from(detector))
     samples = sample_batch_rois(proposals, prop_valid, batch, rng_key,
                                 detector.bbox_head.num_classes,
-                                num_samples=num_samples,
-                                neg_hardness=neg_hardness)
+                                neg_hardness=neg_hardness, **rcnn_kw)
     roi_losses = roi_head_loss(
         detector.bbox_head, roi_apply, variables, feats, proposals,
         prop_valid, batch, rng_key, strides=_strides_from(detector),
@@ -669,9 +698,11 @@ class RPN(nn.Module):
         return feats, self.rpn_head(feats, training=training)
 
 
-def rpn_only_loss(detector, variables, batch):
+def rpn_only_loss(detector, variables, batch, rng_key=None):
     _, rpn_out = detector.apply(variables, batch["images"], training=True)
-    return _parse_losses(rpn_loss_any(detector.rpn_head, rpn_out, batch))
+    rpn_cfg = dict(dict(detector.train_cfg or {}).get("rpn", {}) or {})
+    return _parse_losses(rpn_loss_any(detector.rpn_head, rpn_out, batch,
+                                      train_cfg=rpn_cfg, rng_key=rng_key))
 
 
 def rpn_only_predict(detector, variables, images, img_shapes=None,
@@ -748,7 +779,7 @@ class TridentFasterRCNN(TwoStageDetector):
 
 
 def trident_loss(detector, variables, batch, rng_key=None,
-                 num_proposals: int = 512, num_samples: int = 256):
+                 num_proposals: int = 512, num_samples: int | None = None):
     """Tile the GT per trident branch (reference duplicates images across
     branches, ``trident_faster_rcnn.py forward_train``) and reuse the
     standard two-stage loss."""

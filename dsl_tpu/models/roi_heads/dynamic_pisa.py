@@ -101,9 +101,11 @@ def dynamic_roi_loss(bbox_head, apply_fn, variables, feats, proposals,
     cls_idx = jnp.clip(flat_labels, 0, nc - 1)
     reg_sel = jnp.take_along_axis(
         reg, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
+    # reference parity: reg averaged by the TOTAL sampled roi count
+    # (``bbox_head.py:302`` avg_factor=bbox_targets.size(0)), not num_pos
     loss_reg = L.smooth_l1_loss(reg_sel, tgt, beta=beta,
                                 weight=flat_pos[:, None],
-                                avg_factor=num_pos)
+                                avg_factor=num_valid)
 
     # statistics for the host-side schedule
     cur_iou = dynamic_iou_stat(proposals, prop_valid, batch["gt_bboxes"],
@@ -242,13 +244,15 @@ def pisa_roi_loss(bbox_head, apply_fn, variables, feats, proposals,
     weights = isr_p_rescale(per_roi_ce, base_w, isr_w, pos_mask)
     loss_cls = jnp.sum(per_roi_ce * weights) / num_valid
 
+    # reference parity: both reg and CARL average by the TOTAL sampled roi
+    # count (``bbox_head.py:302``; ``pisa_loss.py:169-170``), not num_pos
     loss_reg = L.smooth_l1_loss(reg_sel, tgt, weight=flat_pos[:, None],
-                                avg_factor=num_pos)
+                                avg_factor=num_valid)
     # CARL on softmax scores (two-stage: sigmoid=False)
     cw = carl_weights(cls_logits, flat_labels, pos_mask, nc,
                       k=carl_k, bias=carl_bias, sigmoid=False)
     per_roi_l1 = L.smooth_l1_loss(reg_sel, tgt, reduction="none").sum(-1)
-    loss_carl = jnp.sum(per_roi_l1 * cw) / num_pos
+    loss_carl = jnp.sum(per_roi_l1 * cw) / num_valid
 
     acc = jnp.sum((jnp.argmax(cls_logits, -1) == flat_labels) * flat_valid) \
         / num_valid

@@ -35,14 +35,17 @@ class Shared2FCBBoxHead(nn.Module):
     target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
     with_reg: bool = True     # Grid R-CNN uses a cls-only bbox head
+    reg_class_agnostic: bool = False   # cascade stages regress 4, not C*4
     roi_extractor: str = "single"   # 'single' | 'sum' | 'concat' (generic)
     loss_cls: dict | None = None    # dict(type='SeesawLoss', ...) supported
+    loss_bbox: dict | None = None   # L1(default)/SmoothL1/Balanced/IoU-family
 
     @nn.compact
     def __call__(self, roi_feats):
         """roi_feats: (N, roi, roi, C) -> (cls_logits (N, C+1),
-        deltas (N, C*4)). With SeesawLoss the cls head emits C+2 channels
-        (C classes + 2 objectness, ``seesaw_loss.py`` split head)."""
+        deltas (N, C*4) — or (N, 4) when ``reg_class_agnostic``). With
+        SeesawLoss the cls head emits C+2 channels (C classes + 2
+        objectness, ``seesaw_loss.py`` split head)."""
         n = roi_feats.shape[0]
         x = roi_feats.reshape(n, -1)
         x = nn.relu(nn.Dense(self.fc_channels, name="shared_fc0")(x))
@@ -50,9 +53,10 @@ class Shared2FCBBoxHead(nn.Module):
         seesaw = dict(self.loss_cls or {}).get("type") == "SeesawLoss"
         cls = nn.Dense(self.num_classes + (2 if seesaw else 1),
                        kernel_init=normal_init(0.01), name="fc_cls")(x)
+        reg_dim = 4 if self.reg_class_agnostic else self.num_classes * 4
         if not self.with_reg:
-            return cls, jnp.zeros((n, self.num_classes * 4), cls.dtype)
-        reg = nn.Dense(self.num_classes * 4,
+            return cls, jnp.zeros((n, reg_dim), cls.dtype)
+        reg = nn.Dense(reg_dim,
                        kernel_init=normal_init(0.001), name="fc_reg")(x)
         return cls, reg
 
@@ -72,8 +76,10 @@ class Shared4Conv1FCBBoxHead(nn.Module):
     target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     target_stds: Sequence[float] = (0.1, 0.1, 0.2, 0.2)
     with_reg: bool = True
+    reg_class_agnostic: bool = False
     roi_extractor: str = "single"
     loss_cls: dict | None = None
+    loss_bbox: dict | None = None
     conv_cfg: dict | None = None
     norm_cfg: dict | None = None
 
@@ -95,9 +101,10 @@ class Shared4Conv1FCBBoxHead(nn.Module):
         seesaw = dict(self.loss_cls or {}).get("type") == "SeesawLoss"
         cls = nn.Dense(self.num_classes + (2 if seesaw else 1),
                        kernel_init=normal_init(0.01), name="fc_cls")(x)
+        reg_dim = 4 if self.reg_class_agnostic else self.num_classes * 4
         if not self.with_reg:
-            return cls, jnp.zeros((n, self.num_classes * 4), cls.dtype)
-        reg = nn.Dense(self.num_classes * 4,
+            return cls, jnp.zeros((n, reg_dim), cls.dtype)
+        reg = nn.Dense(reg_dim,
                        kernel_init=normal_init(0.001), name="fc_reg")(x)
         return cls, reg
 
@@ -159,12 +166,58 @@ def _extract_for_head(bbox_head, feats, flat_rois, valid, strides):
                              bbox_head.roi_size)
 
 
+def resolve_rcnn_bbox_loss(cfg):
+    """Reference bbox-head ``loss_bbox`` cfg → ``(fn, decoded)``.
+
+    ``fn(pred, target, pos_weight, avg_factor)``; ``decoded`` means the
+    IoU-family contract (reference ``reg_decoded_bbox=True``,
+    ``bbox_head.py:72-76``): pred/target are decoded boxes, not deltas.
+    Default (no cfg) is L1 — every reference two-stage config sets
+    ``loss_bbox=dict(type='L1Loss')`` (``configs/_base_/models/
+    faster_rcnn_r50_fpn.py:55``); unsupported types raise."""
+    cfg = dict(cfg or {})
+    t = cfg.get("type", "L1Loss")
+    lw = float(cfg.get("loss_weight", 1.0))
+
+    def _delta(base):
+        return (lambda p, tg, w, af:
+                lw * base(p, tg, weight=w[:, None], avg_factor=af)), False
+
+    if t == "L1Loss":
+        return _delta(L.l1_loss)
+    if t == "SmoothL1Loss":
+        beta = float(cfg.get("beta", 1.0))
+        return (lambda p, tg, w, af: lw * L.smooth_l1_loss(
+            p, tg, beta=beta, weight=w[:, None], avg_factor=af)), False
+    if t == "BalancedL1Loss":
+        beta = float(cfg.get("beta", 1.0))
+        alpha = float(cfg.get("alpha", 0.5))
+        gamma = float(cfg.get("gamma", 1.5))
+        return (lambda p, tg, w, af: lw * L.balanced_l1_loss(
+            p, tg, beta=beta, alpha=alpha, gamma=gamma, weight=w[:, None],
+            avg_factor=af)), False
+    if t == "MSELoss":
+        return _delta(L.mse_loss)
+    if t == "IoULoss":
+        return (lambda p, tg, w, af:
+                lw * L.iou_loss(p, tg, weight=w, avg_factor=af)), True
+    if t == "GIoULoss":
+        return (lambda p, tg, w, af:
+                lw * L.giou_loss(p, tg, weight=w, avg_factor=af)), True
+    if t == "BoundedIoULoss":
+        beta = float(cfg.get("beta", 0.2))
+        return (lambda p, tg, w, af: lw * L.bounded_iou_loss(
+            p, tg, beta=beta, weight=w[:, None], avg_factor=af)), True
+    raise ValueError(f"unsupported rcnn loss_bbox type: {t}")
+
+
 def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
                 num_classes: int, num_samples: int = 512,
                 pos_fraction: float = 0.25, pos_iou_thr: float = 0.5,
                 neg_iou_thr: float = 0.5, neg_hardness=None,
                 pos_strategy: str = "random", neg_strategy: str = "random",
-                min_pos_iou=1e-3, match_low_quality: bool = True):
+                min_pos_iou=0.5, match_low_quality: bool = False,
+                add_gt_as_proposals: bool = True):
     """Fixed-shape RandomSampler: assign proposals (+gt boxes as extra
     candidates, mmdet ``add_gt_as_proposals``), then take ``num_samples`` by
     priority = (pos with random tiebreak first, capped at
@@ -183,14 +236,34 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
     from dsl_tpu.core.pisa import group_rank_desc
 
     cand = jnp.concatenate([proposals, gt_bboxes], axis=0)
-    cand_valid = jnp.concatenate([prop_valid, gt_valid], axis=0)
-    labels, assigned, _, max_iou = _max_iou_assign_single(
-        cand, gt_bboxes, gt_labels, gt_valid,
+    gt_as_cand = gt_valid if add_gt_as_proposals \
+        else jnp.zeros_like(gt_valid)
+    cand_valid = jnp.concatenate([prop_valid, gt_as_cand], axis=0)
+    # assignment runs over the PROPOSALS alone — the reference assigns
+    # before the sampler appends gts (``base_sampler.py sample``:
+    # ``assign_result.add_gt_``), so the match_low_quality rule forces
+    # each gt's best PROPOSAL positive, and the gt rows are then their
+    # own positives with overlap 1 (oracled in test_torch_oracle_rcnn).
+    labels_p, assigned_p, weights_p, iou_p = _max_iou_assign_single(
+        proposals, gt_bboxes, gt_labels, gt_valid,
         pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
         min_pos_iou=min_pos_iou, num_classes=num_classes,
         match_low_quality=match_low_quality)
+    k = gt_bboxes.shape[0]
+    labels_g = jnp.where(gt_as_cand, gt_labels,
+                         num_classes).astype(labels_p.dtype)
+    assigned_g = jnp.where(gt_as_cand, jnp.arange(k),
+                           -1).astype(assigned_p.dtype)
+    labels = jnp.concatenate([labels_p, labels_g], axis=0)
+    assigned = jnp.concatenate([assigned_p, assigned_g], axis=0)
+    max_iou = jnp.concatenate(
+        [iou_p, jnp.where(gt_as_cand, 1.0, -1.0)], axis=0)
+    # negatives = assigned-negative rows only: the neutral band between
+    # neg_iou_thr and pos_iou_thr (weights 0) is never sampled
+    neg_w = jnp.concatenate(
+        [weights_p, jnp.zeros_like(gt_as_cand, jnp.float32)], axis=0)
     is_pos = (labels < num_classes) & cand_valid
-    is_neg = (labels == num_classes) & cand_valid & (max_iou >= 0)
+    is_neg = (labels == num_classes) & (neg_w > 0) & cand_valid
 
     r = jax.random.uniform(key, (cand.shape[0],))
     if pos_strategy == "instance_balanced":
@@ -232,12 +305,18 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
 def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,
                       num_samples: int = 512, neg_hardness=None,
                       pos_iou_thr=0.5, neg_iou_thr=0.5,
-                      min_pos_iou=1e-3, match_low_quality: bool = True):
+                      min_pos_iou=0.5, match_low_quality: bool = False,
+                      pos_fraction: float = 0.25,
+                      add_gt_as_proposals: bool = True):
     """Batched fixed-shape roi sampling (shared by bbox + mask branches,
     as the reference's StandardRoIHead passes one ``sampling_results`` to
     both, ``standard_roi_head.py:180-266``). ``neg_hardness`` (B, P+K)
     enables OHEM negative mining. The IoU thresholds may be traced scalars
-    (Dynamic R-CNN threads its live threshold through here)."""
+    (Dynamic R-CNN threads its live threshold through here). Defaults match
+    the reference ``train_cfg.rcnn`` (``configs/_base_/models/
+    faster_rcnn_r50_fpn.py:80-94``): pos/neg/min_pos 0.5,
+    ``match_low_quality=False``, 1:3 pos fraction, gt added as
+    candidates."""
     b = proposals.shape[0]
     keys = jax.random.split(rng_key, b)
 
@@ -246,7 +325,9 @@ def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,
                            num_samples=num_samples, neg_hardness=nh,
                            pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
                            min_pos_iou=min_pos_iou,
-                           match_low_quality=match_low_quality)
+                           match_low_quality=match_low_quality,
+                           pos_fraction=pos_fraction,
+                           add_gt_as_proposals=add_gt_as_proposals)
 
     if neg_hardness is None:
         per = lambda key, props, pvalid, gtb, gtl, gtv: per_image(
@@ -337,12 +418,38 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
     cls_logits, reg = _apply_bbox_head(
         bbox_head, apply_fn, variables, feats, flat_rois, valid.reshape(-1),
         strides, roi_feats)                             # (BS, C+1), (BS, C*4)
+    return rcnn_bbox_loss(bbox_head, cls_logits, reg, samples, batch)
 
+
+def select_reg_deltas(bbox_head, reg, labels):
+    """Pick each roi's regressed 4-vector: class-specific heads gather the
+    assigned class's deltas; class-agnostic heads (cascade stages,
+    reference ``reg_class_agnostic=True``) emit 4 directly."""
+    nc = bbox_head.num_classes
+    if getattr(bbox_head, "reg_class_agnostic", False):
+        return reg.reshape(-1, 4)
+    reg = reg.reshape(-1, nc, 4)
+    cls_idx = jnp.clip(labels, 0, nc - 1)
+    return jnp.take_along_axis(
+        reg, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
+
+
+def rcnn_bbox_loss(bbox_head, cls_logits, reg, samples, batch):
+    """Pure bbox-head loss math on sampled rois — the torch-oracle surface.
+
+    Reference ``bbox_head.py get_targets + loss`` (:255-311): CE over C+1
+    averaged by the number of sampled rois; regression on positives only,
+    ALSO averaged by the number of sampled rois (``avg_factor=
+    bbox_targets.size(0)`` :302 — num pos+neg, NOT num_pos); loss type from
+    the head's ``loss_bbox`` cfg (L1 default; IoU-family losses compare
+    decoded boxes, ``reg_decoded_bbox`` semantics)."""
+    nc = bbox_head.num_classes
+    rois, labels, assigned = (samples["rois"], samples["labels"],
+                              samples["assigned"])
     flat_labels = labels.reshape(-1)
-    flat_valid = valid.reshape(-1).astype(jnp.float32)
-    flat_pos = is_pos.reshape(-1).astype(jnp.float32)
+    flat_valid = samples["valid"].reshape(-1).astype(jnp.float32)
+    flat_pos = samples["is_pos"].reshape(-1).astype(jnp.float32)
     num_valid = jnp.maximum(jnp.sum(flat_valid), 1.0)
-    num_pos = jnp.maximum(jnp.sum(flat_pos), 1.0)
 
     cls_cfg = dict(getattr(bbox_head, "loss_cls", None) or {})
     if cls_cfg.get("type") == "SeesawLoss":
@@ -355,20 +462,22 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
             weight=flat_valid, avg_factor=num_valid)
     else:
         loss_obj = None
-        loss_cls = L.cross_entropy(cls_logits, flat_labels,
-                                   weight=flat_valid, avg_factor=num_valid)
+        loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * L.cross_entropy(
+            cls_logits, flat_labels, weight=flat_valid, avg_factor=num_valid)
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None],
         axis=1).reshape(-1, 4)
-    tgt = bbox2delta(rois.reshape(-1, 4), gt, bbox_head.target_means,
-                     bbox_head.target_stds)
-    # class-specific regression: select the assigned class's 4 deltas
-    reg = reg.reshape(-1, nc, 4)
-    cls_idx = jnp.clip(flat_labels, 0, nc - 1)
-    reg_sel = jnp.take_along_axis(
-        reg, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
-    loss_reg = L.smooth_l1_loss(reg_sel, tgt, weight=flat_pos[:, None],
-                                avg_factor=num_pos)
+    reg_sel = select_reg_deltas(bbox_head, reg, flat_labels)
+    loss_fn, decoded = resolve_rcnn_bbox_loss(
+        getattr(bbox_head, "loss_bbox", None))
+    if decoded:
+        pred_boxes = delta2bbox(rois.reshape(-1, 4), reg_sel,
+                                bbox_head.target_means, bbox_head.target_stds)
+        loss_reg = loss_fn(pred_boxes, gt, flat_pos, num_valid)
+    else:
+        tgt = bbox2delta(rois.reshape(-1, 4), gt, bbox_head.target_means,
+                         bbox_head.target_stds)
+        loss_reg = loss_fn(reg_sel, tgt, flat_pos, num_valid)
     acc = jnp.sum((jnp.argmax(cls_logits, -1) == flat_labels) * flat_valid) \
         / num_valid
     out = dict(loss_cls=loss_cls, acc=acc)
@@ -413,9 +522,14 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
     else:
         scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
     if getattr(bbox_head, "with_reg", True):
+        if getattr(bbox_head, "reg_class_agnostic", False):
+            reg_pc = jnp.broadcast_to(reg.reshape(-1, 1, 4),
+                                      (b * p, nc, 4))
+        else:
+            reg_pc = reg.reshape(-1, nc, 4)
         boxes = delta2bbox(
             proposals.reshape(-1, 4)[:, None, :].repeat(nc, 1),
-            reg.reshape(-1, nc, 4), bbox_head.target_means,
+            reg_pc, bbox_head.target_means,
             bbox_head.target_stds).reshape(b, p, nc, 4)
     else:                        # Grid R-CNN: proposals are the boxes
         boxes = jnp.broadcast_to(proposals[:, :, None, :], (b, p, nc, 4))
