@@ -47,6 +47,7 @@ class LVISEval(COCOEval):
 
 
 @DATASETS.register(name="LVISV1Dataset")
+@DATASETS.register(name="LVISV05Dataset")
 @DATASETS.register(name="LVISDataset")
 class LVISDataset(CocoDataset):
     """v1 and v0.5 share the mechanism; class list comes from the json."""

@@ -65,10 +65,12 @@ class LoadImageFromWebcam(LoadImageFromFile):
 @PIPELINES.register
 class LoadAnnotations:
     def __init__(self, with_bbox: bool = True, with_label: bool = True,
-                 with_mask: bool = False, poly2mask: bool = True):
+                 with_mask: bool = False, with_seg: bool = False,
+                 poly2mask: bool = True):
         self.with_bbox = with_bbox
         self.with_label = with_label
         self.with_mask = with_mask
+        self.with_seg = with_seg
         self.poly2mask = poly2mask
 
     def __call__(self, results):
@@ -85,7 +87,25 @@ class LoadAnnotations:
         if self.with_mask:
             results["gt_masks"] = self._load_masks(results, ann)
             results["mask_fields"] = ["gt_masks"]
+        if self.with_seg:
+            results["gt_semantic_seg"] = self._load_semantic_seg(results)
+            results["seg_fields"] = ["gt_semantic_seg"]
         return results
+
+    def _load_semantic_seg(self, results):
+        """Stuff-semantic map from ``seg_prefix`` (grayscale png named after
+        the image; reference ``loading.py`` LoadAnnotations._load_semantic_seg).
+        Absent file → all-255 (ignore) map, so pipelines stay runnable on
+        bbox-only datasets."""
+        h = results["img_info"]["height"]
+        w = results["img_info"]["width"]
+        prefix = results.get("seg_prefix")
+        if prefix:
+            name = osp.splitext(results["img_info"]["filename"])[0] + ".png"
+            seg = cv2.imread(osp.join(prefix, name), cv2.IMREAD_GRAYSCALE)
+            if seg is not None:
+                return seg.astype(np.uint8)
+        return np.full((h, w), 255, np.uint8)
 
     def _load_masks(self, results, ann):
         """Instance masks → BitmapMasks (polygons rasterized when

@@ -25,6 +25,10 @@ def _mask_fields(results):
     return results.get("mask_fields", [])
 
 
+def _seg_fields(results):
+    return results.get("seg_fields", [])
+
+
 @PIPELINES.register
 class Resize:
     """Resize image + boxes. ``img_scale`` is (long, short) tuples like mmdet.
@@ -93,6 +97,9 @@ class Resize:
             results[key] = boxes
         for key in _mask_fields(results):
             results[key] = results[key].resize((new_h, new_w))
+        for key in _seg_fields(results):
+            results[key] = cv2.resize(results[key], (new_w, new_h),
+                                      interpolation=cv2.INTER_NEAREST)
         return results
 
 
@@ -129,6 +136,10 @@ class RandomFlip:
                     results[key] = b
             for key in _mask_fields(results):
                 results[key] = results[key].flip(results["flip_direction"])
+            for key in _seg_fields(results):
+                results[key] = (results[key][:, ::-1]
+                                if results["flip_direction"] == "horizontal"
+                                else results[key][::-1]).copy()
         return results
 
 
@@ -172,9 +183,36 @@ class Pad:
         results["img"] = out
         for key in _mask_fields(results):
             results[key] = results[key].pad((th, tw))
+        for key in _seg_fields(results):
+            seg = results[key]
+            padded = np.full((th, tw), 255, seg.dtype)
+            padded[:seg.shape[0], :seg.shape[1]] = seg
+            results[key] = padded
         results["pad_shape"] = out.shape
         results["pad_fixed_size"] = self.size
         results["pad_size_divisor"] = self.size_divisor
+        return results
+
+
+@PIPELINES.register
+class SegRescale:
+    """Rescale the stuff-semantic map by ``scale_factor`` (nearest interp) —
+    HTC trains its fused semantic head at 1/8 feature resolution (reference
+    ``transforms.py`` SegRescale, configs/_base_/datasets/
+    coco_instance_semantic.py)."""
+
+    def __init__(self, scale_factor=1.0):
+        self.scale_factor = scale_factor
+
+    def __call__(self, results):
+        if self.scale_factor == 1:
+            return results
+        for key in _seg_fields(results):
+            seg = results[key]
+            nh = int(seg.shape[0] * self.scale_factor + 0.5)
+            nw = int(seg.shape[1] * self.scale_factor + 0.5)
+            results[key] = cv2.resize(seg, (nw, nh),
+                                      interpolation=cv2.INTER_NEAREST)
         return results
 
 

@@ -74,6 +74,17 @@ class FasterRCNNC4(TwoStageDetector):
 
 
 @DETECTORS.register
+class MaskRCNNC4(FasterRCNNC4):
+    """Mask R-CNN C4 (reference ``configs/_base_/models/mask_rcnn_r50_caffe_c4.py``):
+    the mask head consumes the res5 shared-head features of positive RoIs."""
+
+    mask_head: nn.Module = None
+
+    def mask_forward(self, roi_feats):
+        return self.mask_head(self.shared_head(roi_feats))
+
+
+@DETECTORS.register
 class DynamicRCNN(TwoStageDetector):
     """Dynamic R-CNN (``mmdet/models/roi_heads/dynamic_roi_head.py``):
     Faster R-CNN whose assignment IoU threshold and smooth-L1 beta follow
