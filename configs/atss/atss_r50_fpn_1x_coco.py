@@ -1,0 +1,8 @@
+_base_ = ['../retinanet/retinanet_r50_fpn_1x_coco.py']
+model = dict(
+    type='ATSS',
+    neck=dict(add_extra_convs='on_output', relu_before_extra_convs=True),
+    bbox_head=dict(_delete_=True, type='ATSSHead', num_classes=80,
+                   in_channels=256, feat_channels=256, stacked_convs=4,
+                   strides=[8, 16, 32, 64, 128], topk=9),
+    test_cfg=dict(nms=dict(iou_threshold=0.6)))

@@ -1,0 +1,15 @@
+# AutoAssign R-50 (reference configs/autoassign/autoassign_r50_fpn_8x2_1x_coco.py)
+_base_ = ['../retinanet/retinanet_r50_fpn_1x_coco.py']
+model = dict(
+    _delete_=True,
+    type='AutoAssign',
+    backbone=dict(type='ResNet', depth=50, out_indices=(0, 1, 2, 3),
+                  frozen_stages=1, style='caffe'),
+    neck=dict(type='FPN', in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=1, add_extra_convs='on_output',
+              num_outs=5, relu_before_extra_convs=True),
+    bbox_head=dict(type='AutoAssignHead', num_classes=80, in_channels=256,
+                   feat_channels=256, stacked_convs=4,
+                   strides=[8, 16, 32, 64, 128]),
+    test_cfg=dict(nms_pre=1000, score_thr=0.05,
+                  nms=dict(iou_threshold=0.6), max_per_img=100))

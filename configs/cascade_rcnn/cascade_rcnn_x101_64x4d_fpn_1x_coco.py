@@ -1,3 +1,3 @@
 # Variant parity: reference configs/cascade_rcnn/cascade_rcnn_x101_64x4d_fpn_1x_coco.py
-_base_ = ['cascade_rcnn_r50_fpn_coco.py']
+_base_ = ['cascade_rcnn_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(type='ResNeXt', depth=101, groups=64, base_width=4))

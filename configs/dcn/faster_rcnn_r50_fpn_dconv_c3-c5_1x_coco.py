@@ -1,3 +1,3 @@
 # Variant parity: reference configs/dcn/faster_rcnn_r50_fpn_dconv_c3-c5_1x_coco.py
-_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_coco.py']
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(dcn=dict(type='DCN'), stage_with_dcn=(False, True, True, True)))

@@ -1,0 +1,4 @@
+# Modulated DCNv2 in c3-c5 (reference configs/dcn/mask_rcnn_r50_fpn_mdconv_c3-c5_1x_coco.py)
+_base_ = ['../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py']
+model = dict(backbone=dict(dcn=dict(type='DCNv2'),
+                           stage_with_dcn=(False, True, True, True)))

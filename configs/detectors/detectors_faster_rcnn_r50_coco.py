@@ -1,6 +1,6 @@
 # DetectoRS (SAC + RFP) on Faster R-CNN
 # (reference configs/detectors/detectors_htc_r50_1x_coco.py — RFP/SAC parts)
-_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_coco.py']
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py']
 model = dict(
     type='DetectoRS',
     backbone=dict(_delete_=True, type='DetectoRSResNet', depth=50,

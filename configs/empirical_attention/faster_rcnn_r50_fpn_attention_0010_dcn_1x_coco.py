@@ -1,0 +1,5 @@
+# Attention 0010 + DCN c3-c5 combined
+# (reference configs/empirical_attention/faster_rcnn_r50_fpn_attention_0010_dcn_1x_coco.py)
+_base_ = ['./faster_rcnn_r50_fpn_attention_0010_1x_coco.py']
+model = dict(backbone=dict(dcn=dict(type='DCNv2'),
+                           stage_with_dcn=(False, True, True, True)))

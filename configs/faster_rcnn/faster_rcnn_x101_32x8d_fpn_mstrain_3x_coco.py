@@ -1,5 +1,5 @@
 # Variant parity: reference configs/faster_rcnn/faster_rcnn_x101_32x8d_fpn_mstrain_3x_coco.py
-_base_ = ['faster_rcnn_r50_fpn_coco.py']
+_base_ = ['faster_rcnn_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(type='ResNeXt', depth=101, groups=32, base_width=8))
 img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_rgb=True)

@@ -1,5 +1,5 @@
 # Variant parity: reference configs/fcos/fcos_r101_caffe_fpn_gn-head_mstrain_640-800_2x_coco.py
-_base_ = ['fcos_r50_fpn_coco.py']
+_base_ = ['fcos_r50_caffe_fpn_gn-head_1x_coco.py']
 model = dict(backbone=dict(depth=101))
 img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_rgb=True)

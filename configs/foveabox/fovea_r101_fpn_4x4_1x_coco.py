@@ -1,3 +1,3 @@
 # Variant parity: reference configs/foveabox/fovea_r101_fpn_4x4_1x_coco.py
-_base_ = ['fovea_r50_fpn_coco.py']
+_base_ = ['fovea_r50_fpn_4x4_1x_coco.py']
 model = dict(backbone=dict(depth=101))

@@ -1,4 +1,4 @@
 # Variant parity: reference configs/fp16/mask_rcnn_r50_fpn_fp16_mdconv_c3-c5_1x_coco.py
-_base_ = ['../mask_rcnn/mask_rcnn_r50_fpn_coco.py']
+_base_ = ['../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py']
 fp16 = dict(loss_scale=512.)
 model = dict(backbone=dict(dcn=dict(type='DCNv2'), stage_with_dcn=(False, True, True, True)))

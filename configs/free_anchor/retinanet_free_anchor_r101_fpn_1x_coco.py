@@ -1,3 +1,3 @@
 # Variant parity: reference configs/free_anchor/retinanet_free_anchor_r101_fpn_1x_coco.py
-_base_ = ['retinanet_free_anchor_r50_fpn_coco.py']
+_base_ = ['retinanet_free_anchor_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(depth=101))

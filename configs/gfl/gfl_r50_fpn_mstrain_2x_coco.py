@@ -1,5 +1,5 @@
 # Variant parity: reference configs/gfl/gfl_r50_fpn_mstrain_2x_coco.py
-_base_ = ['gfl_r50_fpn_coco.py']
+_base_ = ['gfl_r50_fpn_1x_coco.py']
 img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_rgb=True)
 train_pipeline = [

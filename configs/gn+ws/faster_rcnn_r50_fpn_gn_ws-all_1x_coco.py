@@ -1,6 +1,6 @@
 # Weight-standardized convs + GroupNorm everywhere (reference
 # configs/gn+ws/faster_rcnn_r50_fpn_gn_ws-all_1x_coco.py)
-_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_coco.py']
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py']
 conv_cfg = dict(type='ConvWS')
 norm_cfg = dict(type='GN', num_groups=32)
 model = dict(

@@ -1,5 +1,5 @@
 # (reference configs/gn+ws/mask_rcnn_r50_fpn_gn_ws-all_2x_coco.py)
-_base_ = ['../mask_rcnn/mask_rcnn_r50_fpn_coco.py']
+_base_ = ['../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py']
 conv_cfg = dict(type='ConvWS')
 norm_cfg = dict(type='GN', num_groups=32)
 model = dict(

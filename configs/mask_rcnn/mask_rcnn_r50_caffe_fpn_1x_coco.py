@@ -1,3 +1,3 @@
 # Variant parity: reference configs/mask_rcnn/mask_rcnn_r50_caffe_fpn_1x_coco.py
-_base_ = ['mask_rcnn_r50_fpn_coco.py']
+_base_ = ['mask_rcnn_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(style='caffe'))

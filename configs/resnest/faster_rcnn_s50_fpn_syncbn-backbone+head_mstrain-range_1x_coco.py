@@ -1,0 +1,5 @@
+# Faster R-CNN + ResNeSt-50 (reference configs/resnest/faster_rcnn_s50_fpn_syncbn-backbone+head_mstrain-range_1x_coco.py)
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x_coco.py']
+model = dict(
+    backbone=dict(_delete_=True, type='ResNeSt', depth=50, radix=2,
+                  groups=1, base_width=4, out_indices=(0, 1, 2, 3)))

@@ -1,3 +1,3 @@
 # Variant parity: reference configs/retinanet/retinanet_r101_fpn_1x_coco.py
-_base_ = ['retinanet_r50_fpn_coco.py']
+_base_ = ['retinanet_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(depth=101))

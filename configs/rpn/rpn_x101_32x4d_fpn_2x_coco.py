@@ -1,5 +1,5 @@
 # Variant parity: reference configs/rpn/rpn_x101_32x4d_fpn_2x_coco.py
-_base_ = ['rpn_r50_fpn_coco.py']
+_base_ = ['rpn_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(type='ResNeXt', depth=101, groups=32, base_width=4))
 lr_config = dict(step=[16, 22])
 runner = dict(max_epochs=24)

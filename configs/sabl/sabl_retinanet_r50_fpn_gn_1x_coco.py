@@ -1,3 +1,3 @@
 # Variant parity: reference configs/sabl/sabl_retinanet_r50_fpn_gn_1x_coco.py
-_base_ = ['sabl_retinanet_r50_fpn_coco.py']
+_base_ = ['sabl_retinanet_r50_fpn_1x_coco.py']
 model = dict(bbox_head=dict(norm_cfg=dict(type='GN', num_groups=32)))

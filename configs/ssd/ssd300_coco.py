@@ -1,0 +1,12 @@
+# SSD300 with VGG-16 (reference configs/ssd/ssd300_coco.py)
+_base_ = ['../retinanet/retinanet_r50_fpn_1x_coco.py']
+model = dict(
+    _delete_=True,
+    type='SSD',
+    backbone=dict(type='SSDVGG', input_size=300, depth=16),
+    neck=None,
+    bbox_head=dict(type='SSDHead', num_classes=80,
+                   in_channels=[512, 1024, 512, 256, 256, 256],
+                   strides=[8, 16, 32, 64, 100, 300]),
+    test_cfg=dict(nms_pre=1000, score_thr=0.02,
+                  nms=dict(type='nms', iou_threshold=0.45), max_per_img=200))

@@ -1,5 +1,5 @@
 # Variant parity: reference configs/vfnet/vfnet_r50_fpn_mdconv_c3-c5_mstrain_2x_coco.py
-_base_ = ['vfnet_r50_fpn_coco.py']
+_base_ = ['vfnet_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(dcn=dict(type='DCNv2'), stage_with_dcn=(False, True, True, True)))
 img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_rgb=True)

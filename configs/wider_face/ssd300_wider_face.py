@@ -1,5 +1,5 @@
 # SSD300 on WIDER FACE (reference configs/wider_face/ssd300_wider_face.py)
-_base_ = ['../ssd/ssd300_vgg_coco.py']
+_base_ = ['../ssd/ssd300_coco.py']
 model = dict(bbox_head=dict(num_classes=1))
 data = dict(
     train=dict(_delete_=True, type='WIDERFaceDataset',

@@ -48,7 +48,7 @@ def test_hrfpn_levels():
 def test_hrnet_fcos_config_trains():
     from dsl_tpu.models.detectors.single_stage import detector_loss
 
-    cfg = Config.fromfile("configs/hrnet/fcos_hrnetv2p_w18_coco.py")
+    cfg = Config.fromfile("configs/hrnet/fcos_hrnetv2p_w18_gn-head_4x4_1x_coco.py")
     model = dict(cfg.model)
     # shrink for the test
     model["backbone"]["extra"] = dict(

@@ -127,11 +127,11 @@ def test_autoassign_center_prior_params_exist_and_move():
 def test_zoo_configs_build():
     from dsl_tpu.config import Config
 
-    for path in ("configs/vfnet/vfnet_r50_fpn_coco.py",
-                 "configs/paa/paa_r50_fpn_coco.py",
-                 "configs/autoassign/autoassign_r50_fpn_coco.py",
-                 "configs/centernet/centernet_r18_dcn_coco.py",
-                 "configs/mask_rcnn/mask_rcnn_r50_fpn_coco.py"):
+    for path in ("configs/vfnet/vfnet_r50_fpn_1x_coco.py",
+                 "configs/paa/paa_r50_fpn_1x_coco.py",
+                 "configs/autoassign/autoassign_r50_fpn_8x2_1x_coco.py",
+                 "configs/centernet/centernet_resnet18_dcnv2_140e_coco.py",
+                 "configs/mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py"):
         cfg = Config.fromfile(path)
         det = build_detector(dict(cfg.model))
         assert det is not None

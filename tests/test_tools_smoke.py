@@ -279,9 +279,11 @@ def test_test_robustness_cli(tmp_path, monkeypatch):
 
     # the corruption bank itself: every corruption produces a valid image
     img = np.random.RandomState(0).randint(0, 255, (32, 32, 3), np.uint8)
-    for name in mod.CORRUPTIONS:
+    for name in mod.CORRUPTION_SETS["all"]:
         out = mod.corrupt(img, name, 3)
         assert out.shape == img.shape and out.dtype == np.uint8
+    # the benchmark set is the reference's full 15-corruption protocol
+    assert len(mod.CORRUPTION_SETS["benchmark"]) == 15
 
     out_json = str(tmp_path / "robust.json")
     monkeypatch.setattr(sys, "argv", [
