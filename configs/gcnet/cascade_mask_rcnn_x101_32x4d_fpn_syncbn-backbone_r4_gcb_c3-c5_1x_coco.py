@@ -1,0 +1,6 @@
+# GCNet variant (reference configs/gcnet/cascade_mask_rcnn_x101_32x4d_fpn_syncbn-backbone_r4_gcb_c3-c5_1x_coco.py)
+_base_ = ['../cascade_rcnn/cascade_mask_rcnn_r50_fpn_1x_coco.py']
+model = dict(backbone=dict(_delete_=True, type='ResNeXt', depth=101, groups=32, base_width=4,
+    out_indices=(0, 1, 2, 3), frozen_stages=1, norm_cfg=dict(type='SyncBN', requires_grad=True),
+    plugins=[dict(cfg=dict(type='ContextBlock', ratio=1. / 4),
+                 stages=(False, True, True, True), position='after_conv3')]))

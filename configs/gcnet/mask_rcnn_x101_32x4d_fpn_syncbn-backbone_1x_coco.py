@@ -1,0 +1,4 @@
+# GCNet variant (reference configs/gcnet/mask_rcnn_x101_32x4d_fpn_syncbn-backbone_1x_coco.py)
+_base_ = ['../mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py']
+model = dict(backbone=dict(_delete_=True, type='ResNeXt', depth=101, groups=32, base_width=4,
+    out_indices=(0, 1, 2, 3), frozen_stages=1, norm_cfg=dict(type='SyncBN', requires_grad=True)))

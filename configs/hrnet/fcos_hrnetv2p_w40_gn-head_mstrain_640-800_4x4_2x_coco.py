@@ -1,0 +1,8 @@
+# W40 mstrain (reference configs/hrnet/fcos_hrnetv2p_w40_gn-head_mstrain_640-800_4x4_2x_coco.py)
+_base_ = ['fcos_hrnetv2p_w32_gn-head_mstrain_640-800_4x4_2x_coco.py']
+model = dict(
+    backbone=dict(extra=dict(
+        stage2=dict(num_channels=(40, 80)),
+        stage3=dict(num_channels=(40, 80, 160)),
+        stage4=dict(num_channels=(40, 80, 160, 320)))),
+    neck=dict(in_channels=[40, 80, 160, 320]))

@@ -1,0 +1,8 @@
+# HRNetV2p-W18 htc (reference configs/hrnet/htc_hrnetv2p_w18_20e_coco.py)
+_base_ = ['htc_hrnetv2p_w32_20e_coco.py']
+model = dict(
+    backbone=dict(extra=dict(
+        stage2=dict(num_channels=(18, 36)),
+        stage3=dict(num_channels=(18, 36, 72)),
+        stage4=dict(num_channels=(18, 36, 72, 144)))),
+    neck=dict(in_channels=[18, 36, 72, 144]))

@@ -1,0 +1,9 @@
+# HTC X-101-64x4d, 16 GPUs x 1 img, 28 epochs (reference
+# configs/hrnet/htc_x101_64x4d_fpn_16x1_28e_coco.py)
+_base_ = ['../htc/htc_r50_fpn_1x_coco.py']
+model = dict(backbone=dict(_delete_=True, type='ResNeXt', depth=101,
+                           groups=64, base_width=4, out_indices=(0, 1, 2, 3),
+                           frozen_stages=1))
+data = dict(samples_per_gpu=1)
+lr_config = dict(step=[24, 27])
+runner = dict(max_epochs=28)

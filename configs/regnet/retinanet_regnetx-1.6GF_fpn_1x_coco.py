@@ -1,0 +1,9 @@
+# RegNetX-1.6GF RetinaNet (reference configs/regnet/retinanet_regnetx-1.6GF_fpn_1x_coco.py)
+_base_ = ['../retinanet/retinanet_r50_fpn_1x_coco.py']
+model = dict(
+    backbone=dict(_delete_=True, type='RegNet', arch='regnetx_1.6gf',
+                  out_indices=(0, 1, 2, 3)),
+    neck=dict(in_channels=[72, 168, 408, 912]))
+optimizer = dict(weight_decay=0.00005)
+img_norm_cfg = dict(mean=[103.53, 116.28, 123.675],
+                    std=[57.375, 57.12, 58.395], to_rgb=False)

@@ -57,6 +57,7 @@ class RegBlock(nn.Module):
     stride: int
     group_width: int
     norm_cfg: dict | None = None
+    dcn: dict | None = None      # dict(type='DCN'|'DCNv2') on the 3x3 conv
 
     @nn.compact
     def __call__(self, x):
@@ -64,10 +65,32 @@ class RegBlock(nn.Module):
         identity = x
         out = conv1x1(self.width, 1, name="conv1")(x)
         out = nn.relu(make_norm(self.norm_cfg, name="bn1")(out))
-        out = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
-                      padding=1, feature_group_count=groups, use_bias=False,
-                      kernel_init=nn.initializers.he_normal(),
-                      name="conv2")(out)
+        if self.dcn is not None:
+            # stage_with_dcn parity (reference regnet.py reuses the ResNet
+            # bottleneck dcn path); offset conv zero-init → starts as a
+            # plain conv (DCNv1)
+            import jax
+            from dsl_tpu.ops.deform_conv import deform_conv2d
+
+            v2 = self.dcn.get("type", "DCNv2") in ("DCNv2", "dcnv2")
+            off_ch = 27 if v2 else 18
+            raw = nn.Conv(off_ch, (3, 3), strides=(self.stride, self.stride),
+                          padding=1, kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name="conv2_offset")(out)
+            offsets = raw[..., :18]
+            dmask = jax.nn.sigmoid(raw[..., 18:]) if v2 else None
+            w = self.param("conv2_kernel", nn.initializers.he_normal(),
+                           (3, 3, out.shape[-1] // groups, self.width))
+            out = deform_conv2d(out, offsets, w, mask=dmask,
+                                stride=self.stride)
+        else:
+            out = nn.Conv(self.width, (3, 3),
+                          strides=(self.stride, self.stride),
+                          padding=1, feature_group_count=groups,
+                          use_bias=False,
+                          kernel_init=nn.initializers.he_normal(),
+                          name="conv2")(out)
         out = nn.relu(make_norm(self.norm_cfg, name="bn2")(out))
         out = conv1x1(self.width, 1, name="conv3")(out)
         out = make_norm(self.norm_cfg, name="bn3")(out)
@@ -88,6 +111,8 @@ class RegNet(nn.Module):
     norm_eval: bool = True
     norm_cfg: dict | None = None
     pretrained: str | None = None
+    dcn: dict | None = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x):
@@ -105,6 +130,7 @@ class RegNet(nn.Module):
                              stride=self.strides[i] if j == 0 else 1,
                              group_width=p["group_w"],
                              norm_cfg=self.norm_cfg,
+                             dcn=self.dcn if self.stage_with_dcn[i] else None,
                              name=f"layer{i + 1}_{j}")(x)
             if i in self.out_indices:
                 outs.append(x)
