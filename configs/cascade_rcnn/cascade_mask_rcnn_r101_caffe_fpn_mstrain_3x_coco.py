@@ -1,0 +1,19 @@
+# Variant parity: reference configs/cascade_rcnn/cascade_mask_rcnn_r101_caffe_fpn_mstrain_3x_coco.py
+_base_ = ['cascade_mask_rcnn_r50_fpn_1x_coco.py']
+model = dict(backbone=dict(depth=101, style='caffe'))
+img_norm_cfg = dict(mean=[103.530, 116.280, 123.675],
+                    std=[1.0, 1.0, 1.0], to_rgb=False)
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_rgb=True)
+train_pipeline = [
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
+    dict(type='Resize', img_scale=[(1333, 640), (1333, 800)],
+         multiscale_mode='range', keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize', **img_norm_cfg),
+    dict(type='Pad', size_divisor=32),
+]
+data = dict(train=dict(pipeline=train_pipeline))
+lr_config = dict(step=[27, 33])
+runner = dict(max_epochs=36)

@@ -1,0 +1,5 @@
+# Variant parity: reference configs/dcn/cascade_mask_rcnn_x101_32x4d_fpn_dconv_c3-c5_1x_coco.py
+_base_ = ['../cascade_rcnn/cascade_mask_rcnn_r50_fpn_1x_coco.py']
+model = dict(backbone=dict(_delete_=True, type='ResNeXt', depth=101,
+    groups=32, base_width=4, out_indices=(0, 1, 2, 3), frozen_stages=1,
+    dcn=dict(type='DCN'), stage_with_dcn=(False, True, True, True)))

@@ -1,5 +1,5 @@
-# Variant parity: reference configs/cascade_rcnn/cascade_rcnn_r50_caffe_fpn_1x_coco.py
-_base_ = ['cascade_rcnn_r50_fpn_1x_coco.py']
+# Variant parity: reference configs/guided_anchoring/ga_retinanet_r50_caffe_fpn_1x_coco.py
+_base_ = ['ga_retinanet_r50_fpn_1x_coco.py']
 model = dict(backbone=dict(style='caffe'))
 img_norm_cfg = dict(mean=[103.530, 116.280, 123.675],
                     std=[1.0, 1.0, 1.0], to_rgb=False)

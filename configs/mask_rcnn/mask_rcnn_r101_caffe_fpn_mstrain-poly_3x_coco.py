@@ -1,0 +1,3 @@
+# Variant parity: reference configs/mask_rcnn/mask_rcnn_r101_caffe_fpn_mstrain-poly_3x_coco.py
+_base_ = ['mask_rcnn_r50_caffe_fpn_mstrain-poly_3x_coco.py']
+model = dict(backbone=dict(depth=101))

@@ -1,0 +1,4 @@
+# Variant parity: reference configs/seesaw_loss/mask_rcnn_r101_fpn_sample1e-3_seesaw_loss_normed_mask_mstrain_2x_lvis_v1.py
+_base_ = ['mask_rcnn_r50_fpn_sample1e-3_seesaw_loss_mstrain_2x_lvis_v1.py']
+model = dict(backbone=dict(depth=101))
+model = dict(mask_head=dict(predictor_cfg=dict(type='NormedConv2d', tempearture=20)))

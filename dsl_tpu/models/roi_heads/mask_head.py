@@ -38,6 +38,8 @@ class FCNMaskHead(nn.Module):
     conv_out_channels: int = 256
     num_convs: int = 4
     roi_size: int = 14
+    predictor_cfg: dict | None = None   # dict(type='NormedConv2d', ...) —
+    # seesaw_loss *_normed_mask configs (``normed_predictor.py`` NormedConv2d)
 
     @nn.compact
     def __call__(self, roi_feats):
@@ -48,6 +50,15 @@ class FCNMaskHead(nn.Module):
                                 name=f"conv{i}")(x))
         x = nn.relu(nn.ConvTranspose(self.conv_out_channels, (2, 2),
                                      strides=(2, 2), name="upsample")(x))
+        pred = dict(self.predictor_cfg or {})
+        if pred.get("type") == "NormedConv2d":
+            from dsl_tpu.models.layers import NormedConv
+
+            return NormedConv(self.num_classes, kernel_size=1,
+                              tempearture=float(pred.get("tempearture", 20)),
+                              name="conv_logits")(x)
+        if pred and pred.get("type") != "Conv":
+            raise ValueError(f"unsupported mask predictor_cfg: {pred}")
         return nn.Conv(self.num_classes, (1, 1),
                        kernel_init=normal_init(0.001), name="conv_logits")(x)
 

@@ -39,6 +39,7 @@ class Shared2FCBBoxHead(nn.Module):
     roi_extractor: str = "single"   # 'single' | 'sum' | 'concat' (generic)
     loss_cls: dict | None = None    # dict(type='SeesawLoss', ...) supported
     loss_bbox: dict | None = None   # L1(default)/SmoothL1/Balanced/IoU-family
+    reg_decoded_bbox: bool = False  # loss on decoded boxes (bbox_head.py:72)
 
     @nn.compact
     def __call__(self, roi_feats):
@@ -80,6 +81,7 @@ class Shared4Conv1FCBBoxHead(nn.Module):
     roi_extractor: str = "single"
     loss_cls: dict | None = None
     loss_bbox: dict | None = None
+    reg_decoded_bbox: bool = False
     conv_cfg: dict | None = None
     norm_cfg: dict | None = None
 
@@ -470,6 +472,7 @@ def rcnn_bbox_loss(bbox_head, cls_logits, reg, samples, batch):
     reg_sel = select_reg_deltas(bbox_head, reg, flat_labels)
     loss_fn, decoded = resolve_rcnn_bbox_loss(
         getattr(bbox_head, "loss_bbox", None))
+    decoded = decoded or getattr(bbox_head, "reg_decoded_bbox", False)
     if decoded:
         pred_boxes = delta2bbox(rois.reshape(-1, 4), reg_sel,
                                 bbox_head.target_means, bbox_head.target_stds)

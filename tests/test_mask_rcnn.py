@@ -277,3 +277,22 @@ def test_mask_scoring_rcnn_train_and_iou_target():
         num_samples=32))(variables, _batch())
     assert np.isfinite(float(total))
     assert "loss_mask_iou" in logs and np.isfinite(float(logs["loss_mask_iou"]))
+
+
+def test_mask_head_normed_predictor():
+    """predictor_cfg=NormedConv2d (seesaw *_normed_mask configs): logits are
+    temperature-scaled cosine similarities, bounded by the temperature."""
+    from dsl_tpu.models.roi_heads.mask_head import FCNMaskHead
+
+    head = FCNMaskHead(num_classes=4, in_channels=8, conv_out_channels=8,
+                       num_convs=1, roi_size=14,
+                       predictor_cfg=dict(type="NormedConv2d", tempearture=20))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 14, 14, 8))
+    v = head.init(jax.random.PRNGKey(1), x)
+    y = head.apply(v, x)
+    assert y.shape == (2, 28, 28, 4)
+    assert float(jnp.abs(y).max()) <= 20.0 + 1e-3
+    with pytest.raises(ValueError):
+        FCNMaskHead(num_classes=4, in_channels=8,
+                    predictor_cfg=dict(type="Bogus")).init(
+                        jax.random.PRNGKey(0), x)
