@@ -1,6 +1,13 @@
-# MMDet V1.x-compatible anchors/coder (reference configs/legacy_1.x/retinanet_r50_fpn_1x_coco_v1.py):
-# the legacy +1 w/h delta convention lives in core.boxes.legacy_bbox2delta /
-# legacy_delta2bbox for importing V1.x-trained checkpoints.
+# MMDet V1.x-compatible RetinaNet (reference
+# configs/legacy_1.x/retinanet_r50_fpn_1x_coco_v1.py): LegacyAnchorGenerator
+# (center_offset=0.5, (w-1)-convention rounded corners) +
+# LegacyDeltaXYWHBBoxCoder (+1 w/h deltas) + SmoothL1(beta=0.11), for
+# importing V1.x-trained checkpoints.
 _base_ = ['../retinanet/retinanet_r50_fpn_1x_coco.py']
 model = dict(bbox_head=dict(
-    anchor_generator=dict(octave_base_scale=4, scales_per_octave=3)))
+    anchor_generator=dict(
+        type='LegacyAnchorGenerator', center_offset=0.5,
+        octave_base_scale=4, scales_per_octave=3,
+        ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32, 64, 128]),
+    bbox_coder=dict(type='LegacyDeltaXYWHBBoxCoder'),
+    loss_bbox=dict(type='SmoothL1Loss', beta=0.11, loss_weight=1.0)))

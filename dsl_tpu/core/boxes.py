@@ -162,6 +162,24 @@ def delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
     return boxes
 
 
+def resolve_delta_coder(cfg, default_means=(0.0, 0.0, 0.0, 0.0),
+                        default_stds=(1.0, 1.0, 1.0, 1.0)):
+    """``bbox_coder`` cfg dict -> ``(encode_fn, decode_fn, means, stds)``.
+    Supports the stock DeltaXYWHBBoxCoder (default) and the V1.x legacy coder
+    used by ``configs/legacy_1.x`` (``legacy_delta_xywh_bbox_coder.py``);
+    unsupported types raise. ``target_means/stds`` inside the cfg win over
+    the head-attribute defaults."""
+    c = dict(cfg or {})
+    t = c.get("type", "DeltaXYWHBBoxCoder")
+    means = tuple(c.get("target_means", default_means))
+    stds = tuple(c.get("target_stds", default_stds))
+    if t == "DeltaXYWHBBoxCoder":
+        return bbox2delta, delta2bbox, means, stds
+    if t == "LegacyDeltaXYWHBBoxCoder":
+        return legacy_bbox2delta, legacy_delta2bbox, means, stds
+    raise ValueError(f"unsupported delta bbox_coder type: {t}")
+
+
 def bbox_center(boxes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(
         [(boxes[..., 0] + boxes[..., 2]) * 0.5,

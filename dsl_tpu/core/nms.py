@@ -145,11 +145,12 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
 
 @partial(jax.jit,
          static_argnames=("score_thr", "iou_threshold", "max_per_img",
-                          "pre_nms_top"))
+                          "pre_nms_top", "nms_type", "sigma", "min_score"))
 def multiclass_nms(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
                    score_thr: float = 0.05, iou_threshold: float = 0.5,
                    max_per_img: int = 100, pre_nms_top: int = 2000,
-                   valid: jnp.ndarray | None = None):
+                   valid: jnp.ndarray | None = None, nms_type: str = "nms",
+                   sigma: float = 0.5, min_score: float = 1e-3):
     """Multi-class NMS over per-point class scores, static shapes throughout.
 
     Parity with ``mmdet/core/post_processing/bbox_nms.py:7-96``: every
@@ -183,6 +184,18 @@ def multiclass_nms(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
     else:
         cand_boxes = multi_bboxes[point_idx]
     cand_valid = top_scores > NEG_INF / 2
+    if nms_type in ("soft_nms", "soft_nms_gaussian"):
+        # class-offset trick so cross-class overlaps never decay each other
+        # (``bbox_nms.py`` adds ``cls * max_coord`` offsets before nms)
+        max_coord = jnp.max(jnp.where(cand_valid[:, None], cand_boxes, 0.0))
+        offs = cls_idx.astype(cand_boxes.dtype)[:, None] * (max_coord + 1.0)
+        method = "gaussian" if nms_type == "soft_nms_gaussian" else "linear"
+        dets, idx, out_valid = soft_nms(
+            cand_boxes + offs, jnp.where(cand_valid, top_scores, NEG_INF),
+            iou_threshold=iou_threshold, sigma=sigma, score_thr=min_score,
+            method=method, max_out=max_per_img, valid=cand_valid)
+        dets = dets.at[:, :4].add(-offs[idx] * out_valid[:, None])
+        return dets, jnp.where(out_valid, cls_idx[idx], 0), out_valid
     dets, _, out_valid, out_labels = batched_nms(
         cand_boxes, top_scores, cls_idx, iou_threshold, max_per_img, cand_valid)
     return dets, out_labels, out_valid

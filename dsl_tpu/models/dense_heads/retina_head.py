@@ -18,7 +18,8 @@ import flax.linen as nn
 from dsl_tpu.registry import HEADS
 from dsl_tpu.core.anchors import AnchorGenerator
 from dsl_tpu.core.assigners import max_iou_assign
-from dsl_tpu.core.boxes import bbox2delta, delta2bbox
+from dsl_tpu.core.boxes import (bbox2delta, delta2bbox,
+                                resolve_delta_coder)
 from dsl_tpu.core import losses as L
 from dsl_tpu.core.nms import multiclass_nms
 from dsl_tpu.models.layers import bias_init_with_prob, normal_init
@@ -42,17 +43,17 @@ class RetinaHead(nn.Module):
     min_pos_iou: float = 0.0
     loss_cls: dict | None = None
     loss_bbox: dict | None = None
-    anchor_generator: dict | None = None   # accepted for config parity
+    anchor_generator: dict | None = None
+    bbox_coder: dict | None = None   # LegacyDeltaXYWHBBoxCoder supported
 
     def make_anchor_generator(self) -> AnchorGenerator:
-        cfg = dict(self.anchor_generator or {})
-        return AnchorGenerator(
-            strides=cfg.get("strides", list(self.strides)),
-            ratios=cfg.get("ratios", list(self.anchor_ratios)),
-            octave_base_scale=cfg.get("octave_base_scale",
-                                      self.octave_base_scale),
-            scales_per_octave=cfg.get("scales_per_octave",
-                                      self.scales_per_octave))
+        from dsl_tpu.core.anchors import anchor_generator_from_cfg
+
+        return anchor_generator_from_cfg(
+            self.anchor_generator,
+            strides=list(self.strides), ratios=list(self.anchor_ratios),
+            octave_base_scale=self.octave_base_scale,
+            scales_per_octave=self.scales_per_octave)
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -193,8 +194,9 @@ def retina_loss(head: RetinaHead, cls_scores, bbox_preds, batch,
     # bbox targets: encode assigned gt vs anchor
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
-    deltas = bbox2delta(anchors[None], gt, head.target_means,
-                        head.target_stds)
+    enc, _, cd_means, cd_stds = resolve_delta_coder(
+        head.bbox_coder, head.target_means, head.target_stds)
+    deltas = enc(anchors[None], gt, cd_means, cd_stds)
     posw = pos.astype(jnp.float32)[..., None]
     bbox_cfg = dict(head.loss_bbox or {})
     bbox_type = bbox_cfg.get("type", "L1Loss")
@@ -251,7 +253,9 @@ def retina_get_bboxes(head: RetinaHead, cls_scores, bbox_preds,
         take = lambda a: jnp.take_along_axis(
             a, top.reshape(b, k, *(1,) * (a.ndim - 2)), axis=1)
         scores, reg, anchors = take(scores), take(reg), take(anchors)
-        boxes = delta2bbox(anchors, reg, head.target_means, head.target_stds)
+        _, dec, cd_means, cd_stds = resolve_delta_coder(
+            head.bbox_coder, head.target_means, head.target_stds)
+        boxes = dec(anchors, reg, cd_means, cd_stds)
         if img_shapes is not None:
             xlim = img_shapes[:, None, 1:2]
             ylim = img_shapes[:, None, 0:1]

@@ -18,7 +18,8 @@ import flax.linen as nn
 from dsl_tpu.registry import HEADS
 from dsl_tpu.core.anchors import AnchorGenerator
 from dsl_tpu.core.assigners import max_iou_assign
-from dsl_tpu.core.boxes import bbox2delta, delta2bbox
+from dsl_tpu.core.boxes import (bbox2delta, delta2bbox,
+                                resolve_delta_coder)
 from dsl_tpu.core import losses as L
 from dsl_tpu.core.nms import nms
 from dsl_tpu.models.layers import normal_init
@@ -36,15 +37,17 @@ class RPNHead(nn.Module):
     pos_iou_thr: float = 0.7
     neg_iou_thr: float = 0.3
     anchor_generator: dict | None = None
+    bbox_coder: dict | None = None   # LegacyDeltaXYWHBBoxCoder supported
     loss_cls: dict | None = None    # CrossEntropyLoss(use_sigmoid) only
     loss_bbox: dict | None = None   # L1 (default) or SmoothL1(beta)
 
     def make_anchor_generator(self) -> AnchorGenerator:
-        cfg = dict(self.anchor_generator or {})
-        return AnchorGenerator(
-            strides=cfg.get("strides", list(self.strides)),
-            ratios=cfg.get("ratios", list(self.anchor_ratios)),
-            scales=cfg.get("scales", list(self.anchor_scales)))
+        from dsl_tpu.core.anchors import anchor_generator_from_cfg
+
+        return anchor_generator_from_cfg(
+            self.anchor_generator,
+            strides=list(self.strides), ratios=list(self.anchor_ratios),
+            scales=list(self.anchor_scales))
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -159,7 +162,9 @@ def rpn_loss(head: RPNHead, scores, deltas, batch,
                                  avg_factor=num_total)
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
-    tgt = bbox2delta(anchors[None], gt, head.target_means, head.target_stds)
+    enc, _, cd_means, cd_stds = resolve_delta_coder(
+        head.bbox_coder, head.target_means, head.target_stds)
+    tgt = enc(anchors[None], gt, cd_means, cd_stds)
     loss_reg = _resolve_rpn_bbox_loss(head.loss_bbox)(
         flat_delta, tgt, pos_f[..., None], num_total)
     return dict(loss_rpn_cls=loss_cls, loss_rpn_bbox=loss_reg)
@@ -188,7 +193,9 @@ def rpn_proposals(head: RPNHead, scores, deltas, img_shapes=None,
         take = lambda a: jnp.take_along_axis(
             a, top_idx[..., None].repeat(a.shape[-1], -1), axis=1)
         dl, anchors = take(dl), take(anchors)
-        boxes = delta2bbox(anchors, dl, head.target_means, head.target_stds)
+        _, dec, cd_means, cd_stds = resolve_delta_coder(
+            head.bbox_coder, head.target_means, head.target_stds)
+        boxes = dec(anchors, dl, cd_means, cd_stds)
         if img_shapes is not None:
             xlim = img_shapes[:, None, 1:2]
             ylim = img_shapes[:, None, 0:1]

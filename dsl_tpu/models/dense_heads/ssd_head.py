@@ -19,7 +19,8 @@ import flax.linen as nn
 from dsl_tpu.registry import HEADS
 from dsl_tpu.core.anchors import AnchorGenerator
 from dsl_tpu.core.assigners import max_iou_assign
-from dsl_tpu.core.boxes import bbox2delta, delta2bbox
+from dsl_tpu.core.boxes import (bbox2delta, delta2bbox,
+                                resolve_delta_coder)
 from dsl_tpu.core import losses as L
 from dsl_tpu.core.nms import multiclass_nms
 from dsl_tpu.models.layers import normal_init
@@ -38,19 +39,25 @@ class SSDHead(nn.Module):
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.5
     anchor_generator: dict | None = None
+    bbox_coder: dict | None = None   # LegacyDeltaXYWHBBoxCoder supported
 
     def make_anchor_generator(self) -> AnchorGenerator:
-        cfg = dict(self.anchor_generator or {})
-        return AnchorGenerator(
-            strides=cfg.get("strides", list(self.strides)),
-            ratios=cfg.get("ratios", list(self.anchor_ratios)),
-            scales=cfg.get("scales", list(self.anchor_scales)))
+        from dsl_tpu.core.anchors import anchor_generator_from_cfg
+
+        return anchor_generator_from_cfg(
+            self.anchor_generator,
+            strides=list(self.strides), ratios=list(self.anchor_ratios),
+            scales=list(self.anchor_scales))
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
-        na = len(self.anchor_ratios) * len(self.anchor_scales)
+        # per-level anchor counts come from the generator: the true SSD
+        # ladder ((Legacy)SSDAnchorGenerator) has 4/6/6/6/4/4, the simple
+        # grid is uniform
+        gen = self.make_anchor_generator()
         cls_scores, bbox_preds = [], []
         for lvl, x in enumerate(feats):
+            na = gen.num_base_anchors_level(lvl)
             cls = nn.Conv(na * (self.num_classes + 1), (3, 3),
                           padding=((1, 1), (1, 1)),
                           kernel_init=normal_init(0.01),
@@ -110,7 +117,9 @@ def ssd_loss(head: SSDHead, cls_scores, bbox_preds, batch,
 
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
-    tgt = bbox2delta(anchors[None], gt, head.target_means, head.target_stds)
+    enc, _, cd_means, cd_stds = resolve_delta_coder(
+        head.bbox_coder, head.target_means, head.target_stds)
+    tgt = enc(anchors[None], gt, cd_means, cd_stds)
     loss_bbox = L.smooth_l1_loss(flat_reg, tgt, beta=1.0,
                                  weight=pos_f[..., None], avg_factor=num_pos)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
@@ -137,7 +146,9 @@ def ssd_get_bboxes(head: SSDHead, cls_scores, bbox_preds, img_shapes=None,
         take = lambda t: jnp.take_along_axis(
             t, top.reshape(b, k, *(1,) * (t.ndim - 2)), axis=1)
         sc, reg, anchors = take(sc), take(reg), take(anchors)
-        boxes = delta2bbox(anchors, reg, head.target_means, head.target_stds)
+        _, dec, cd_means, cd_stds = resolve_delta_coder(
+            head.bbox_coder, head.target_means, head.target_stds)
+        boxes = dec(anchors, reg, cd_means, cd_stds)
         if img_shapes is not None:
             xlim = img_shapes[:, None, 1:2]
             ylim = img_shapes[:, None, 0:1]

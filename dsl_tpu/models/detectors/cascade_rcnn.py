@@ -102,19 +102,22 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
 def _decode_stage(head, proposals, reg, labels=None):
     """Decode one stage's refinement (class-agnostic 4-vector — the
     reference cascade contract — else class-mean / class-specific)."""
+    from dsl_tpu.core.boxes import resolve_delta_coder
+
+    _, dec, cd_means, cd_stds = resolve_delta_coder(
+        getattr(head, "bbox_coder", None),
+        head.target_means, head.target_stds)
     nc = head.num_classes
     b, p = proposals.shape[:2]
     if getattr(head, "reg_class_agnostic", False):
-        return delta2bbox(proposals, reg.reshape(b, p, 4),
-                          head.target_means, head.target_stds)
+        return dec(proposals, reg.reshape(b, p, 4), cd_means, cd_stds)
     reg = reg.reshape(b, p, nc, 4)
     if labels is None:
         reg_sel = reg.mean(axis=2)
     else:
         reg_sel = jnp.take_along_axis(
             reg, labels[..., None, None].repeat(4, -1), axis=2)[:, :, 0]
-    return delta2bbox(proposals, reg_sel, head.target_means,
-                      head.target_stds)
+    return dec(proposals, reg_sel, cd_means, cd_stds)
 
 
 def _stage_rcnn_kw(detector, stage: int, num_samples: int | None):

@@ -31,6 +31,7 @@ class TwoStageDetector(nn.Module):
     bbox_head: nn.Module       # the RoI bbox head
     train_cfg: Any = None
     test_cfg: Any = None
+    roi_pool_pack: nn.Module = None   # DeformRoIPoolPack (dcn dpool/mdpool)
 
     def extract_feat(self, images):
         return self.neck(self.backbone(images))
@@ -42,6 +43,9 @@ class TwoStageDetector(nn.Module):
 
     def roi_forward(self, roi_feats):
         return self.bbox_head(roi_feats)
+
+    def pack_forward(self, roi_feats):
+        return self.roi_pool_pack(roi_feats)
 
 
 @DETECTORS.register
@@ -192,6 +196,9 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     shared_cfg = cfg.pop("shared_head", None)
     if shared_cfg is not None:
         kwargs["shared_head"] = build_from_cfg(shared_cfg, MODELS)
+    pack_cfg = cfg.pop("roi_pool_pack", None)
+    if pack_cfg is not None:
+        kwargs["roi_pool_pack"] = build_from_cfg(pack_cfg, MODELS)
     return det_cls(backbone=backbone, neck=neck, rpn_head=rpn, bbox_head=roi,
                    train_cfg=cfg.pop("train_cfg", None),
                    test_cfg=cfg.pop("test_cfg", None), **kwargs)
@@ -199,6 +206,17 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
 
 def _strides_from(detector) -> tuple:
     return tuple(detector.rpn_head.strides)[:4]
+
+
+def _pack_ctx(detector, variables):
+    """(pack_apply, variables, pack_module) for deformable RoI pooling, or
+    None when the detector has no ``roi_pool_pack``."""
+    pk = getattr(detector, "roi_pool_pack", None)
+    if pk is None:
+        return None
+    pack_apply = lambda v, rf: detector.apply(  # noqa: E731
+        v, rf, method=detector.pack_forward)
+    return (pack_apply, variables, pk)
 
 
 def init_two_stage_variables(detector, rng, images):
@@ -227,6 +245,13 @@ def init_two_stage_variables(detector, rng, images):
                              method=detector.roi_forward)
     merge({k: v for k, v in roi_vars.items() if k != "params"})
     params.update(roi_vars["params"])
+    pk = getattr(detector, "roi_pool_pack", None)
+    if pk is not None:
+        pk_feats = jnp.zeros((1, pk.output_size, pk.output_size,
+                              pk.output_channels))
+        pk_vars = detector.init(jax.random.fold_in(rng, 6), pk_feats,
+                                method=detector.pack_forward)
+        params.update(pk_vars["params"])
     mh = getattr(detector, "mask_head", None)
     if mh is not None:
         mask_feats = jnp.zeros((1, mh.roi_size, mh.roi_size, mh.in_channels))
@@ -351,8 +376,10 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
             isr_n=tc.get("isr_n")))
         return _parse_losses(losses)
 
+    smp_type = dict(dict(tc_all.get("rcnn", {}) or {}).get(
+        "sampler", {}) or {}).get("type", "")
     neg_hardness = None
-    if ohem:
+    if ohem or smp_type == "OHEMSampler":
         neg_hardness = ohem_hardness(
             detector.bbox_head, roi_apply, variables, feats, proposals,
             prop_valid, batch, strides=_strides_from(detector))
@@ -362,7 +389,8 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
     roi_losses = roi_head_loss(
         detector.bbox_head, roi_apply, variables, feats, proposals,
         prop_valid, batch, rng_key, strides=_strides_from(detector),
-        num_samples=num_samples, samples=samples)
+        num_samples=num_samples, samples=samples,
+        pack=_pack_ctx(detector, variables))
     for k, v in roi_losses.items():
         losses[k] = v
 
@@ -611,7 +639,8 @@ def two_stage_predict(detector, variables, images, img_shapes=None,
         strides=_strides_from(detector),
         score_thr=rcnn.get("score_thr", 0.05),
         iou_threshold=nms_cfg.get("iou_threshold", 0.5),
-        max_per_img=rcnn.get("max_per_img", 100))
+        max_per_img=rcnn.get("max_per_img", 100),
+        pack=_pack_ctx(detector, variables), nms_cfg=nms_cfg)
 
 
 def mask_logits_for_boxes(detector, variables, feats, boxes_in, valid):

@@ -19,7 +19,7 @@ import flax.linen as nn
 
 from dsl_tpu.registry import HEADS
 from dsl_tpu.core.assigners import _max_iou_assign_single
-from dsl_tpu.core.boxes import bbox2delta, delta2bbox
+from dsl_tpu.core.boxes import resolve_delta_coder
 from dsl_tpu.core import losses as L
 from dsl_tpu.core.nms import multiclass_nms
 from dsl_tpu.ops.roi_align import roi_align
@@ -40,6 +40,8 @@ class Shared2FCBBoxHead(nn.Module):
     loss_cls: dict | None = None    # dict(type='SeesawLoss', ...) supported
     loss_bbox: dict | None = None   # L1(default)/SmoothL1/Balanced/IoU-family
     reg_decoded_bbox: bool = False  # loss on decoded boxes (bbox_head.py:72)
+    bbox_coder: dict | None = None  # LegacyDeltaXYWHBBoxCoder supported
+    roi_aligned: bool = True        # RoIAlign aligned=False (legacy_1.x)
 
     @nn.compact
     def __call__(self, roi_feats):
@@ -82,6 +84,8 @@ class Shared4Conv1FCBBoxHead(nn.Module):
     loss_cls: dict | None = None
     loss_bbox: dict | None = None
     reg_decoded_bbox: bool = False
+    bbox_coder: dict | None = None
+    roi_aligned: bool = True
     conv_cfg: dict | None = None
     norm_cfg: dict | None = None
 
@@ -111,6 +115,45 @@ class Shared4Conv1FCBBoxHead(nn.Module):
         return cls, reg
 
 
+@HEADS.register
+class DeformRoIPoolPack(nn.Module):
+    """Deformable RoI pooling offset predictor (mmcv
+    ``ops/deform_roi_pool.py`` DeformRoIPoolPack / ModulatedDeformRoIPoolPack,
+    reference ``configs/dcn/faster_rcnn_r50_fpn_dpool_1x_coco.py``): two FC
+    layers on the plain-pooled roi features predict per-bin (dx, dy)
+    offsets (zero-init -> identity at start); the modulated variant adds a
+    sigmoid per-bin mask branch."""
+
+    output_size: int = 7
+    output_channels: int = 256
+    deform_fc_channels: int = 1024
+    gamma: float = 0.1
+    modulated: bool = False
+
+    @nn.compact
+    def __call__(self, roi_feats):
+        """roi_feats (N, oh, ow, C) -> (offsets (N, oh, ow, 2),
+        mask (N, oh, ow, 1) or None)."""
+        n = roi_feats.shape[0]
+        oh = ow = self.output_size
+        x = roi_feats.reshape(n, -1)
+        h = nn.relu(nn.Dense(self.deform_fc_channels, name="offset_fc0")(x))
+        h = nn.relu(nn.Dense(self.deform_fc_channels, name="offset_fc1")(h))
+        off = nn.Dense(oh * ow * 2, kernel_init=nn.initializers.zeros,
+                       name="offset_fc2")(h).reshape(n, oh, ow, 2)
+        if not self.modulated:
+            return off, None
+        m = nn.relu(nn.Dense(self.deform_fc_channels, name="mask_fc0")(x))
+        m = nn.Dense(oh * ow, kernel_init=nn.initializers.zeros,
+                     name="mask_fc1")(m)
+        return off, jax.nn.sigmoid(m).reshape(n, oh, ow, 1)
+
+
+@HEADS.register
+class ModulatedDeformRoIPoolPack(DeformRoIPoolPack):
+    modulated: bool = True
+
+
 def map_rois_to_levels(rois: jnp.ndarray, num_levels: int,
                        finest_scale: int = 56) -> jnp.ndarray:
     """FPN level per roi (mmdet single-level extractor formula)."""
@@ -122,7 +165,7 @@ def map_rois_to_levels(rois: jnp.ndarray, num_levels: int,
 
 def extract_roi_feats(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
                       valid: jnp.ndarray, strides: Sequence[int],
-                      roi_size: int = 7) -> jnp.ndarray:
+                      roi_size: int = 7, aligned: bool = True) -> jnp.ndarray:
     """Multi-level RoIAlign: compute each level's answer for every roi and
     select by assigned level (static shapes; levels ≤ 4)."""
     num_levels = min(len(feats), 4)
@@ -131,7 +174,7 @@ def extract_roi_feats(feats: Sequence[jnp.ndarray], rois: jnp.ndarray,
     for lvl in range(num_levels):
         f = roi_align(feats[lvl], rois, out_size=(roi_size, roi_size),
                       spatial_scale=1.0 / strides[lvl], sampling_ratio=2,
-                      valid=valid)
+                      aligned=aligned, valid=valid)
         sel = (levels == lvl)[:, None, None, None]
         out = f * sel if out is None else out + f * sel
     return out
@@ -157,15 +200,48 @@ def extract_roi_feats_generic(feats: Sequence[jnp.ndarray],
     return out
 
 
-def _extract_for_head(bbox_head, feats, flat_rois, valid, strides):
+def extract_roi_feats_deform(feats, flat_rois, valid, strides, roi_size,
+                             offsets, gamma: float = 0.1):
+    """Multi-level deformable RoI pooling: like :func:`extract_roi_feats`
+    but each roi's assigned level is sampled with learned per-bin offsets
+    (``ops/deform_roi_pool`` semantics)."""
+    from dsl_tpu.ops.roi_align import deform_roi_align
+
+    num_levels = min(len(feats), 4)
+    levels = map_rois_to_levels(flat_rois[:, 1:5], num_levels)
+    out = None
+    for lvl in range(num_levels):
+        f = deform_roi_align(feats[lvl], flat_rois, offsets,
+                             out_size=(roi_size, roi_size),
+                             spatial_scale=1.0 / strides[lvl],
+                             sampling_ratio=2, gamma=gamma, valid=valid)
+        sel = (levels == lvl)[:, None, None, None]
+        out = f * sel if out is None else out + f * sel
+    return out
+
+
+def _extract_for_head(bbox_head, feats, flat_rois, valid, strides,
+                      pack=None):
     """Level-assigned (default) or generic all-level extraction, chosen by
-    the head's ``roi_extractor`` attribute."""
+    the head's ``roi_extractor`` attribute. ``pack`` = (pack_apply,
+    variables, pack_module) enables deformable RoI pooling: a plain pool
+    feeds the offset predictor, then the features are re-pooled with the
+    learned per-bin offsets (mmcv DeformRoIPoolPack forward)."""
     mode = getattr(bbox_head, "roi_extractor", "single")
     if mode in ("sum", "concat"):
         return extract_roi_feats_generic(feats, flat_rois, valid, strides,
                                          bbox_head.roi_size, aggregation=mode)
-    return extract_roi_feats(feats, flat_rois, valid, strides,
-                             bbox_head.roi_size)
+    base = extract_roi_feats(feats, flat_rois, valid, strides,
+                             bbox_head.roi_size,
+                             aligned=getattr(bbox_head, "roi_aligned", True))
+    if pack is None:
+        return base
+    pack_apply, variables, pk = pack
+    offsets, mask = pack_apply(variables, base)
+    out = extract_roi_feats_deform(feats, flat_rois, valid, strides,
+                                   bbox_head.roi_size, offsets,
+                                   gamma=float(pk.gamma))
+    return out if mask is None else out * mask
 
 
 def resolve_rcnn_bbox_loss(cfg):
@@ -390,7 +466,7 @@ def _apply_bbox_head(bbox_head, apply_fn, variables, feats, flat_rois,
 def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
                   proposals, prop_valid, batch, rng_key,
                   strides=(4, 8, 16, 32), num_samples: int = 512,
-                  samples: dict | None = None):
+                  samples: dict | None = None, pack=None):
     """Sample rois, extract features, run the bbox head, compute losses.
 
     apply_fn: ``lambda variables, roi_feats: (cls, reg)`` — the bound module
@@ -410,7 +486,7 @@ def roi_head_loss(bbox_head: Shared2FCBBoxHead, apply_fn, variables, feats,
     flat_rois = jnp.concatenate(
         [batch_idx.astype(jnp.float32), rois.reshape(-1, 4)], axis=1)
     roi_feats = _extract_for_head(bbox_head, feats, flat_rois,
-                                  valid.reshape(-1), strides)
+                                  valid.reshape(-1), strides, pack=pack)
     if hasattr(bbox_head, "num_buckets"):               # SABL roi head
         from dsl_tpu.models.roi_heads.sabl_head import sabl_roi_loss
 
@@ -473,13 +549,14 @@ def rcnn_bbox_loss(bbox_head, cls_logits, reg, samples, batch):
     loss_fn, decoded = resolve_rcnn_bbox_loss(
         getattr(bbox_head, "loss_bbox", None))
     decoded = decoded or getattr(bbox_head, "reg_decoded_bbox", False)
+    enc, dec, cd_means, cd_stds = resolve_delta_coder(
+        getattr(bbox_head, "bbox_coder", None),
+        bbox_head.target_means, bbox_head.target_stds)
     if decoded:
-        pred_boxes = delta2bbox(rois.reshape(-1, 4), reg_sel,
-                                bbox_head.target_means, bbox_head.target_stds)
+        pred_boxes = dec(rois.reshape(-1, 4), reg_sel, cd_means, cd_stds)
         loss_reg = loss_fn(pred_boxes, gt, flat_pos, num_valid)
     else:
-        tgt = bbox2delta(rois.reshape(-1, 4), gt, bbox_head.target_means,
-                         bbox_head.target_stds)
+        tgt = enc(rois.reshape(-1, 4), gt, cd_means, cd_stds)
         loss_reg = loss_fn(reg_sel, tgt, flat_pos, num_valid)
     acc = jnp.sum((jnp.argmax(cls_logits, -1) == flat_labels) * flat_valid) \
         / num_valid
@@ -495,14 +572,15 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
                      feats, proposals, prop_valid, img_shapes=None,
                      scale_factors=None, strides=(4, 8, 16, 32),
                      score_thr: float = 0.05, iou_threshold: float = 0.5,
-                     max_per_img: int = 100):
+                     max_per_img: int = 100, pack=None,
+                     nms_cfg: dict | None = None):
     nc = bbox_head.num_classes
     b, p = proposals.shape[:2]
     batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, p)).reshape(-1, 1)
     flat_rois = jnp.concatenate(
         [batch_idx.astype(jnp.float32), proposals.reshape(-1, 4)], axis=1)
     roi_feats = _extract_for_head(bbox_head, feats, flat_rois,
-                                  prop_valid.reshape(-1), strides)
+                                  prop_valid.reshape(-1), strides, pack=pack)
     if hasattr(bbox_head, "num_buckets"):               # SABL roi head
         from dsl_tpu.models.roi_heads.sabl_head import sabl_roi_predict
 
@@ -530,10 +608,12 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
                                       (b * p, nc, 4))
         else:
             reg_pc = reg.reshape(-1, nc, 4)
-        boxes = delta2bbox(
+        _, dec, cd_means, cd_stds = resolve_delta_coder(
+            getattr(bbox_head, "bbox_coder", None),
+            bbox_head.target_means, bbox_head.target_stds)
+        boxes = dec(
             proposals.reshape(-1, 4)[:, None, :].repeat(nc, 1),
-            reg_pc, bbox_head.target_means,
-            bbox_head.target_stds).reshape(b, p, nc, 4)
+            reg_pc, cd_means, cd_stds).reshape(b, p, nc, 4)
     else:                        # Grid R-CNN: proposals are the boxes
         boxes = jnp.broadcast_to(proposals[:, :, None, :], (b, p, nc, 4))
     if img_shapes is not None:
@@ -547,9 +627,20 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
     if scale_factors is not None:
         boxes = boxes / scale_factors[:, None, None, :]
 
+    ncfg = dict(nms_cfg or {})
+    t = ncfg.get("type", "nms")
+    if t not in ("nms", "soft_nms"):
+        raise ValueError(f"unsupported rcnn nms type: {t}")
+    nms_type = ("soft_nms_gaussian" if t == "soft_nms"
+                and ncfg.get("method") == "gaussian"
+                else "soft_nms" if t == "soft_nms" else "nms")
+
     def _single(bx, sc, vd):
-        return multiclass_nms(bx, sc, score_thr=score_thr,
-                              iou_threshold=iou_threshold,
-                              max_per_img=max_per_img, valid=vd)
+        return multiclass_nms(
+            bx, sc, score_thr=score_thr,
+            iou_threshold=float(ncfg.get("iou_threshold", iou_threshold)),
+            max_per_img=max_per_img, valid=vd, nms_type=nms_type,
+            sigma=float(ncfg.get("sigma", 0.5)),
+            min_score=float(ncfg.get("min_score", 1e-3)))
 
     return jax.vmap(_single)(boxes, scores, prop_valid)

@@ -139,3 +139,58 @@ def roi_pool(features: jnp.ndarray, rois: jnp.ndarray,
 
     out = jax.vmap(one)(per_roi_feats, rois[:, 1:5])
     return jnp.where(valid[:, None, None, None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("out_size", "spatial_scale",
+                                  "sampling_ratio", "gamma"))
+def deform_roi_align(features: jnp.ndarray, rois: jnp.ndarray,
+                     offsets: jnp.ndarray,
+                     out_size: tuple[int, int] = (7, 7),
+                     spatial_scale: float = 1.0, sampling_ratio: int = -1,
+                     gamma: float = 0.1,
+                     valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Deformable RoI pooling (mmcv ``ops/deform_roi_pool`` CUDA kernel
+    semantics, used by the reference's ``dcn/*_dpool/_mdpool`` configs):
+    RoIAlign where every output bin's sampling points are shifted by a
+    learned per-bin offset, scaled by ``gamma`` times the roi extent.
+
+    Args:
+      features: (B, H, W, C) NHWC.
+      rois: (N, 5) ``(batch_idx, x1, y1, x2, y2)`` image coords.
+      offsets: (N, oh, ow, 2) per-bin normalized ``(dx, dy)``; the actual
+        shift is ``gamma * (roi_w, roi_h) * (dx, dy)`` feature-map pixels
+        after ``spatial_scale``.
+    Returns (N, oh, ow, C).
+    """
+    oh, ow = out_size
+    n = rois.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    batch_idx = jnp.clip(rois[:, 0].astype(jnp.int32), 0,
+                         features.shape[0] - 1)
+    per_roi_feats = features[batch_idx]
+    s = sampling_ratio if sampling_ratio > 0 else 2
+
+    def one(feat, roi, off):
+        x1 = roi[0] * spatial_scale - 0.5
+        y1 = roi[1] * spatial_scale - 0.5
+        x2 = roi[2] * spatial_scale - 0.5
+        y2 = roi[3] * spatial_scale - 0.5
+        rw = jnp.maximum(x2 - x1, 1e-6)
+        rh = jnp.maximum(y2 - y1, 1e-6)
+        bin_w = rw / ow
+        bin_h = rh / oh
+        # full (non-separable) grid: per-bin offsets break separability
+        ii = jnp.arange(oh)[:, None, None, None]               # bin row
+        jj = jnp.arange(ow)[None, :, None, None]               # bin col
+        sy = jnp.arange(s)[None, None, :, None]
+        sx = jnp.arange(s)[None, None, None, :]
+        gy = y1 + (ii + (sy + 0.5) / s) * bin_h \
+            + gamma * rh * off[:, :, None, None, 1]            # (oh,ow,s,s)
+        gx = x1 + (jj + (sx + 0.5) / s) * bin_w \
+            + gamma * rw * off[:, :, None, None, 0]
+        vals = _bilinear(feat, gy, gx)                         # (oh,ow,s,s,C)
+        return vals.mean(axis=(2, 3))
+
+    out = jax.vmap(one)(per_roi_feats, rois[:, 1:5], offsets)
+    return jnp.where(valid[:, None, None, None], out, 0.0)

@@ -1,0 +1,170 @@
+"""Torch oracle for the anchor generators against the reference's OWN code.
+
+Loads ``/root/reference/mmdet/core/anchor/anchor_generator.py`` on CPU
+(mmcv + registry stubbed) and pins our ``core/anchors.py`` generators to it:
+
+- ``LegacyAnchorGenerator`` (V1.x retina: center_offset=0.5, (w-1) corner
+  convention, rounding) — base anchors and full grids per level.
+- ``SSDAnchorGenerator`` (SSD300 COCO ladder: basesize_ratio_range percent
+  ladder, two squares + aspect anchors, scale_major=False reindexing).
+- ``LegacySSDAnchorGenerator`` (centers at (stride-1)/2 + legacy corners).
+- SSD512 COCO ladder (first-level 4/10 special case).
+
+Skipped automatically when /root/reference or torch is unavailable.
+"""
+
+import os.path as osp
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_PATH = "/root/reference/mmdet/core/anchor/anchor_generator.py"
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not osp.exists(REF_PATH),
+                                reason="reference tree not available")
+
+
+def _load_reference_anchor_generator():
+    import importlib.util
+
+    saved = {k: sys.modules.get(k) for k in
+             ("mmcv", "refanch", "refanch.core", "refanch.core.anchor",
+              "refanch.core.anchor.builder",
+              "refanch.core.anchor.anchor_generator")}
+    try:
+        mmcv = types.ModuleType("mmcv")
+        mmcv.is_tuple_of = lambda seq, t: isinstance(seq, tuple) and all(
+            isinstance(x, t) for x in seq)
+        sys.modules["mmcv"] = mmcv
+
+        for pkg in ("refanch", "refanch.core", "refanch.core.anchor"):
+            mod = types.ModuleType(pkg)
+            mod.__path__ = []
+            sys.modules[pkg] = mod
+        builder = types.ModuleType("refanch.core.anchor.builder")
+
+        class _Reg:
+            def register_module(self, *a, **k):
+                return lambda cls: cls
+
+        builder.PRIOR_GENERATORS = _Reg()
+        sys.modules["refanch.core.anchor.builder"] = builder
+
+        spec = importlib.util.spec_from_file_location(
+            "refanch.core.anchor.anchor_generator", REF_PATH)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["refanch.core.anchor.anchor_generator"] = mod
+        spec.loader.exec_module(mod)
+        return mod
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def ref(request):
+    return _load_reference_anchor_generator()
+
+
+SIZES = [(10, 13), (5, 7), (3, 4), (2, 2), (1, 1)]
+
+
+def _ref_grids(gen, sizes):
+    return [g.numpy() for g in gen.grid_anchors(
+        [tuple(s) for s in sizes], device="cpu")]
+
+
+def test_legacy_anchor_generator_matches_reference(ref):
+    from dsl_tpu.core.anchors import anchor_generator_from_cfg
+
+    cfg = dict(type="LegacyAnchorGenerator", center_offset=0.5,
+               octave_base_scale=4, scales_per_octave=3,
+               ratios=[0.5, 1.0, 2.0], strides=[8, 16, 32, 64, 128])
+    theirs = ref.LegacyAnchorGenerator(
+        strides=cfg["strides"], ratios=cfg["ratios"],
+        octave_base_scale=4, scales_per_octave=3, center_offset=0.5)
+    ours = anchor_generator_from_cfg(cfg)
+    for lvl in range(5):
+        np.testing.assert_allclose(
+            ours.base_anchors(lvl),
+            theirs.base_anchors[lvl].numpy(), atol=1e-4,
+            err_msg=f"legacy retina base anchors level {lvl}")
+    ref_grids = _ref_grids(theirs, SIZES)
+    for lvl, g in enumerate(ours.grid_anchors(SIZES)):
+        np.testing.assert_allclose(np.asarray(g), ref_grids[lvl], atol=1e-3,
+                                   err_msg=f"legacy grid level {lvl}")
+
+
+def test_legacy_rpn_scales_matches_reference(ref):
+    from dsl_tpu.core.anchors import anchor_generator_from_cfg
+
+    cfg = dict(type="LegacyAnchorGenerator", center_offset=0.5,
+               scales=[8], ratios=[0.5, 1.0, 2.0],
+               strides=[4, 8, 16, 32, 64])
+    theirs = ref.LegacyAnchorGenerator(
+        strides=cfg["strides"], ratios=cfg["ratios"], scales=[8],
+        center_offset=0.5)
+    ours = anchor_generator_from_cfg(cfg)
+    for lvl in range(5):
+        np.testing.assert_allclose(
+            ours.base_anchors(lvl),
+            theirs.base_anchors[lvl].numpy(), atol=1e-4,
+            err_msg=f"legacy rpn base anchors level {lvl}")
+
+
+SSD_SIZES = [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+SSD300 = dict(scale_major=False, input_size=300,
+              basesize_ratio_range=(0.15, 0.9),
+              strides=[8, 16, 32, 64, 100, 300],
+              ratios=[[2], [2, 3], [2, 3], [2, 3], [2], [2]])
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_ssd_anchor_generator_matches_reference(ref, legacy):
+    from dsl_tpu.core.anchors import anchor_generator_from_cfg
+
+    cls = ref.LegacySSDAnchorGenerator if legacy else ref.SSDAnchorGenerator
+    kw = dict(SSD300)
+    if legacy:
+        kw.pop("scale_major")  # legacy ctor passes scale_major positionally
+        theirs = cls(strides=kw["strides"], ratios=kw["ratios"],
+                     basesize_ratio_range=kw["basesize_ratio_range"],
+                     input_size=300, scale_major=False)
+    else:
+        theirs = cls(**kw)
+    t = "LegacySSDAnchorGenerator" if legacy else "SSDAnchorGenerator"
+    ours = anchor_generator_from_cfg(dict(SSD300, type=t))
+    assert [ours.num_base_anchors_level(i) for i in range(6)] \
+        == [a.shape[0] for a in theirs.base_anchors] == [4, 6, 6, 6, 4, 4]
+    for lvl in range(6):
+        np.testing.assert_allclose(
+            ours.base_anchors(lvl),
+            theirs.base_anchors[lvl].numpy(), atol=1e-4,
+            err_msg=f"ssd base anchors level {lvl} (legacy={legacy})")
+    ref_grids = _ref_grids(theirs, SSD_SIZES)
+    for lvl, g in enumerate(ours.grid_anchors(SSD_SIZES)):
+        np.testing.assert_allclose(np.asarray(g), ref_grids[lvl], atol=1e-3,
+                                   err_msg=f"ssd grid level {lvl}")
+
+
+def test_ssd512_ladder_matches_reference(ref):
+    from dsl_tpu.core.anchors import anchor_generator_from_cfg
+
+    kw = dict(scale_major=False, input_size=512,
+              basesize_ratio_range=(0.1, 0.9),
+              strides=[8, 16, 32, 64, 128, 256, 512],
+              ratios=[[2], [2, 3], [2, 3], [2, 3], [2, 3], [2], [2]])
+    theirs = ref.SSDAnchorGenerator(**kw)
+    ours = anchor_generator_from_cfg(dict(kw, type="SSDAnchorGenerator"))
+    assert ours.base_sizes == list(theirs.base_sizes)
+    for lvl in range(7):
+        np.testing.assert_allclose(
+            ours.base_anchors(lvl),
+            theirs.base_anchors[lvl].numpy(), atol=1e-4,
+            err_msg=f"ssd512 base anchors level {lvl}")
