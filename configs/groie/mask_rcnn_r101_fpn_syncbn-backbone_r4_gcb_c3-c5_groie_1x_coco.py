@@ -1,0 +1,3 @@
+# Variant parity: reference configs/groie/mask_rcnn_r101_fpn_syncbn-backbone_r4_gcb_c3-c5_groie_1x_coco.py
+_base_ = ['mask_rcnn_r50_fpn_syncbn-backbone_r4_gcb_c3-c5_groie_1x_coco.py']
+model = dict(backbone=dict(depth=101))

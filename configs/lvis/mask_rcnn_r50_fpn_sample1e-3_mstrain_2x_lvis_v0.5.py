@@ -1,0 +1,16 @@
+# Variant parity: reference configs/lvis/mask_rcnn_r50_fpn_sample1e-3_mstrain_2x_lvis_v0.5.py
+_base_ = ['mask_rcnn_r50_fpn_sample1e-3_mstrain_1x_lvis_v1.py']
+model = dict(bbox_head=dict(num_classes=1230))
+data = dict(
+    train=dict(dataset=dict(
+        type='LVISV05Dataset',
+        ann_file='data/lvis_v0.5/annotations/lvis_v0.5_train.json',
+        img_prefix='data/lvis_v0.5/train2017/')),
+    val=dict(type='LVISV05Dataset',
+             ann_file='data/lvis_v0.5/annotations/lvis_v0.5_val.json',
+             img_prefix='data/lvis_v0.5/val2017/'),
+    test=dict(type='LVISV05Dataset',
+              ann_file='data/lvis_v0.5/annotations/lvis_v0.5_val.json',
+              img_prefix='data/lvis_v0.5/val2017/'))
+lr_config = dict(step=[16, 22])
+runner = dict(max_epochs=24)

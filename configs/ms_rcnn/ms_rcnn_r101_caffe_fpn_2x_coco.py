@@ -1,0 +1,5 @@
+# Variant parity: reference configs/ms_rcnn/ms_rcnn_r101_caffe_fpn_2x_coco.py
+_base_ = ['ms_rcnn_r50_fpn_1x_coco.py']
+model = dict(backbone=dict(depth=101, style='caffe'))
+lr_config = dict(step=[16, 22])
+runner = dict(max_epochs=24)

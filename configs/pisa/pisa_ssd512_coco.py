@@ -1,0 +1,5 @@
+# Variant parity: reference configs/pisa/pisa_ssd512_coco.py
+_base_ = ['../ssd/ssd512_coco.py']
+model = dict(bbox_head=dict(type='PISASSDHead'),
+             train_cfg=dict(isr=dict(k=2.0, bias=0.0),
+                            carl=dict(k=1.0, bias=0.2)))

@@ -1,0 +1,8 @@
+# Variant parity: reference configs/res2net/cascade_mask_rcnn_r2_101_fpn_20e_coco.py
+_base_ = ['../cascade_rcnn/cascade_mask_rcnn_r50_fpn_1x_coco.py']
+model = dict(
+    backbone=dict(_delete_=True, type='Res2Net', depth=101,
+                  scales=4, base_width=26,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1))
+lr_config = dict(step=[16, 19])
+runner = dict(max_epochs=20)

@@ -1,0 +1,3 @@
+# Variant parity: reference configs/resnest/mask_rcnn_s101_fpn_syncbn-backbone+head_mstrain_1x_coco.py
+_base_ = ['mask_rcnn_s50_fpn_syncbn-backbone+head_mstrain_1x_coco.py']
+model = dict(backbone=dict(depth=101, stem_channels=128))

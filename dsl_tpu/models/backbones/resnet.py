@@ -93,7 +93,8 @@ class Bottleneck(nn.Module):
             from dsl_tpu.ops.deform_conv import deform_conv2d
 
             v2 = self.dcn.get("type", "DCNv2") in ("DCNv2", "dcnv2")
-            off_ch = 27 if v2 else 18
+            dg = int(self.dcn.get("deform_groups", 1))
+            off_ch = dg * (27 if v2 else 18)
             raw = nn.Conv(off_ch, (3, 3), strides=(s2, s2),
                           padding=((self.dilation, self.dilation),
                                    (self.dilation, self.dilation)),
@@ -101,12 +102,13 @@ class Bottleneck(nn.Module):
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.zeros,
                           name="conv2_offset")(out)
-            offsets = raw[..., :18]
-            dmask = jax.nn.sigmoid(raw[..., 18:]) if v2 else None
+            offsets = raw[..., :dg * 18]
+            dmask = jax.nn.sigmoid(raw[..., dg * 18:]) if v2 else None
             w = self.param("conv2_kernel", nn.initializers.he_normal(),
                            (3, 3, out.shape[-1] // self.groups, width))
             out = deform_conv2d(out, offsets, w, mask=dmask,
-                                dilation=self.dilation, stride=s2)
+                                dilation=self.dilation, stride=s2,
+                                deform_groups=dg)
         else:
             from dsl_tpu.models.layers import make_conv
             out = make_conv(self.conv_cfg, width, 3, stride=s2,

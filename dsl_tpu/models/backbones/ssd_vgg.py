@@ -60,13 +60,23 @@ class SSDVGG(nn.Module):
                             name="conv6")(x))
         x = nn.relu(nn.Conv(1024, (1, 1), name="conv7")(x))
         outs.append(x)
-        # extra layers: pairs of (1x1, 3x3/s2-or-valid) (:120-146)
+        # extra layers: pairs of (1x1, kxk/s) (:120-146). SSD300: 4 pairs,
+        # strides (2,2,1,1); SSD512: 5 pairs, strides (2,2,2,2,1) with a
+        # final 4x4 kernel (reference configs/ssd/ssd512_coco.py neck:
+        # level_strides/paddings + last_kernel_size=4).
         ec = self.extra_channels
-        for i in range(0, len(ec), 2):
+        if self.input_size == 512:
+            if len(ec) == 8:
+                ec = tuple(ec) + (128, 256)
+            strides, pads, kernels = \
+                (2, 2, 2, 2, 1), (1, 1, 1, 1, 1), (3, 3, 3, 3, 4)
+        else:
+            strides, pads, kernels = (2, 2, 1, 1), (1, 1, 0, 0), (3, 3, 3, 3)
+        for p, i in enumerate(range(0, len(ec), 2)):
             x = nn.relu(nn.Conv(ec[i], (1, 1), name=f"extra{i}")(x))
-            stride = 2 if i < 4 else 1
-            pad = 1 if i < 4 else 0
-            x = nn.relu(nn.Conv(ec[i + 1], (3, 3), strides=(stride, stride),
-                                padding=pad, name=f"extra{i + 1}")(x))
+            k = kernels[p]
+            x = nn.relu(nn.Conv(ec[i + 1], (k, k),
+                                strides=(strides[p], strides[p]),
+                                padding=pads[p], name=f"extra{i + 1}")(x))
             outs.append(x)
         return tuple(outs)

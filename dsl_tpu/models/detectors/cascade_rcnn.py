@@ -87,7 +87,8 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     if det_type == "HybridTaskCascade" or det_type == "HTC":
         mask_heads = tuple(build_from_cfg(dict(c), MODELS)
                            for c in cfg.pop("mask_heads"))
-        semantic = build_from_cfg(cfg.pop("semantic_head"), MODELS)
+        sem_cfg = cfg.pop("semantic_head", None)
+        semantic = build_from_cfg(sem_cfg, MODELS) if sem_cfg else None
         return HTC(backbone=backbone, neck=neck, rpn_head=rpn,
                    bbox_heads=heads, mask_heads=mask_heads,
                    semantic_head=semantic,
@@ -101,8 +102,19 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
 
 def _decode_stage(head, proposals, reg, labels=None):
     """Decode one stage's refinement (class-agnostic 4-vector — the
-    reference cascade contract — else class-mean / class-specific)."""
+    reference cascade contract — else class-mean / class-specific).
+    SABL stages (``sabl_cascade_rcnn``) decode through the bucketing
+    coder instead."""
     from dsl_tpu.core.boxes import resolve_delta_coder
+
+    if hasattr(head, "num_buckets"):        # SABLHead: reg = (bcls, boff)
+        from dsl_tpu.core.bucket_coder import bucket2bbox
+
+        b, p = proposals.shape[:2]
+        bcls, boff = reg
+        boxes, _ = bucket2bbox(proposals.reshape(-1, 4), bcls, boff,
+                               head.num_buckets, head.scale_factor)
+        return boxes.reshape(b, p, 4)
 
     _, dec, cd_means, cd_stds = resolve_delta_coder(
         getattr(head, "bbox_coder", None),
@@ -237,6 +249,13 @@ def cascade_rcnn_predict(detector, variables, images, img_shapes=None,
                                          method=detector.roi_forward)
         nc = head.num_classes
         scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
+        if hasattr(head, "num_buckets"):
+            # bucketing-guided rescoring (sabl_head.py get_bboxes)
+            from dsl_tpu.core.bucket_coder import bucket2bbox
+
+            _, conf = bucket2bbox(proposals.reshape(-1, 4), reg[0], reg[1],
+                                  head.num_buckets, head.scale_factor)
+            scores = scores * conf.reshape(b, p, 1)
         score_sum = scores if score_sum is None else score_sum + scores
         proposals = _decode_stage(head, proposals, reg)
         if img_shapes is not None:
@@ -283,10 +302,13 @@ class HTC(CascadeRCNN):
 
 def _semantic_roi_feats(semantic_feat, flat_rois, valid, roi_size,
                         stride: int = 8):
-    """RoI-align the semantic embedding at the semantic-branch stride
+    """RoI-align the semantic embedding at the semantic-branch stride;
+    0 when the detector has no semantic head (htc_without_semantic)
     (reference ``htc_roi_head.py _bbox_forward``: fixed stride-8 extract)."""
     from dsl_tpu.ops.roi_align import roi_align
 
+    if semantic_feat is None:
+        return 0.0
     return roi_align(semantic_feat, flat_rois, out_size=(roi_size, roi_size),
                      spatial_scale=1.0 / stride, sampling_ratio=2,
                      valid=valid)
@@ -333,11 +355,15 @@ def htc_loss(detector, variables, batch, rng_key=None,
     losses = _cascade_rpn_losses(detector, rpn_scores, rpn_deltas, batch,
                                  rng_key)
 
-    seg_logits, semantic_feat = detector.apply(
-        variables, feats, method=detector.semantic_forward)
-    seg_t = _htc_semantic_target(detector, batch, seg_logits.shape[1:3])
-    losses["loss_semantic_seg"] = semantic_seg_loss(
-        seg_logits, seg_t, loss_weight=detector.semantic_head.loss_weight)
+    if detector.semantic_head is not None:
+        seg_logits, semantic_feat = detector.apply(
+            variables, feats, method=detector.semantic_forward)
+        seg_t = _htc_semantic_target(detector, batch, seg_logits.shape[1:3])
+        losses["loss_semantic_seg"] = semantic_seg_loss(
+            seg_logits, seg_t,
+            loss_weight=detector.semantic_head.loss_weight)
+    else:                        # htc_without_semantic_r50_fpn_1x_coco
+        semantic_feat = None
 
     proposals, _, prop_valid = rpn_proposals(
         detector.rpn_head, rpn_scores, rpn_deltas,
@@ -431,8 +457,11 @@ def htc_predict(detector, variables, images, img_shapes=None,
         detector, variables, images, img_shapes=img_shapes,
         scale_factors=None, test_cfg=test_cfg, num_proposals=num_proposals)
     feats = detector.apply(variables, images, training=False)[0]
-    _, semantic_feat = detector.apply(variables, feats,
-                                      method=detector.semantic_forward)
+    if detector.semantic_head is not None:
+        _, semantic_feat = detector.apply(variables, feats,
+                                          method=detector.semantic_forward)
+    else:
+        semantic_feat = None
     strides = tuple(detector.rpn_head.strides)[:4]
     mh = detector.mask_heads[0]
     b, n = dets.shape[:2]

@@ -105,6 +105,12 @@ class PISAFasterRCNN(TwoStageDetector):
 
 
 @DETECTORS.register
+class PISAMaskRCNN(MaskRCNN):
+    """Mask R-CNN + PISA RoI head (``configs/pisa/pisa_mask_rcnn*``): PISA
+    bbox losses + the stock mask branch."""
+
+
+@DETECTORS.register
 class DetectoRS(TwoStageDetector):
     """DetectoRS (``configs/detectors``): DetectoRSResNet (SAC) backbone +
     RFP neck; the neck reruns its own copy of the backbone recursively, so
@@ -164,7 +170,14 @@ def build_two_stage_detector(cfg: dict) -> TwoStageDetector:
     cfg = dict(cfg)
     det_type = cfg.pop("type", "FasterRCNN")
     backbone = build_from_cfg(cfg.pop("backbone"), MODELS)
-    neck = build_from_cfg(cfg.pop("neck"), MODELS)
+    neck_cfg = cfg.pop("neck")
+    if isinstance(neck_cfg, (list, tuple)):   # e.g. [FPN, BFP] (Libra)
+        from dsl_tpu.models.necks.channel_mapper import SequentialNeck
+
+        neck = SequentialNeck(necks=tuple(
+            build_from_cfg(c, MODELS) for c in neck_cfg))
+    else:
+        neck = build_from_cfg(neck_cfg, MODELS)
     rpn_cfg = cfg.pop("rpn_head", None)
     roi_cfg = cfg.pop("bbox_head", None)
     if det_type == "RPN":             # proposals-only detector
@@ -359,7 +372,7 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
         losses.update(roi_losses)
         return _parse_losses(losses)
 
-    if isinstance(detector, PISAFasterRCNN):
+    if isinstance(detector, (PISAFasterRCNN, PISAMaskRCNN)):
         from dsl_tpu.models.roi_heads.dynamic_pisa import pisa_roi_loss
 
         tc = dict(detector.train_cfg or {})
@@ -374,6 +387,18 @@ def two_stage_loss(detector, variables, batch, rng_key=None,
             carl_k=float(carl.get("k", 1.0)),
             carl_bias=float(carl.get("bias", 0.2)),
             isr_n=tc.get("isr_n")))
+        if getattr(detector, "mask_head", None) is not None \
+                and "gt_mask_crops" in batch:
+            # mask branch on a standard sampled roi set (the PISA roi loss
+            # reweights cls/reg only — ``pisa_roi_head.py`` keeps the
+            # stock mask head)
+            mask_samples = sample_batch_rois(
+                proposals, prop_valid, batch, rng_key,
+                detector.bbox_head.num_classes, **rcnn_kw)
+            loss_mask, loss_miou, loss_point = _mask_branch_loss(
+                detector, variables, feats, mask_samples, batch,
+                num_samples=num_samples, rng_key=rng_key)
+            losses["loss_mask"] = loss_mask
         return _parse_losses(losses)
 
     smp_type = dict(dict(tc_all.get("rcnn", {}) or {}).get(

@@ -45,22 +45,27 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weight: jnp.ndarray,
                   bias: jnp.ndarray | None = None,
                   mask: jnp.ndarray | None = None,
                   kernel_size: int = 3, dilation: int = 1,
-                  stride: int = 1) -> jnp.ndarray:
+                  stride: int = 1, deform_groups: int = 1) -> jnp.ndarray:
     """Deformable 3x3 (same padding) convolution.
 
     Args:
       x: (B, H, W, Cin) NHWC input.
-      offsets: (B, H/s, W/s, 2·k²) per-tap (dy, dx) pairs, tap-major — the
-        mmcv channel layout ``[dy0, dx0, dy1, dx1, ...]`` over taps in
-        row-major kernel order, at the OUTPUT resolution.
+      offsets: (B, H/s, W/s, dg·2·k²) per-tap (dy, dx) pairs, group-major
+        then tap-major — ``[g0: dy0, dx0, dy1, dx1, ...][g1: ...]`` over
+        taps in row-major kernel order, at the OUTPUT resolution.
       weight: (k, k, Cin, Cout) HWIO kernel.
-      mask: optional (B, H/s, W/s, k²) modulation (DCNv2); None = v1.
+      mask: optional (B, H/s, W/s, dg·k²) modulation (DCNv2); None = v1.
       stride: output positions every ``stride`` input pixels (mmcv
         ``stride`` — the ResNet-DCN stage-entry blocks use 2).
+      deform_groups: input channels are split into ``dg`` blocks, each
+        sampled with its own offset/mask group (mmcv ``deform_groups``,
+        e.g. ``configs/dcn/*group4*``).
     Returns (B, H/s, W/s, Cout).
     """
     b, h, w, cin = x.shape
     k = kernel_size
+    dg = deform_groups
+    cpg = cin // dg
     pad = dilation * (k - 1) // 2
     oh, ow = offsets.shape[1], offsets.shape[2]
     gy = (jnp.arange(oh, dtype=x.dtype) * stride)[None, :, None]
@@ -69,13 +74,18 @@ def deform_conv2d(x: jnp.ndarray, offsets: jnp.ndarray, weight: jnp.ndarray,
     for i in range(k):
         for j in range(k):
             t = i * k + j
-            dy = offsets[..., 2 * t]
-            dx = offsets[..., 2 * t + 1]
-            ys = gy + (i * dilation - pad) + dy
-            xs = gx + (j * dilation - pad) + dx
-            v = _bilinear_map(x, ys, xs)                 # (B, H, W, Cin)
-            if mask is not None:
-                v = v * mask[..., t:t + 1]
+            parts = []
+            for g in range(dg):
+                dy = offsets[..., (g * k * k + t) * 2]
+                dx = offsets[..., (g * k * k + t) * 2 + 1]
+                ys = gy + (i * dilation - pad) + dy
+                xs = gx + (j * dilation - pad) + dx
+                xg = x if dg == 1 else x[..., g * cpg:(g + 1) * cpg]
+                vg = _bilinear_map(xg, ys, xs)           # (B, H, W, Cin/dg)
+                if mask is not None:
+                    vg = vg * mask[..., g * k * k + t:g * k * k + t + 1]
+                parts.append(vg)
+            v = parts[0] if dg == 1 else jnp.concatenate(parts, axis=-1)
             cols.append(v)
     col = jnp.stack(cols, axis=-2)                       # (B, H, W, k², Cin)
     if weight.shape[2] == cin:
