@@ -1,0 +1,3 @@
+# Variant parity: reference configs/centernet/centernet_resnet18_140e_coco.py
+_base_ = ['centernet_resnet18_dcnv2_140e_coco.py']
+model = dict(neck=dict(use_dcn=False))

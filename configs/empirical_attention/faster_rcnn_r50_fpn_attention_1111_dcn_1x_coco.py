@@ -1,0 +1,4 @@
+# Variant parity: reference configs/empirical_attention/faster_rcnn_r50_fpn_attention_1111_dcn_1x_coco.py
+_base_ = ['./faster_rcnn_r50_fpn_attention_1111_1x_coco.py']
+model = dict(backbone=dict(dcn=dict(type='DCNv2'),
+                           stage_with_dcn=(False, True, True, True)))

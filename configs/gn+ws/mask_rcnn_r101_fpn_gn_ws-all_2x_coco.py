@@ -1,0 +1,3 @@
+# Variant parity: reference configs/gn+ws/mask_rcnn_r101_fpn_gn_ws-all_2x_coco.py
+_base_ = ['mask_rcnn_r50_fpn_gn_ws-all_2x_coco.py']
+model = dict(backbone=dict(depth=101))

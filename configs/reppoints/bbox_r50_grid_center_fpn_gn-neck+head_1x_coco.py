@@ -1,0 +1,7 @@
+# Variant parity: reference configs/reppoints/bbox_r50_grid_center_fpn_gn-neck+head_1x_coco.py
+_base_ = ['reppoints_moment_r50_fpn_gn-neck+head_1x_coco.py']
+# 'bbox' init transform: points from a box grid (reference
+# configs/reppoints README: partial grid supervision)
+model = dict(bbox_head=dict(transform_method='minmax',
+    point_base_scale=2,
+                            use_grid_points=True))

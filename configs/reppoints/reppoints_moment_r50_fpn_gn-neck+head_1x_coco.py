@@ -1,0 +1,4 @@
+# Variant parity: reference configs/reppoints/reppoints_moment_r50_fpn_gn-neck+head_1x_coco.py
+_base_ = ['reppoints_moment_r50_fpn_gn-neck+head_2x_coco.py']
+lr_config = dict(step=[8, 11])
+runner = dict(max_epochs=12)

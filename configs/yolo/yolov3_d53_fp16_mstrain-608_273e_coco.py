@@ -1,0 +1,3 @@
+# Variant parity: reference configs/yolo/yolov3_d53_fp16_mstrain-608_273e_coco.py
+_base_ = ['yolov3_d53_mstrain-608_273e_coco.py']
+fp16 = dict(loss_scale='dynamic')

@@ -28,6 +28,7 @@ class Bottle2neck(nn.Module):
     base_width: int = 26
     stage_type: str = "normal"      # 'stage' for the first block of a stage
     norm_cfg: dict | None = None
+    dcn: dict | None = None         # (modulated) DCN on the scale convs
     expansion: int = 4
 
     @nn.compact
@@ -45,10 +46,32 @@ class Bottle2neck(nn.Module):
         for i in range(self.scales - 1):
             inp = spx[i] if (i == 0 or self.stage_type == "stage") \
                 else sp + spx[i]
-            sp = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                         padding=1, use_bias=False,
-                         kernel_init=nn.initializers.he_normal(),
-                         name=f"conv2_{i}")(inp)
+            if self.dcn is not None:
+                # reference res2net.py Bottle2neck: with_dcn builds every
+                # scale conv from the dcn cfg
+                import jax
+                from dsl_tpu.ops.deform_conv import deform_conv2d
+
+                v2 = self.dcn.get("type", "DCNv2") in ("DCNv2", "dcnv2")
+                dg = int(self.dcn.get("deform_groups", 1))
+                raw = nn.Conv(dg * (27 if v2 else 18), (3, 3),
+                              strides=(self.stride, self.stride), padding=1,
+                              kernel_init=nn.initializers.zeros,
+                              bias_init=nn.initializers.zeros,
+                              name=f"conv2_{i}_offset")(inp)
+                offs = raw[..., :dg * 18]
+                m = jax.nn.sigmoid(raw[..., dg * 18:]) if v2 else None
+                w = self.param(f"conv2_{i}_kernel",
+                               nn.initializers.he_normal(),
+                               (3, 3, inp.shape[-1], width))
+                sp = deform_conv2d(inp, offs, w, mask=m, stride=self.stride,
+                                   deform_groups=dg)
+            else:
+                sp = nn.Conv(width, (3, 3),
+                             strides=(self.stride, self.stride),
+                             padding=1, use_bias=False,
+                             kernel_init=nn.initializers.he_normal(),
+                             name=f"conv2_{i}")(inp)
             sp = nn.relu(make_norm(self.norm_cfg, name=f"bn2_{i}")(sp))
             pieces.append(sp)
         last = spx[-1]
@@ -87,6 +110,8 @@ class Res2Net(nn.Module):
     pretrained: str | None = None
     style: str = "pytorch"          # accepted for config parity
     base_channels: int = 64
+    dcn: dict | None = None
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
 
     @nn.compact
     def __call__(self, x):
@@ -105,6 +130,7 @@ class Res2Net(nn.Module):
                     scales=self.scales, base_width=self.base_width,
                     stage_type="stage" if j == 0 else "normal",
                     norm_cfg=self.norm_cfg,
+                    dcn=self.dcn if self.stage_with_dcn[i] else None,
                     name=f"layer{i + 1}_{j}")(x)
             if i in self.out_indices:
                 outs.append(x)

@@ -61,7 +61,10 @@ class MSDeformAttention(nn.Module):
     @nn.compact
     def __call__(self, query, value_levels, reference_points):
         """query (B, Q, C); value_levels: list of (B, Hl, Wl, C);
-        reference_points (B, Q, 2) normalized [0, 1] -> (B, Q, C)."""
+        reference_points (B, Q, 2) normalized [0, 1] — or (B, Q, 4)
+        normalized cxcywh boxes (box-refine / two-stage mode, where
+        sampling offsets are scaled by the box extent:
+        ``deformable_attn`` 4-d branch) -> (B, Q, C)."""
         b, q, c = query.shape
         nh, nl, npt = self.num_heads, len(value_levels), self.num_points
         ch = c // nh
@@ -79,12 +82,23 @@ class MSDeformAttention(nn.Module):
         for lvl, v in enumerate(value_levels):
             h, w = v.shape[1:3]
             vv = value_proj(v).reshape(b, h, w, nh, ch)
-            # sampling locations in pixels; offsets are in "point" units
-            # normalized by the level size (mmcv convention)
-            locx = (reference_points[:, :, None, None, 0]
-                    + offsets[:, :, :, lvl, :, 0] / w) * w - 0.5
-            locy = (reference_points[:, :, None, None, 1]
-                    + offsets[:, :, :, lvl, :, 1] / h) * h - 0.5
+            if reference_points.shape[-1] == 4:
+                # offsets in units of half the reference box extent
+                locx = (reference_points[:, :, None, None, 0]
+                        + offsets[:, :, :, lvl, :, 0] / npt
+                        * reference_points[:, :, None, None, 2] * 0.5) \
+                    * w - 0.5
+                locy = (reference_points[:, :, None, None, 1]
+                        + offsets[:, :, :, lvl, :, 1] / npt
+                        * reference_points[:, :, None, None, 3] * 0.5) \
+                    * h - 0.5
+            else:
+                # sampling locations in pixels; offsets are in "point"
+                # units normalized by the level size (mmcv convention)
+                locx = (reference_points[:, :, None, None, 0]
+                        + offsets[:, :, :, lvl, :, 0] / w) * w - 0.5
+                locy = (reference_points[:, :, None, None, 1]
+                        + offsets[:, :, :, lvl, :, 1] / h) * h - 0.5
 
             def per_image(vimg, lx, ly):
                 # vimg (h, w, nh, ch) -> per head sample
@@ -100,6 +114,20 @@ class MSDeformAttention(nn.Module):
                          * weights[:, :, :, lvl, :, None]).sum(axis=3)
         out = out.reshape(b, q, c)
         return nn.Dense(c, name="output_proj")(out)
+
+
+def _proposal_pos_embed(coords: jnp.ndarray, num_feats: int = 64,
+                        temperature: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding of normalized cxcywh proposals
+    (``get_proposal_pos_embed``): (B, Q, 4) -> (B, Q, 4*num_feats)."""
+    import math
+
+    dim_t = temperature ** (
+        2 * (jnp.arange(num_feats) // 2) / num_feats)
+    pos = coords[..., None] * (2 * math.pi) / dim_t     # (B, Q, 4, F)
+    pos = jnp.stack([jnp.sin(pos[..., 0::2]), jnp.cos(pos[..., 1::2])],
+                    axis=-1)
+    return pos.reshape(coords.shape[:-1] + (4 * num_feats,))
 
 
 class _FFN(nn.Module):
@@ -124,6 +152,8 @@ class DeformableDETRHead(nn.Module):
     num_decoder_layers: int = 6
     ffn_dim: int = 1024
     in_channels: int = 256     # config parity
+    with_box_refine: bool = False  # iterative refinement (deformable_detr.py)
+    as_two_stage: bool = False     # encoder proposals become the queries
     cost_cls: float = 2.0
     cost_bbox: float = 5.0
     cost_iou: float = 2.0
@@ -178,13 +208,47 @@ class DeformableDETRHead(nn.Module):
                 x + _FFN(c, self.ffn_dim, name=f"enc_ffn{i}")(x))
         memory_levels = split_levels(x)
 
-        # --- decoder ---
-        qe = self.param("query_embed", nn.initializers.normal(1.0),
-                        (self.num_query, 2 * c))
-        query_pos = jnp.broadcast_to(qe[None, :, :c], (b, self.num_query, c))
-        query = jnp.broadcast_to(qe[None, :, c:], (b, self.num_query, c))
-        ref = jax.nn.sigmoid(
-            nn.Dense(2, name="reference_points")(query_pos))  # (B, Q, 2)
+        # --- decoder queries ---
+        enc_cls = enc_box = None
+        if self.as_two_stage:
+            # encoder proposals (``gen_encoder_output_proposals`` +
+            # ``pos_trans_fc``): per-position base proposal at the grid
+            # center with a level-scaled extent, refined by a reg branch on
+            # the memory; top-num_query by class score become the 4-d refs.
+            scales = []
+            for lvl, (h, w) in enumerate(shapes):
+                scales.append(jnp.full((h * w, 2), 0.05 * (2.0 ** lvl)))
+            base = jnp.concatenate(
+                [centers, jnp.broadcast_to(
+                    jnp.concatenate(scales, 0)[None], centers.shape)], -1)
+            base_logit = jnp.log(jnp.clip(base, 1e-6)
+                                 / jnp.clip(1 - base, 1e-6))
+            mem = nn.LayerNorm(name="enc_out_norm")(
+                nn.Dense(c, name="enc_out_fc")(x))
+            enc_cls = nn.Dense(self.num_classes,
+                               bias_init=nn.initializers.constant(-4.595),
+                               name="enc_cls_branch")(mem)
+            reg = mem
+            for j in range(2):
+                reg = nn.relu(nn.Dense(c, name=f"enc_reg_fc{j}")(reg))
+            enc_box = jax.nn.sigmoid(
+                nn.Dense(4, name="enc_reg_out")(reg) + base_logit)
+            score = jnp.max(enc_cls, axis=-1)              # (B, S)
+            _, top = jax.lax.top_k(score, self.num_query)
+            ref = jax.lax.stop_gradient(jnp.take_along_axis(
+                enc_box, top[..., None], axis=1))          # (B, Q, 4)
+            pe = _proposal_pos_embed(ref, c // 4)
+            qe2 = nn.LayerNorm(name="pos_trans_norm")(
+                nn.Dense(2 * c, name="pos_trans_fc")(pe))
+            query_pos, query = qe2[..., :c], qe2[..., c:]
+        else:
+            qe = self.param("query_embed", nn.initializers.normal(1.0),
+                            (self.num_query, 2 * c))
+            query_pos = jnp.broadcast_to(qe[None, :, :c],
+                                         (b, self.num_query, c))
+            query = jnp.broadcast_to(qe[None, :, c:], (b, self.num_query, c))
+            ref = jax.nn.sigmoid(
+                nn.Dense(2, name="reference_points")(query_pos))  # (B, Q, 2)
 
         cls_all, box_all = [], []
         for i in range(self.num_decoder_layers):
@@ -209,13 +273,30 @@ class DeformableDETRHead(nn.Module):
             for j in range(2):
                 reg = nn.relu(nn.Dense(c, name=f"reg_fc{i}_{j}")(reg))
             delta = nn.Dense(4, name=f"reg_out{i}")(reg)
-            ref_logit = jnp.log(ref / jnp.clip(1 - ref, 1e-6))
-            box = jax.nn.sigmoid(
-                delta + jnp.concatenate(
-                    [ref_logit, jnp.zeros_like(ref_logit)], axis=-1))
+            ref_logit = jnp.log(jnp.clip(ref, 1e-6)
+                                / jnp.clip(1 - ref, 1e-6))
+            if ref.shape[-1] == 2:
+                ref_logit = jnp.concatenate(
+                    [ref_logit, jnp.zeros_like(ref_logit)], axis=-1)
+            box = jax.nn.sigmoid(delta + ref_logit)
             box_all.append(box)
-        return (jnp.stack(cls_all, axis=1),                 # (B, L, Q, C)
-                jnp.stack(box_all, axis=1))                 # (B, L, Q, 4)
+            if self.with_box_refine:
+                # next layer samples around this layer's detached box
+                # (``deformable_detr.py``: reference_points = new.detach())
+                ref = jax.lax.stop_gradient(box)
+        cls_out = jnp.stack(cls_all, axis=1)                # (B, L, Q, C)
+        box_out = jnp.stack(box_all, axis=1)                # (B, L, Q, 4)
+        if self.as_two_stage:
+            # encoder proposal predictions join the per-layer loss stack
+            # (``deformable_detr_head.py loss``: enc outputs get the same
+            # Hungarian set loss). Gathered to Q entries for static shape.
+            enc_cls_q = jnp.take_along_axis(
+                enc_cls, top[..., None], axis=1)
+            enc_box_q = jnp.take_along_axis(
+                enc_box, top[..., None], axis=1)
+            cls_out = jnp.concatenate([enc_cls_q[:, None], cls_out], axis=1)
+            box_out = jnp.concatenate([enc_box_q[:, None], box_out], axis=1)
+        return cls_out, box_out
 
 
 def deformable_detr_loss(head, outputs, batch, axis_name=None):

@@ -39,6 +39,9 @@ class FoveaHead(nn.Module):
     base_edge_list: Sequence[int] = (16, 32, 64, 128, 256)
     scale_ranges: Sequence = DEFAULT_RANGES
     sigma: float = 0.4
+    with_deform: bool = False     # FeatureAlign (``fovea_head.py:14-45``):
+    # cls features deformably aligned by offsets predicted from exp(reg)
+    norm_cfg: dict | None = None  # config parity (towers are GN already)
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -58,6 +61,14 @@ class FoveaHead(nn.Module):
         conv_reg = nn.Conv(4, (3, 3), padding=1,
                            kernel_init=normal_init(0.01), name="conv_reg")
 
+        if self.with_deform:
+            align_offset = nn.Conv(18, (1, 1), use_bias=False,
+                                   kernel_init=nn.initializers.zeros,
+                                   name="align_offset")
+            align_kernel = self.param(
+                "align_kernel", nn.initializers.he_normal(),
+                (3, 3, self.feat_channels, self.feat_channels))
+
         cls_out, reg_out = [], []
         for x in feats:
             cf, rf = x, x
@@ -65,8 +76,14 @@ class FoveaHead(nn.Module):
                 cf = nn.relu(norm(conv(cf)))
             for conv, norm in reg_convs:
                 rf = nn.relu(norm(conv(rf)))
+            reg = conv_reg(rf)
+            if self.with_deform:
+                from dsl_tpu.ops.deform_conv import deform_conv2d
+
+                off = align_offset(jnp.exp(reg))
+                cf = nn.relu(deform_conv2d(cf, off, align_kernel))
             cls_out.append(conv_cls(cf))
-            reg_out.append(conv_reg(rf))
+            reg_out.append(reg)
         return tuple(cls_out), tuple(reg_out)
 
 

@@ -48,6 +48,9 @@ class RepPointsHead(nn.Module):
     point_base_scale: int = 4
     moment_mul: float = 0.01
     transform_method: str = "moment"
+    use_grid_points: bool = False   # 'bbox' representation: both stages
+    # regress a box and the 9 points are a regular grid on it
+    # (``reppoints_head.py gen_grid_from_reg:219-251``)
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -63,10 +66,12 @@ class RepPointsHead(nn.Module):
                      kernel_init=normal_init(0.01), name=f"reg_conv{i}"),
              gn(f"reg_gn{i}")) for i in range(self.stacked_convs)]
         n2 = 2 * self.num_points
+        out_dim = 4 if self.use_grid_points else n2
         pts_init_conv = nn.Conv(self.point_feat_channels, (3, 3), padding=1,
                                 kernel_init=normal_init(0.01),
                                 name="pts_init_conv")
-        pts_init_out = nn.Conv(n2, (1, 1), kernel_init=normal_init(0.01),
+        pts_init_out = nn.Conv(out_dim, (1, 1),
+                               kernel_init=normal_init(0.01),
                                name="pts_init_out")
         cls_dconv_w = self.param("cls_dconv_kernel",
                                  nn.initializers.he_normal(),
@@ -80,7 +85,8 @@ class RepPointsHead(nn.Module):
                                     nn.initializers.he_normal(),
                                     (3, 3, self.feat_channels,
                                      self.point_feat_channels))
-        pts_refine_out = nn.Conv(n2, (1, 1), kernel_init=normal_init(0.01),
+        pts_refine_out = nn.Conv(out_dim, (1, 1),
+                                 kernel_init=normal_init(0.01),
                                  name="pts_refine_out")
         moment = self.param("moment_transfer", nn.initializers.zeros, (2,))
 
@@ -91,7 +97,15 @@ class RepPointsHead(nn.Module):
                 cls_feat = nn.relu(norm(conv(cls_feat)))
             for conv, norm in reg_convs:
                 pts_feat = nn.relu(norm(conv(pts_feat)))
-            pts_init = pts_init_out(nn.relu(pts_init_conv(pts_feat)))
+            raw_init = pts_init_out(nn.relu(pts_init_conv(pts_feat)))
+            if self.use_grid_points:
+                s = self.point_base_scale / 2.0
+                prev = jnp.broadcast_to(
+                    jnp.asarray([-s, -s, s, s], raw_init.dtype),
+                    raw_init.shape)
+                pts_init, bbox_init = _grid_from_reg(raw_init, prev)
+            else:
+                pts_init = raw_init
             blend = (1 - self.gradient_mul) * jax.lax.stop_gradient(pts_init)\
                 + self.gradient_mul * pts_init
             dcn_off = blend - _BASE
@@ -100,8 +114,33 @@ class RepPointsHead(nn.Module):
             refine = pts_refine_out(
                 nn.relu(deform_conv2d(pts_feat, dcn_off, refine_dconv_w)))
             init_all.append(pts_init)
-            refine_all.append(refine + jax.lax.stop_gradient(pts_init))
+            if self.use_grid_points:
+                pts_refine, _ = _grid_from_reg(
+                    refine, jax.lax.stop_gradient(bbox_init))
+                refine_all.append(pts_refine)
+            else:
+                refine_all.append(refine + jax.lax.stop_gradient(pts_init))
         return tuple(cls_all), tuple(init_all), tuple(refine_all), moment
+
+
+def _grid_from_reg(reg: jnp.ndarray, prev: jnp.ndarray):
+    """Regress a box from ``prev`` and lay a 3x3 grid of y-first points on
+    it (``reppoints_head.py gen_grid_from_reg:219-251``).
+
+    reg/prev: (..., 4); returns (points (..., 18), bbox (..., 4))."""
+    bxy = (prev[..., :2] + prev[..., 2:]) * 0.5
+    bwh = jnp.clip(prev[..., 2:] - prev[..., :2], 1e-6)
+    tl = bxy + bwh * reg[..., :2] - 0.5 * bwh * jnp.exp(reg[..., 2:])
+    wh = bwh * jnp.exp(reg[..., 2:])
+    iv = jnp.linspace(0.0, 1.0, 3).astype(reg.dtype)
+    gx = tl[..., 0:1] + wh[..., 0:1] * iv                      # (..., 3)
+    gy = tl[..., 1:2] + wh[..., 1:2] * iv
+    lead = reg.shape[:-1]
+    yy = jnp.broadcast_to(gy[..., :, None], lead + (3, 3))
+    xx = jnp.broadcast_to(gx[..., None, :], lead + (3, 3))
+    pts = jnp.stack([yy, xx], axis=-1).reshape(lead + (18,))
+    bbox = jnp.concatenate([tl, tl + wh], axis=-1)
+    return pts, bbox
 
 
 def points2bbox(head, pts, moment):

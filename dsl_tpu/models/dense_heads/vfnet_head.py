@@ -67,6 +67,8 @@ class VFNetHead(nn.Module):
     atss_topk: int = 9
     loss_bbox_weight: float = 1.5
     loss_bbox_refine_weight: float = 2.0
+    dcn_on_last_conv: bool = False   # DCNv2 on the towers' last conv
+    # (``anchor_free_head.py _init_cls_convs``; vfnet *mdconv* configs)
 
     def make_anchor_generator(self) -> AnchorGenerator:
         return AnchorGenerator(strides=list(self.strides), ratios=(1.0,),
@@ -76,13 +78,38 @@ class VFNetHead(nn.Module):
     @nn.compact
     def __call__(self, feats, training: bool = False):
         gn = lambda name: nn.GroupNorm(num_groups=32, epsilon=1e-5, name=name)
+
+        def _tower_conv(i, prefix):
+            """Last stacked conv becomes DCNv2 when dcn_on_last_conv (same
+            construction as fcos_head.py — modules hoisted out of the
+            level loop for cross-level weight sharing)."""
+            if self.dcn_on_last_conv and i == self.stacked_convs - 1:
+                from dsl_tpu.ops.deform_conv import deform_conv2d
+                name = f"{prefix}_conv{i}"
+                offset_conv = nn.Conv(27, (3, 3), padding=((1, 1), (1, 1)),
+                                      kernel_init=nn.initializers.zeros,
+                                      bias_init=nn.initializers.zeros,
+                                      name=f"{name}_offset")
+                weight = self.param(f"{name}_kernel", normal_init(0.01),
+                                    (3, 3, self.feat_channels,
+                                     self.feat_channels))
+                bias = self.param(f"{name}_bias", nn.initializers.zeros,
+                                  (self.feat_channels,))
+
+                def dcn(x):
+                    om = offset_conv(x)
+                    return deform_conv2d(x, om[..., :18], weight, bias=bias,
+                                         mask=jax.nn.sigmoid(om[..., 18:]))
+                return dcn
+            return nn.Conv(self.feat_channels, (3, 3), padding=1,
+                           kernel_init=normal_init(0.01),
+                           name=f"{prefix}_conv{i}")
+
         cls_convs = [
-            (nn.Conv(self.feat_channels, (3, 3), padding=1,
-                     kernel_init=normal_init(0.01), name=f"cls_conv{i}"),
+            (_tower_conv(i, "cls"),
              gn(f"cls_gn{i}")) for i in range(self.stacked_convs)]
         reg_convs = [
-            (nn.Conv(self.feat_channels, (3, 3), padding=1,
-                     kernel_init=normal_init(0.01), name=f"reg_conv{i}"),
+            (_tower_conv(i, "reg"),
              gn(f"reg_gn{i}")) for i in range(self.stacked_convs)]
         reg_conv_init = nn.Conv(self.feat_channels, (3, 3), padding=1,
                                 kernel_init=normal_init(0.01),

@@ -253,3 +253,101 @@ def test_ssd_ladder_head_forward_and_loss():
     dets, labels, valid = ssd_get_bboxes(
         head, cls, reg, img_shapes=jnp.asarray([[300.0, 300.0]]))
     assert dets.shape[-1] == 5
+
+
+def test_deformable_detr_refine_and_two_stage():
+    from dsl_tpu.models.dense_heads.deformable_detr_head import (
+        DeformableDETRHead, deformable_detr_loss, deformable_detr_get_bboxes)
+
+    feats = [jax.random.normal(jax.random.PRNGKey(i), (1, s, s, 32))
+             for i, s in enumerate((8, 4, 2, 1))]
+    batch = dict(_batch(b=1, size=64), images=jnp.zeros((1, 64, 64, 3)))
+    for refine, two_stage, extra in [(True, False, 0), (True, True, 1)]:
+        head = DeformableDETRHead(
+            num_classes=4, embed_dims=32, num_query=10, num_heads=4,
+            num_levels=4, num_points=2, num_encoder_layers=1,
+            num_decoder_layers=2, ffn_dim=32,
+            with_box_refine=refine, as_two_stage=two_stage)
+        v = head.init(jax.random.PRNGKey(0), feats)
+        cls, box = head.apply(v, feats)
+        assert cls.shape[1] == 2 + extra   # enc layer prepended (two-stage)
+        assert box.shape == (1, 2 + extra, 10, 4)
+        assert np.all(np.asarray(box) >= 0) and np.all(np.asarray(box) <= 1)
+        losses = deformable_detr_loss(head, (cls, box), batch)
+        for val in losses.values():
+            assert np.isfinite(float(val)), (refine, two_stage, losses)
+        dets, labels, valid = deformable_detr_get_bboxes(
+            head, (cls, box), img_shapes=jnp.asarray([[64.0, 64.0]]))
+        assert dets.shape[-1] == 5
+
+
+def test_fovea_align_forward_loss():
+    from dsl_tpu.models.dense_heads.fovea_head import FoveaHead, fovea_loss
+
+    head = FoveaHead(num_classes=4, in_channels=32, feat_channels=32,
+                     stacked_convs=1, with_deform=True,
+                     norm_cfg=dict(type='GN', num_groups=32))
+    feats = [jnp.zeros((1, 64 // s, 64 // s, 32))
+             for s in (8, 16, 32, 64, 128)]
+    v = head.init(jax.random.PRNGKey(0), feats)
+    assert "align_offset" in v["params"]
+    cls, reg = head.apply(v, feats)
+    losses = fovea_loss(head, cls, reg, _batch(b=1))
+    assert np.isfinite(float(losses["loss_cls"]))
+    assert np.isfinite(float(losses["loss_bbox"]))
+
+
+def test_reppoints_grid_points():
+    from dsl_tpu.models.dense_heads.reppoints_head import (
+        RepPointsHead, points2bbox, reppoints_loss, _grid_from_reg)
+
+    # a 3x3 grid on the regressed box; minmax transform recovers the box
+    reg = jnp.asarray([[0.1, -0.2, 0.3, 0.1]])
+    prev = jnp.asarray([[-2.0, -2.0, 2.0, 2.0]])
+    pts, bbox = _grid_from_reg(reg, prev)
+    head = RepPointsHead(num_classes=4, transform_method="minmax",
+                         use_grid_points=True)
+    np.testing.assert_allclose(np.asarray(points2bbox(head, pts, None)),
+                               np.asarray(bbox), atol=1e-5)
+
+    head = RepPointsHead(num_classes=4, in_channels=32, feat_channels=32,
+                         point_feat_channels=32, stacked_convs=1,
+                         transform_method="minmax", use_grid_points=True)
+    feats = [jnp.zeros((1, 64 // s, 64 // s, 32))
+             for s in (8, 16, 32, 64, 128)]
+    v = head.init(jax.random.PRNGKey(0), feats)
+    outputs = head.apply(v, feats)
+    assert outputs[1][0].shape[-1] == 18     # grid points, not raw reg
+    losses = reppoints_loss(head, outputs, _batch(b=1))
+    for val in losses.values():
+        assert np.isfinite(float(val)), losses
+
+
+def test_vfnet_dcn_on_last_conv():
+    from dsl_tpu.models.dense_heads.vfnet_head import VFNetHead, vfnet_loss
+
+    head = VFNetHead(num_classes=4, in_channels=32, feat_channels=32,
+                     stacked_convs=2, dcn_on_last_conv=True)
+    feats = [jnp.zeros((1, 128 // s, 128 // s, 32))
+             for s in (8, 16, 32, 64, 128)]
+    v = head.init(jax.random.PRNGKey(0), feats)
+    assert any("offset" in k for k in v["params"])
+    cls, reg, reg_ref = head.apply(v, feats)
+    losses = vfnet_loss(head, cls, reg, reg_ref, _batch(b=1, size=128))
+    for val in losses.values():
+        assert np.isfinite(float(val)), losses
+
+
+def test_res2net_dcn_forward():
+    from dsl_tpu.models.backbones.res2net import Res2Net
+
+    bb = Res2Net(depth=50, out_indices=(0, 1, 2, 3),
+                 dcn=dict(type='DCNv2'),
+                 stage_with_dcn=(False, True, True, True))
+    x = jnp.zeros((1, 64, 64, 3))
+    v = bb.init(jax.random.PRNGKey(0), x)
+    outs = bb.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    flat = jax.tree_util.tree_flatten_with_path(v)[0]
+    assert any("conv2_0_offset" in "/".join(str(p) for p in path)
+               for path, _ in flat)

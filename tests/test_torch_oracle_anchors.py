@@ -168,3 +168,78 @@ def test_ssd512_ladder_matches_reference(ref):
             ours.base_anchors(lvl),
             theirs.base_anchors[lvl].numpy(), atol=1e-4,
             err_msg=f"ssd512 base anchors level {lvl}")
+
+
+def _load_reference_legacy_coder():
+    import importlib.util
+
+    path = ("/root/reference/mmdet/core/bbox/coder/"
+            "legacy_delta_xywh_bbox_coder.py")
+    base_path = "/root/reference/mmdet/core/bbox/coder/base_bbox_coder.py"
+    saved = {k: sys.modules.get(k) for k in
+             ("mmcv", "refcod", "refcod.coder", "refcod.coder.builder",
+              "refcod.builder", "refcod.coder.base_bbox_coder",
+              "refcod.coder.legacy")}
+    try:
+        mmcv = types.ModuleType("mmcv")
+        mmcv.jit = lambda **kw: (lambda f: f)
+        sys.modules["mmcv"] = mmcv
+        for pkg in ("refcod", "refcod.coder"):
+            mod = types.ModuleType(pkg)
+            mod.__path__ = []
+            sys.modules[pkg] = mod
+        builder = types.ModuleType("refcod.builder")
+
+        class _Reg:
+            def register_module(self, *a, **k):
+                return lambda cls: cls
+
+        builder.BBOX_CODERS = _Reg()
+        sys.modules["refcod.builder"] = builder
+
+        def load(name, p):
+            spec = importlib.util.spec_from_file_location(name, p)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+            return mod
+
+        load("refcod.coder.base_bbox_coder", base_path)
+        return load("refcod.coder.legacy", path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_legacy_coder_matches_reference():
+    """Random-tensor pin of legacy_bbox2delta / legacy_delta2bbox to the
+    reference's own ``legacy_delta_xywh_bbox_coder.py`` torch code."""
+    from dsl_tpu.core.boxes import legacy_bbox2delta, legacy_delta2bbox
+
+    mod = _load_reference_legacy_coder()
+    rng = np.random.RandomState(7)
+    n = 64
+    xy = rng.rand(n, 2).astype(np.float32) * 100
+    wh = rng.rand(n, 2).astype(np.float32) * 60 + 2
+    rois = np.concatenate([xy, xy + wh], axis=1)
+    gxy = rng.rand(n, 2).astype(np.float32) * 100
+    gwh = rng.rand(n, 2).astype(np.float32) * 60 + 2
+    gts = np.concatenate([gxy, gxy + gwh], axis=1)
+    means = (0.1, -0.1, 0.05, 0.2)
+    stds = (0.1, 0.1, 0.2, 0.2)
+
+    ref_enc = mod.legacy_bbox2delta(
+        torch.from_numpy(rois), torch.from_numpy(gts), means, stds).numpy()
+    ours_enc = np.asarray(legacy_bbox2delta(rois, gts, means, stds))
+    np.testing.assert_allclose(ours_enc, ref_enc, rtol=1e-4, atol=1e-4)
+
+    deltas = rng.randn(n, 8).astype(np.float32)   # 2 classes x 4
+    ref_dec = mod.legacy_delta2bbox(
+        torch.from_numpy(rois), torch.from_numpy(deltas), means,
+        stds, max_shape=(120, 110)).numpy()
+    ours_dec = np.asarray(legacy_delta2bbox(
+        rois, deltas, means, stds, max_shape=(120, 110)))
+    np.testing.assert_allclose(ours_dec, ref_dec, rtol=1e-4, atol=1e-3)
