@@ -117,6 +117,57 @@ def giou_loss(pred: jnp.ndarray, target: jnp.ndarray,
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 
 
+def _diou_terms(pred, target, eps):
+    """(ious, rho2/c2, pred wh, target wh) shared by DIoU/CIoU
+    (``mmdet/models/losses/iou_loss.py:107-219``)."""
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:], target[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0)
+    overlap = wh[..., 0] * wh[..., 1]
+    ap = (pred[..., 2] - pred[..., 0]) * (pred[..., 3] - pred[..., 1])
+    ag = (target[..., 2] - target[..., 0]) * (target[..., 3] - target[..., 1])
+    ious = overlap / (ap + ag - overlap + eps)
+    ew = jnp.clip(jnp.maximum(pred[..., 2], target[..., 2])
+                  - jnp.minimum(pred[..., 0], target[..., 0]), 0.0)
+    eh = jnp.clip(jnp.maximum(pred[..., 3], target[..., 3])
+                  - jnp.minimum(pred[..., 1], target[..., 1]), 0.0)
+    c2 = ew ** 2 + eh ** 2 + eps
+    rho2 = ((target[..., 0] + target[..., 2])
+            - (pred[..., 0] + pred[..., 2])) ** 2 / 4 \
+        + ((target[..., 1] + target[..., 3])
+           - (pred[..., 1] + pred[..., 3])) ** 2 / 4
+    return ious, rho2 / c2
+
+
+def diou_loss(pred: jnp.ndarray, target: jnp.ndarray,
+              weight: jnp.ndarray | None = None, eps: float = 1e-7,
+              reduction: str = "mean", avg_factor=None):
+    """1 - DIoU (center-distance penalty) on decoded boxes
+    (``iou_loss.py:107-158`` DIoULoss)."""
+    ious, dist = _diou_terms(pred, target, eps)
+    return weight_reduce_loss(1.0 - (ious - dist), weight, reduction,
+                              avg_factor)
+
+
+def ciou_loss(pred: jnp.ndarray, target: jnp.ndarray,
+              weight: jnp.ndarray | None = None, eps: float = 1e-7,
+              reduction: str = "mean", avg_factor=None):
+    """1 - CIoU (distance + aspect-consistency penalties) on decoded boxes
+    (``iou_loss.py:162-219`` CIoULoss — gradients flow through the full
+    ``v²/(1-IoU+v)`` term exactly as in the reference)."""
+    import math
+
+    ious, dist = _diou_terms(pred, target, eps)
+    w1 = pred[..., 2] - pred[..., 0]
+    h1 = pred[..., 3] - pred[..., 1] + eps
+    w2 = target[..., 2] - target[..., 0]
+    h2 = target[..., 3] - target[..., 1] + eps
+    v = (4 / math.pi ** 2) \
+        * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    cious = ious - (dist + v ** 2 / (1.0 - ious + v))
+    return weight_reduce_loss(1.0 - cious, weight, reduction, avg_factor)
+
+
 def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0,
                    weight: jnp.ndarray | None = None,
                    reduction: str = "mean", avg_factor=None):

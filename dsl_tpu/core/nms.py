@@ -143,6 +143,44 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, labels: jnp.ndarray,
     return out_dets, idx, out_valid, out_labels
 
 
+@partial(jax.jit, static_argnames=("score_thr", "iou_threshold", "top_k",
+                                   "max_num"))
+def fast_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+             score_thr: float = 0.05, iou_threshold: float = 0.5,
+             top_k: int = 200, max_num: int = 100):
+    """Fast NMS (``mmdet/models/dense_heads/yolact_head.py fast_nms`` /
+    ``core/post_processing/bbox_nms.py:97-170``): per class, keep a box iff
+    its max IoU with any HIGHER-scored same-class box is <= threshold —
+    suppressed boxes still suppress others, trading a little accuracy for a
+    fully parallel matrix formulation (one (C, K, K) IoU + triu-max; no
+    sequential dependency — ideal on the MXU).
+
+    Args:
+      boxes: (N, 4) shared across classes (the YOLACT layout).
+      scores: (N, C) per-class scores (background column already dropped).
+    Returns (dets (max_num, 5), labels (max_num,), box_idx (max_num,),
+    valid (max_num,)).
+    """
+    from dsl_tpu.core.boxes import bbox_overlaps
+
+    n, c = scores.shape
+    k = min(top_k, n)
+    top_s, idx = jax.lax.top_k(scores.T, k)            # (C, K) sorted desc
+    bx = boxes[idx]                                    # (C, K, 4)
+    iou = jnp.triu(bbox_overlaps(bx, bx), k=1)         # (C, K, K)
+    keep = (iou.max(axis=1) <= iou_threshold) & (top_s > score_thr)
+    flat = jnp.where(keep, top_s, NEG_INF).reshape(-1)
+    m = min(max_num, flat.shape[0])
+    out_s, out_i = jax.lax.top_k(flat, m)
+    labels = out_i // k
+    box_idx = idx.reshape(-1)[out_i]
+    valid = out_s > NEG_INF / 2
+    dets = jnp.concatenate(
+        [boxes[box_idx] * valid[:, None], jnp.where(valid, out_s, 0.0)[:, None]],
+        axis=-1)
+    return dets, jnp.where(valid, labels, 0), box_idx, valid
+
+
 @partial(jax.jit,
          static_argnames=("score_thr", "iou_threshold", "max_per_img",
                           "pre_nms_top", "nms_type", "sigma", "min_score"))

@@ -28,7 +28,7 @@ from dsl_tpu.core import losses as L
 from dsl_tpu.core.anchors import AnchorGenerator
 from dsl_tpu.core.assigners import max_iou_assign
 from dsl_tpu.core.boxes import bbox2delta, delta2bbox
-from dsl_tpu.core.nms import batched_nms
+from dsl_tpu.core.nms import batched_nms  # noqa: F401 (train-path users)
 from dsl_tpu.models.layers import normal_init
 
 
@@ -323,18 +323,14 @@ def yolact_predict(head, outputs, img_shapes=None, scale_factors=None,
         img_hw = (1e9, 1e9)
 
     def _single(bx, sc, cf, proto):
-        p, c = sc.shape
-        flat = jnp.where(sc > score_thr, sc, -1e30).reshape(-1)
-        kk = min(2000, p * c)
-        top_scores, flat_idx = jax.lax.top_k(flat, kk)
-        pi = flat_idx // c
-        ci = flat_idx % c
-        cand_boxes = bx[pi]
-        cand_valid = top_scores > -1e29
-        dets, idx, out_valid, out_labels = batched_nms(
-            cand_boxes, top_scores, ci, iou_threshold=iou_threshold,
-            max_out=max_per_img, valid=cand_valid)
-        kept_coeff = cf[pi[idx]]                          # (max_per_img, P)
+        # Fast NMS — the reference's YOLACT test path (fast_nms :305-457):
+        # per-class triu-max IoU suppression, fully parallel
+        from dsl_tpu.core.nms import fast_nms
+
+        dets, out_labels, box_idx, out_valid = fast_nms(
+            bx, sc, score_thr=score_thr, iou_threshold=iou_threshold,
+            top_k=200, max_num=max_per_img)
+        kept_coeff = cf[box_idx]                          # (max_per_img, P)
         masks = jax.nn.sigmoid(
             jnp.einsum("hwp,np->nhw", proto, kept_coeff))
         masks = jax.vmap(_crop_mask, in_axes=(0, 0, None))(

@@ -282,6 +282,12 @@ def resolve_rcnn_bbox_loss(cfg):
     if t == "GIoULoss":
         return (lambda p, tg, w, af:
                 lw * L.giou_loss(p, tg, weight=w, avg_factor=af)), True
+    if t == "DIoULoss":
+        return (lambda p, tg, w, af:
+                lw * L.diou_loss(p, tg, weight=w, avg_factor=af)), True
+    if t == "CIoULoss":
+        return (lambda p, tg, w, af:
+                lw * L.ciou_loss(p, tg, weight=w, avg_factor=af)), True
     if t == "BoundedIoULoss":
         beta = float(cfg.get("beta", 0.2))
         return (lambda p, tg, w, af: lw * L.bounded_iou_loss(

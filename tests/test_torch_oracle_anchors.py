@@ -243,3 +243,115 @@ def test_legacy_coder_matches_reference():
     ours_dec = np.asarray(legacy_delta2bbox(
         rois, deltas, means, stds, max_shape=(120, 110)))
     np.testing.assert_allclose(ours_dec, ref_dec, rtol=1e-4, atol=1e-3)
+
+
+def _load_reference_iou_loss():
+    import importlib.util
+
+    saved = {k: sys.modules.get(k) for k in
+             ("mmcv", "mmdet", "mmdet.core", "refloss", "refloss.builder",
+              "refloss.losses", "refloss.losses.utils",
+              "refloss.losses.iou_loss")}
+    try:
+        mmcv = types.ModuleType("mmcv")
+        mmcv.jit = lambda **kw: (lambda f: f)
+        sys.modules["mmcv"] = mmcv
+        mmdet = types.ModuleType("mmdet")
+        mmdet_core = types.ModuleType("mmdet.core")
+
+        def _ref_overlaps(b1, b2, mode="iou", is_aligned=False, eps=1e-6):
+            raise RuntimeError("not needed by diou/ciou")
+
+        mmdet_core.bbox_overlaps = _ref_overlaps
+        mmdet.core = mmdet_core
+        sys.modules["mmdet"] = mmdet
+        sys.modules["mmdet.core"] = mmdet_core
+        for pkg in ("refloss", "refloss.losses"):
+            mod = types.ModuleType(pkg)
+            mod.__path__ = []
+            sys.modules[pkg] = mod
+        builder = types.ModuleType("refloss.builder")
+
+        class _Reg:
+            def register_module(self, *a, **k):
+                return lambda cls: cls
+
+        builder.LOSSES = _Reg()
+        sys.modules["refloss.builder"] = builder
+
+        def load(name, p):
+            spec = importlib.util.spec_from_file_location(name, p)
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+            return mod
+
+        load("refloss.losses.utils",
+             "/root/reference/mmdet/models/losses/utils.py")
+        return load("refloss.losses.iou_loss",
+                    "/root/reference/mmdet/models/losses/iou_loss.py")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_diou_ciou_match_reference():
+    from dsl_tpu.core.losses import diou_loss, ciou_loss
+
+    mod = _load_reference_iou_loss()
+    rng = np.random.RandomState(3)
+    n = 128
+    xy = rng.rand(n, 2).astype(np.float32) * 80
+    wh = rng.rand(n, 2).astype(np.float32) * 50 + 1
+    pred = np.concatenate([xy, xy + wh], axis=1)
+    gxy = rng.rand(n, 2).astype(np.float32) * 80
+    gwh = rng.rand(n, 2).astype(np.float32) * 50 + 1
+    target = np.concatenate([gxy, gxy + gwh], axis=1)
+
+    ref_d = mod.diou_loss(torch.from_numpy(pred), torch.from_numpy(target),
+                          reduction="none").numpy()
+    ours_d = np.asarray(diou_loss(pred, target, reduction="none"))
+    np.testing.assert_allclose(ours_d, ref_d, rtol=1e-4, atol=1e-5)
+
+    ref_c = mod.ciou_loss(torch.from_numpy(pred), torch.from_numpy(target),
+                          reduction="none").numpy()
+    ours_c = np.asarray(ciou_loss(pred, target, reduction="none"))
+    np.testing.assert_allclose(ours_c, ref_c, rtol=1e-4, atol=1e-5)
+
+
+def test_fast_nms_semantics():
+    """Fast NMS keeps a box iff max IoU with a higher-scored same-class box
+    is <= thr — including suppression by already-suppressed boxes (the
+    defining difference from sequential NMS)."""
+    from dsl_tpu.core.nms import fast_nms
+
+    # low-overlap chain (pairwise IoU 0.33 <= thr): everything survives
+    boxes = np.asarray([[0, 0, 10, 10],
+                        [5, 0, 15, 10],
+                        [10, 0, 20, 10]], np.float32)
+    scores = np.asarray([[0.9], [0.8], [0.7]], np.float32)
+    dets, labels, idx, valid = fast_nms(boxes, scores, score_thr=0.05,
+                                        iou_threshold=0.4, max_num=3)
+    kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    assert kept == {0, 1, 2}, kept
+    boxes = np.asarray([[0, 0, 10, 10],
+                        [2, 0, 12, 10],
+                        [4, 0, 14, 10]], np.float32)
+    scores = np.asarray([[0.9], [0.8], [0.7]], np.float32)
+    dets, labels, idx, valid = fast_nms(boxes, scores, score_thr=0.05,
+                                        iou_threshold=0.5, max_num=3)
+    kept = set(np.asarray(idx)[np.asarray(valid)].tolist())
+    # A kills B (IoU 8/12=0.67); C vs B IoU 0.67 > 0.5 -> fast NMS kills C
+    # even though C vs A IoU (6/14=0.43) passes
+    assert kept == {0}, kept
+    # classes are independent
+    scores2 = np.asarray([[0.9, 0.0], [0.0, 0.8], [0.0, 0.0]], np.float32)
+    _, labels2, idx2, valid2 = fast_nms(boxes, scores2, score_thr=0.05,
+                                        iou_threshold=0.5, max_num=4)
+    kept2 = {(int(l), int(i)) for l, i, v in
+             zip(np.asarray(labels2), np.asarray(idx2), np.asarray(valid2))
+             if v}
+    assert kept2 == {(0, 0), (1, 1)}, kept2
