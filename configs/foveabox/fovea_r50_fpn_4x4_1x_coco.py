@@ -10,6 +10,10 @@ model = dict(
               num_outs=5),
     bbox_head=dict(type='FoveaHead', num_classes=80, in_channels=256,
                    feat_channels=256, stacked_convs=4,
-                   strides=[8, 16, 32, 64, 128], sigma=0.4),
+                   strides=[8, 16, 32, 64, 128], sigma=0.4,
+                   loss_cls=dict(type='FocalLoss', use_sigmoid=True,
+                                 gamma=1.50, alpha=0.4, loss_weight=1.0),
+                   loss_bbox=dict(type='SmoothL1Loss', beta=0.11,
+                                  loss_weight=1.0)),
     test_cfg=dict(nms_pre=1000, score_thr=0.05,
                   nms=dict(iou_threshold=0.5), max_per_img=100))

@@ -138,21 +138,35 @@ def delta2bbox(rois: jnp.ndarray, deltas: jnp.ndarray,
                means=(0.0, 0.0, 0.0, 0.0),
                stds=(1.0, 1.0, 1.0, 1.0),
                max_shape: tuple[int, int] | None = None,
-               wh_ratio_clip: float = 16.0 / 1000.0) -> jnp.ndarray:
-    """Decode (dx, dy, dw, dh) deltas on rois into boxes."""
+               wh_ratio_clip: float = 16.0 / 1000.0,
+               add_ctr_clamp: bool = False,
+               ctr_clamp: float = 32.0) -> jnp.ndarray:
+    """Decode (dx, dy, dw, dh) deltas on rois into boxes.
+
+    ``add_ctr_clamp`` is the YOLOF variant
+    (``delta_xywh_bbox_coder.py:139-146``): the center shift in pixels is
+    clamped to ±``ctr_clamp`` and dw/dh only clamped from above."""
     means = jnp.asarray(means, deltas.dtype)
     stds = jnp.asarray(stds, deltas.dtype)
     d = deltas * stds + means
     dx, dy, dw, dh = d[..., 0], d[..., 1], d[..., 2], d[..., 3]
     max_ratio = jnp.abs(jnp.log(wh_ratio_clip))
-    dw = jnp.clip(dw, -max_ratio, max_ratio)
-    dh = jnp.clip(dh, -max_ratio, max_ratio)
     px = (rois[..., 0] + rois[..., 2]) * 0.5
     py = (rois[..., 1] + rois[..., 3]) * 0.5
     pw = rois[..., 2] - rois[..., 0]
     ph = rois[..., 3] - rois[..., 1]
-    gx = px + pw * dx
-    gy = py + ph * dy
+    dx_width = pw * dx
+    dy_height = ph * dy
+    if add_ctr_clamp:
+        dx_width = jnp.clip(dx_width, -ctr_clamp, ctr_clamp)
+        dy_height = jnp.clip(dy_height, -ctr_clamp, ctr_clamp)
+        dw = jnp.minimum(dw, max_ratio)
+        dh = jnp.minimum(dh, max_ratio)
+    else:
+        dw = jnp.clip(dw, -max_ratio, max_ratio)
+        dh = jnp.clip(dh, -max_ratio, max_ratio)
+    gx = px + dx_width
+    gy = py + dy_height
     gw = pw * jnp.exp(dw)
     gh = ph * jnp.exp(dh)
     boxes = jnp.stack(

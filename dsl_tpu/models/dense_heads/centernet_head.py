@@ -188,13 +188,13 @@ def centernet_loss(head, outputs, batch, axis_name=None):
         (fh, fw), img_hw)
     if axis_name:
         avg = jax.lax.pmean(avg, axis_name)
-    pred = jnp.clip(jax.nn.sigmoid(heatmap_pred), 1e-4, 1 - 1e-4)
-    loss_center = gaussian_focal_loss(pred, heat_t, reduction="sum",
+    pred = jax.nn.sigmoid(heatmap_pred)
+    loss_center = gaussian_focal_loss(pred, heat_t, reduction="mean",
                                       avg_factor=avg)
     w2 = jnp.broadcast_to(wgt, wh_t.shape)
-    loss_wh = 0.1 * l1_loss(wh_pred, wh_t, weight=w2, reduction="sum",
+    loss_wh = 0.1 * l1_loss(wh_pred, wh_t, weight=w2, reduction="mean",
                             avg_factor=avg * 2)
-    loss_offset = l1_loss(offset_pred, off_t, weight=w2, reduction="sum",
+    loss_offset = l1_loss(offset_pred, off_t, weight=w2, reduction="mean",
                           avg_factor=avg * 2)
     return dict(loss_center_heatmap=loss_center, loss_wh=loss_wh,
                 loss_offset=loss_offset)

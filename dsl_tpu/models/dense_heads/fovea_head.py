@@ -42,6 +42,8 @@ class FoveaHead(nn.Module):
     with_deform: bool = False     # FeatureAlign (``fovea_head.py:14-45``):
     # cls features deformably aligned by offsets predicted from exp(reg)
     norm_cfg: dict | None = None  # config parity (towers are GN already)
+    loss_cls: dict | None = None   # FocalLoss cfg (shipped: γ1.5 α0.4)
+    loss_bbox: dict | None = None  # SmoothL1Loss cfg (β0.11)
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -159,13 +161,27 @@ def fovea_loss(head: FoveaHead, cls_scores, bbox_preds, batch,
     flat_reg = jnp.concatenate(preds_r, axis=1)
 
     num_pos = pos.sum()
+    num_imgs = jnp.asarray(b, jnp.float32)
     if axis_name:
         num_pos = jax.lax.psum(num_pos, axis_name)
-    num_pos = jnp.maximum(num_pos, 1.0)
-    loss_cls = L.sigmoid_focal_loss(flat_cls, labels, avg_factor=num_pos)
-    loss_bbox = L.smooth_l1_loss(flat_reg, targets, beta=0.11,
-                                 weight=pos[..., None],
-                                 avg_factor=num_pos * 4)
+        num_imgs = jax.lax.psum(num_imgs, axis_name)
+    # reference avg factors (fovea_head.py:146-158): cls by num_pos +
+    # num_imgs, bbox by num_pos (elementwise sum over the (pos, 4) block)
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "FocalLoss") != "FocalLoss":
+        raise NotImplementedError(
+            f"FoveaHead loss_cls {cls_cfg.get('type')} unsupported")
+    bbox_cfg = dict(head.loss_bbox or {})
+    if bbox_cfg.get("type", "SmoothL1Loss") != "SmoothL1Loss":
+        raise NotImplementedError(
+            f"FoveaHead loss_bbox {bbox_cfg.get('type')} unsupported")
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * L.sigmoid_focal_loss(
+        flat_cls, labels, gamma=float(cls_cfg.get("gamma", 2.0)),
+        alpha=float(cls_cfg.get("alpha", 0.25)),
+        avg_factor=num_pos + num_imgs)
+    loss_bbox = float(bbox_cfg.get("loss_weight", 1.0)) * L.smooth_l1_loss(
+        flat_reg, targets, beta=float(bbox_cfg.get("beta", 0.11)),
+        weight=pos[..., None], avg_factor=num_pos)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
 

@@ -69,6 +69,12 @@ class YOLOFHead(nn.Module):
     match_times: int = 4
     pos_ignore_thr: float = 0.15
     neg_ignore_thr: float = 0.7
+    # YOLOF decodes with the ctr-clamped delta coder (config bbox_coder
+    # add_ctr_clamp=True, ctr_clamp=32)
+    add_ctr_clamp: bool = True
+    ctr_clamp: float = 32.0
+    loss_cls: dict | None = None
+    loss_bbox: dict | None = None
 
     def make_anchor_generator(self) -> AnchorGenerator:
         return AnchorGenerator(strides=list(self.strides), ratios=(1.0,),
@@ -114,6 +120,22 @@ class YOLOFHead(nn.Module):
 
 def yolof_loss(head: YOLOFHead, cls_scores, bbox_preds, batch,
                axis_name: str | None = None):
+    """Uniform matching, the reference's exact machinery
+    (``yolof_head.py:219-344`` + ``uniform_assigner.py:34-138``):
+
+    - cost is the **cxcywh** L1 ``cdist`` (centers AND sizes), computed for
+      both the ctr-clamp-decoded predictions and the raw anchors; each gt
+      takes the ``match_times`` smallest of each — the candidate list keeps
+      duplicates, exactly like ``indexes = cat(index, index1)``;
+    - a candidate is pos-ignored when its **anchor** IoU (not pred IoU)
+      with its gt is < ``pos_ignore_thr``;
+    - the per-anchor label scatter is sequential last-wins in the
+      reference's flattened (match-rank-major, pred-block-then-anchor-
+      block, gt-minor) order — emulated with an ordinal scatter-max;
+    - the GIoU bbox loss runs over the full duplicated candidate list
+      (``bbox_pred[indexes]`` vs ``gt_bboxes[pos_gt_index]``), NOT over
+      unique anchors, averaged by the number of unique positive anchors.
+    """
     nc = head.num_classes
     gen = head.make_anchor_generator()
     shapes = [tuple(c.shape[1:3]) for c in cls_scores]
@@ -123,64 +145,77 @@ def yolof_loss(head: YOLOFHead, cls_scores, bbox_preds, batch,
     flat_cls = cls_scores[0].reshape(b, -1, nc)
     flat_reg = bbox_preds[0].reshape(b, -1, 4)
     decoded = delta2bbox(anchors[None], flat_reg, head.target_means,
-                         head.target_stds)
+                         head.target_stds,
+                         add_ctr_clamp=head.add_ctr_clamp,
+                         ctr_clamp=head.ctr_clamp)
 
     gt = batch["gt_bboxes"]
     gtl = jnp.clip(batch["gt_labels"], 0, nc - 1)
     gtv = batch["gt_valid"]
     k = gt.shape[1]
     t = min(head.match_times, a)
+    n_ent = 2 * t * k
 
-    def centers(boxes):
+    def cxcywh(boxes):
         return jnp.stack([(boxes[..., 0] + boxes[..., 2]) / 2,
-                          (boxes[..., 1] + boxes[..., 3]) / 2], axis=-1)
+                          (boxes[..., 1] + boxes[..., 3]) / 2,
+                          boxes[..., 2] - boxes[..., 0],
+                          boxes[..., 3] - boxes[..., 1]], axis=-1)
 
-    ac = centers(anchors)                                    # (A, 2)
-    pc = centers(jax.lax.stop_gradient(decoded))             # (B, A, 2)
-    gc = centers(gt)                                         # (B, K, 2)
-    # L1 center distances (B, K, A)
-    d_anchor = jnp.abs(ac[None, None] - gc[:, :, None, :]).sum(-1)
-    d_pred = jnp.abs(pc[:, None] - gc[:, :, None, :]).sum(-1)
-    _, idx_a = jax.lax.top_k(-d_anchor, t)                   # (B, K, t)
-    _, idx_p = jax.lax.top_k(-d_pred, t)
-    cand = jnp.concatenate([idx_a, idx_p], axis=-1)          # (B, K, 2t)
+    def per_image(dec, g, gl, gv):
+        # costs (A, K) in cxcywh space
+        cost_p = jnp.abs(cxcywh(dec)[:, None] - cxcywh(g)[None]).sum(-1)
+        cost_a = jnp.abs(cxcywh(anchors)[:, None] - cxcywh(g)[None]).sum(-1)
+        idx_p = jax.lax.top_k(-cost_p.T, t)[1].T             # (t, K)
+        idx_a = jax.lax.top_k(-cost_a.T, t)[1].T             # (t, K)
+        # reference order: cat((index, index1), dim=1).reshape(-1)
+        flat = jnp.concatenate([idx_p, idx_a], axis=1).reshape(-1)  # (2tK,)
+        gt_of = jnp.tile(jnp.arange(k), 2 * t)                      # (2tK,)
 
-    iou_pred = jax.vmap(bbox_overlaps)(
-        jax.lax.stop_gradient(decoded), gt)                  # (B, A, K)
-    # positive mask per (gt, candidate): drop low-quality (pred IoU < thr)
-    cand_iou = jnp.take_along_axis(
-        jnp.swapaxes(iou_pred, 1, 2), cand, axis=-1)         # (B, K, 2t)
-    cand_ok = (cand_iou >= head.pos_ignore_thr) & gtv[..., None]
+        iou_pred = bbox_overlaps(dec, g)                     # (A, K)
+        iou_anchor = bbox_overlaps(anchors, g)               # (A, K)
+        pos_ious = iou_anchor[flat, gt_of]
+        ent_ignore = pos_ious < head.pos_ignore_thr
+        ent_valid = gv[gt_of]
 
-    # scatter to per-anchor assignment (later gts may override; ref builds
-    # index lists — collisions are rare and benign)
-    assigned = jnp.full((b, a), -1, jnp.int32)
-    ignored_pos = jnp.zeros((b, a), bool)
-    bidx = jnp.arange(b)[:, None, None].repeat(k, 1).repeat(2 * t, 2)
-    gidx = jnp.arange(k)[None, :, None].repeat(b, 0).repeat(2 * t, 2)
-    assigned = assigned.at[bidx, cand].set(
-        jnp.where(cand_ok, gidx, -1))
-    ignored_pos = ignored_pos.at[bidx, cand].set(~cand_ok)
+        # base assignment: 0 (background), -1 where pred IoU to any valid
+        # gt exceeds neg_ignore_thr
+        pred_max = jnp.max(jnp.where(gv[None], iou_pred, -1.0), axis=-1)
+        base = jnp.where(pred_max > head.neg_ignore_thr, -1, 0)
 
-    pos = assigned >= 0
-    # negatives with high pred IoU to any gt are ignored
-    max_iou = jnp.max(jnp.where(gtv[:, None, :], iou_pred, 0.0), axis=-1)
-    neg_ignore = (max_iou > head.neg_ignore_thr) & ~pos
-    weight = jnp.where(pos | ~(neg_ignore | (ignored_pos & ~pos)), 1.0, 0.0)
+        # last-wins sequential scatter of entry values
+        ent_value = jnp.where(ent_ignore, -1, gt_of + 1)
+        ord_ = jnp.arange(n_ent)
+        win = jnp.full((a,), -1, jnp.int32).at[flat].max(
+            jnp.where(ent_valid, ord_, -1))
+        assigned = jnp.where(win >= 0, ent_value[jnp.maximum(win, 0)], base)
 
-    labels = jnp.where(
-        pos, jnp.take_along_axis(gtl, jnp.maximum(assigned, 0), axis=1), nc)
+        labels = jnp.where(assigned > 0, gl[jnp.maximum(assigned - 1, 0)],
+                           nc)
+        label_w = (assigned >= 0).astype(jnp.float32)
+        num_pos = (assigned > 0).sum().astype(jnp.float32)
 
-    def _psum(x):
-        return jax.lax.psum(x, axis_name) if axis_name else x
+        ent_pred = dec[flat]                                 # (2tK, 4)
+        ent_tgt = g[gt_of]
+        ent_w = ((~ent_ignore) & ent_valid).astype(jnp.float32)
+        return labels, label_w, num_pos, ent_pred, ent_tgt, ent_w
 
-    num_pos = jnp.maximum(_psum(pos.sum().astype(jnp.float32)), 1.0)
-    loss_cls = L.sigmoid_focal_loss(flat_cls, labels, weight=weight,
-                                    avg_factor=num_pos)
-    tgt = jnp.take_along_axis(gt, jnp.maximum(assigned, 0)[..., None],
-                              axis=1)
-    loss_bbox = L.giou_loss(decoded, tgt, weight=pos.astype(jnp.float32),
-                            avg_factor=num_pos)
+    labels, label_w, num_pos, ent_pred, ent_tgt, ent_w = jax.vmap(
+        per_image)(decoded, gt, gtl, gtv)
+
+    total_pos = num_pos.sum()
+    if axis_name:
+        total_pos = jax.lax.psum(total_pos, axis_name)
+    num_total = jnp.maximum(total_pos, 1.0)
+
+    cls_cfg = dict(head.loss_cls or {})
+    bbox_cfg = dict(head.loss_bbox or {})
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * L.sigmoid_focal_loss(
+        flat_cls, labels, gamma=float(cls_cfg.get("gamma", 2.0)),
+        alpha=float(cls_cfg.get("alpha", 0.25)), weight=label_w,
+        avg_factor=num_total)
+    loss_bbox = float(bbox_cfg.get("loss_weight", 1.0)) * L.giou_loss(
+        ent_pred, ent_tgt, weight=ent_w, avg_factor=num_total)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
 
@@ -194,7 +229,9 @@ def yolof_get_bboxes(head: YOLOFHead, cls_scores, bbox_preds,
     b = cls_scores[0].shape[0]
     scores = jax.nn.sigmoid(cls_scores[0].reshape(b, -1, nc))
     boxes = delta2bbox(anchors[None], bbox_preds[0].reshape(b, -1, 4),
-                       head.target_means, head.target_stds)
+                       head.target_means, head.target_stds,
+                       add_ctr_clamp=head.add_ctr_clamp,
+                       ctr_clamp=head.ctr_clamp)
     if img_shapes is not None:
         xlim = img_shapes[:, None, 1:2]
         ylim = img_shapes[:, None, 0:1]
