@@ -40,6 +40,7 @@ class AutoAssignHead(nn.Module):
     pos_loss_weight: float = 0.25
     neg_loss_weight: float = 0.75
     center_loss_weight: float = 0.75
+    point_offset: float = 0.0   # no half-stride shift (``:173-187``)
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -99,7 +100,9 @@ def _flat(per_level, c):
 def autoassign_loss(head, outputs, batch, axis_name=None):
     cls_scores, bbox_preds, objs, (p_mean, p_sigma) = outputs
     shapes = [x.shape[1:3] for x in cls_scores]
-    gen = MlvlPointGenerator(list(head.strides), offset=0.5)
+    # AutoAssign removes the half-stride offset (reference
+    # ``_get_points_single`` :173-187: points = (x·stride, y·stride))
+    gen = MlvlPointGenerator(list(head.strides), offset=0.0)
     pts = jnp.asarray(gen.flat_points(shapes))              # (P, 2)
     pt_strides = jnp.concatenate([
         jnp.full((h * w,), float(s))
@@ -116,11 +119,12 @@ def autoassign_loss(head, outputs, batch, axis_name=None):
     gtv = batch["gt_valid"].astype(jnp.float32)              # (B, K)
     b, k = gtl.shape
 
-    # inside-gt mask (B, P, K)
+    # inside-gt mask (B, P, K) — STRICT inequalities
+    # (``_get_target_single``: bbox_targets.min(-1) > 0)
     px = pts[None, :, None, 0]
     py = pts[None, :, None, 1]
-    inside = ((px >= gtb[:, None, :, 0]) & (px <= gtb[:, None, :, 2])
-              & (py >= gtb[:, None, :, 1]) & (py <= gtb[:, None, :, 3])
+    inside = ((px > gtb[:, None, :, 0]) & (px < gtb[:, None, :, 2])
+              & (py > gtb[:, None, :, 1]) & (py < gtb[:, None, :, 3])
               & (gtv[:, None, :] > 0))
 
     # center prior (B, P, K): gaussian of stride-normalized offset to center
@@ -158,8 +162,11 @@ def autoassign_loss(head, outputs, batch, axis_name=None):
     pos_loss = head.pos_loss_weight * pos_loss.sum() / jnp.maximum(num_gt, 1)
 
     # ---- negative focal loss with iou decay (reference :258-311) ----
-    iou_max = jnp.max(jnp.where(inside, ious_pg, 0.0), axis=-1,
-                      keepdims=True)                         # (B, P, 1)
+    # per-point max IoU over ALL (valid) gts, THEN zeroed outside inside
+    # (the reference maxes before masking: ``ious.max(dim=-1).repeat`` then
+    # ``ious[~inside_gt_bbox_mask] = 0``)
+    iou_max = jnp.max(jnp.where(gtv[:, None, :] > 0, ious_pg, 0.0),
+                      axis=-1, keepdims=True)                # (B, P, 1)
     ious_b = jnp.where(inside, jnp.broadcast_to(iou_max, inside.shape), 0.0)
     temp = 1.0 / jnp.maximum(1.0 - ious_b, EPS)              # (B, P, K)
     # per-gt min/max over its inside points (masked)
@@ -170,15 +177,23 @@ def autoassign_loss(head, outputs, batch, axis_name=None):
     t_norm = (temp - t_min[:, None, :] + EPS) / \
         (t_max[:, None, :] - t_min[:, None, :] + EPS)
     neg_val = jnp.where(inside, 1.0 - t_norm, 1.0)           # (B, P, K)
-    # scatter-min into per-class weights (B, P, C)
+    # scatter into per-class weights (B, P, C): the reference writes
+    # ``p_neg_weight[point, gt_label] = 1 - temp_weight`` sequentially in
+    # gt-major order, so on (point, class) collisions the LAST gt wins —
+    # emulated with an ordinal scatter-max over gt index
     pidx = jnp.broadcast_to(jnp.arange(pts.shape[0])[None, :, None],
                             neg_val.shape)
     lidx = jnp.broadcast_to(gtl[:, None, :], neg_val.shape)
+    gidx = jnp.broadcast_to(jnp.arange(k)[None, None, :], neg_val.shape)
 
-    def scatter_min(vals, pi, li):
-        return jnp.ones((pts.shape[0], nc)).at[pi, li].min(vals)
+    def scatter_last(vals, ins, pi, li, gi):
+        win = jnp.full((pts.shape[0], nc), -1, jnp.int32).at[pi, li].max(
+            jnp.where(ins, gi, -1))
+        picked = jnp.take_along_axis(vals, jnp.maximum(win, 0), axis=1)
+        return jnp.where(win >= 0, picked, 1.0)
 
-    neg_w = jax.vmap(scatter_min)(neg_val, pidx, lidx)       # (B, P, C)
+    neg_w = jax.vmap(scatter_last)(neg_val, inside, pidx, lidx,
+                                   gidx)                     # (B, P, C)
     logits = joint * neg_w
     neg_loss_map = logits ** 2 * (-jnp.log(jnp.maximum(1.0 - logits, EPS)))
     neg_avg = prior.sum()

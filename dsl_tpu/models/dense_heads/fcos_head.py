@@ -372,7 +372,10 @@ def fcos_get_bboxes(head_cfg, cls_scores, bbox_preds, centernesses,
     batch = cls_scores[0].shape[0]
 
     featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
-    gen = MlvlPointGenerator(list(head_cfg.strides))
+    # AutoAssign shares this decode but uses offset-0 points
+    # (autoassign_head.py:173-187 removes the half-stride shift)
+    gen = MlvlPointGenerator(list(head_cfg.strides),
+                             offset=getattr(head_cfg, "point_offset", 0.5))
     lvl_points = gen.grid_points(featmap_sizes)
 
     all_boxes, all_scores, all_cent, all_valid = [], [], [], []

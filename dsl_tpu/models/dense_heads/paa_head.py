@@ -25,7 +25,7 @@ from dsl_tpu.core.assigners import max_iou_assign
 from dsl_tpu.core.boxes import bbox_overlaps, delta2bbox
 from dsl_tpu.models.dense_heads.atss_head import ATSSHead
 
-EPS = 1e-9
+EPS = 1e-12                          # reference paa_head.py EPS
 
 
 @HEADS.register
@@ -37,55 +37,91 @@ class PAAHead(ATSSHead):
     score_voting: bool = True     # accepted for config parity
 
 
-def em_fit_1d(scores, mask, iters: int = 10):
-    """Masked 2-component 1-D EM. Returns responsibility of the LOW-mean
-    component per sample (0 where masked out)."""
-    valid = mask.astype(scores.dtype)
-    n = jnp.maximum(valid.sum(), 1.0)
-    big = jnp.where(mask, scores, jnp.inf)
-    small = jnp.where(mask, scores, -jnp.inf)
-    m0 = jnp.min(big)                      # low-loss component mean
-    m1 = jnp.max(small)
+LOG2PI = 1.8378770664093453          # log(2*pi)
+
+
+def gmm_fit_predict_1d(x, mask, iters: int = 100, reg_covar: float = 1e-6,
+                       tol: float = 1e-3):
+    """2-component diag GMM on masked 1-D data, replicating
+    ``sklearn.mixture.GaussianMixture(2, weights_init=[.5,.5],
+    means_init=[min,max], precisions_init=[1,1])`` as the reference's
+    ``paa_reassign`` uses it (``paa_head.py:307-330``): EM from the given
+    init (no kmeans), per-M-step ``reg_covar`` variance floor, and —
+    critically — sklearn's EARLY STOP when the mean log-likelihood
+    improves by < ``tol``. The stopping rule is semantic, not cosmetic:
+    this EM often drifts to a different basin if run to the 100-iteration
+    cap, so we freeze the parameters at the same iteration sklearn would
+    break (after that iteration's M-step).
+
+    Returns (fg0 (bool, argmax==component0), log_density) per sample."""
+    v = mask.astype(x.dtype)
+    n = jnp.maximum(v.sum(), 1.0)
+    xz = jnp.where(mask, x, 0.0)
+    m0 = jnp.min(jnp.where(mask, x, jnp.inf))
+    m1 = jnp.max(jnp.where(mask, x, -jnp.inf))
     m0 = jnp.where(jnp.isfinite(m0), m0, 0.0)
     m1 = jnp.where(jnp.isfinite(m1), m1, 1.0)
-    mean = (scores * valid).sum() / n
-    var = ((scores - mean) ** 2 * valid).sum() / n + EPS
-    s0 = s1 = jnp.sqrt(var) + EPS
-    pi = 0.5
+
+    def log_prob(p):
+        m0, m1, v0, v1, w0, w1 = p
+        lp0 = -0.5 * (LOG2PI + jnp.log(v0) + (x - m0) ** 2 / v0) \
+            + jnp.log(w0)
+        lp1 = -0.5 * (LOG2PI + jnp.log(v1) + (x - m1) ** 2 / v1) \
+            + jnp.log(w1)
+        return lp0, lp1
 
     def step(carry, _):
-        m0, m1, s0, s1, pi = carry
-        lp0 = -0.5 * ((scores - m0) / s0) ** 2 - jnp.log(s0) + jnp.log(pi)
-        lp1 = -0.5 * ((scores - m1) / s1) ** 2 - jnp.log(s1) \
-            + jnp.log(1 - pi)
-        r0 = jax.nn.sigmoid(lp0 - lp1) * valid
-        r1 = valid - r0
-        w0 = jnp.maximum(r0.sum(), EPS)
-        w1 = jnp.maximum(r1.sum(), EPS)
-        m0n = (r0 * scores).sum() / w0
-        m1n = (r1 * scores).sum() / w1
-        s0n = jnp.sqrt((r0 * (scores - m0n) ** 2).sum() / w0) + EPS
-        s1n = jnp.sqrt((r1 * (scores - m1n) ** 2).sum() / w1) + EPS
-        pin = jnp.clip(w0 / jnp.maximum(w0 + w1, EPS), 0.05, 0.95)
-        # keep component 0 the low-mean one
-        swap = m0n > m1n
-        return ((jnp.where(swap, m1n, m0n), jnp.where(swap, m0n, m1n),
-                 jnp.where(swap, s1n, s0n), jnp.where(swap, s0n, s1n),
-                 jnp.where(swap, 1 - pin, pin)), None)
+        params, prev_lb, done = carry
+        lp0, lp1 = log_prob(params)
+        lse = jnp.logaddexp(lp0, lp1)
+        lb = (lse * v).sum() / n
+        r0 = jnp.exp(lp0 - lse) * v
+        r1 = jnp.exp(lp1 - lse) * v
+        nk0 = r0.sum() + 1e-10
+        nk1 = r1.sum() + 1e-10
+        m0n = (r0 * xz).sum() / nk0
+        m1n = (r1 * xz).sum() / nk1
+        new = (m0n, m1n,
+               (r0 * (xz - m0n) ** 2).sum() / nk0 + reg_covar,
+               (r1 * (xz - m1n) ** 2).sum() / nk1 + reg_covar,
+               nk0 / n, nk1 / n)
+        params = jax.tree_util.tree_map(
+            lambda o, nw: jnp.where(done, o, nw), params, new)
+        new_done = done | (jnp.abs(lb - prev_lb) < tol)
+        prev_lb = jnp.where(done, prev_lb, lb)
+        return (params, prev_lb, new_done), None
 
-    (m0, m1, s0, s1, pi), _ = jax.lax.scan(
-        step, (m0, m1, s0, s1, pi), None, length=iters)
-    lp0 = -0.5 * ((scores - m0) / s0) ** 2 - jnp.log(s0) + jnp.log(pi)
-    lp1 = -0.5 * ((scores - m1) / s1) ** 2 - jnp.log(s1) + jnp.log(1 - pi)
-    return jax.nn.sigmoid(lp0 - lp1) * valid
+    one = jnp.asarray(1.0, x.dtype)
+    half = jnp.asarray(0.5, x.dtype)
+    init = ((m0, m1, one, one, half, half),
+            jnp.asarray(-jnp.inf, x.dtype), jnp.asarray(False))
+    (params, _, _), _ = jax.lax.scan(step, init, None, length=iters)
+    lp0, lp1 = log_prob(params)
+    return (lp0 >= lp1), jnp.logaddexp(lp0, lp1)
 
 
 def paa_loss(head: PAAHead, cls_scores, bbox_preds, iou_preds, batch,
              axis_name: str | None = None):
+    """The reference PAA pipeline (``paa_head.py:85-407``), dense:
+
+    1. MaxIoU(0.1/0.1, min_pos_iou 0) candidate assignment;
+    2. per-anchor joint loss score (elementwise focal Σclasses + 1.3·GIoU
+       on decoded boxes — ``get_pos_loss`` :233-288);
+    3. ``paa_reassign``: per gt, per LEVEL the topk lowest-loss candidates,
+       pooled and sorted; a 2-component sklearn-style GMM over the scores;
+       scheme (c): positives are the sorted-prefix of component-0 samples
+       up to the component's density mode; gts with <2 candidates drop ALL
+       their positives;
+    4. focal cls avg'd by max(num_pos, B); GIoU ×1.3 weighted by the
+       (detached) decoded-vs-gt IoU and avg'd by its sum; BCE ×0.5 on the
+       IoU branch avg'd by num_pos.
+    """
     nc = head.num_classes
     gen = head.make_anchor_generator()
     shapes = [tuple(c.shape[1:3]) for c in cls_scores]
     anchors = jnp.asarray(gen.flat_anchors(shapes))          # (A, 4)
+    na = gen.num_base_anchors
+    lvl_sizes = [h * w * na for h, w in shapes]
 
     b = cls_scores[0].shape[0]
     flat_cls = jnp.concatenate(
@@ -108,26 +144,53 @@ def paa_loss(head: PAAHead, cls_scores, bbox_preds, iou_preds, batch,
     # per-anchor joint loss score vs its candidate gt (stop-grad)
     gt0 = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned0, 0)[..., None], axis=1)
-    cand = assigned0 >= 0
     cls_l = L.sigmoid_focal_loss(flat_cls, labels0, reduction="none").sum(-1)
     reg_l = 1.3 * (1.0 - jax.vmap(
         lambda d, g: bbox_overlaps(d, g, mode="giou", is_aligned=True))(
         decoded, gt0))
     score = jax.lax.stop_gradient(cls_l + reg_l)             # (B, A)
 
-    # per-gt EM over its candidates' scores -> keep the low-loss component
     k = batch["gt_bboxes"].shape[1]
+    topk = head.topk
 
     def per_image(scores_i, assigned_i, valid_i):
-        def per_gt(g):
-            mask = (assigned_i == g) & valid_i[g]
-            return em_fit_1d(scores_i, mask) > 0.5
-        return jax.vmap(per_gt)(jnp.arange(k))               # (K, A)
+        # per level, per gt: topk lowest-loss candidates
+        cand_s, cand_idx = [], []
+        start = 0
+        for sz in lvl_sizes:
+            s_lvl = scores_i[start:start + sz]               # (Al,)
+            a_lvl = assigned_i[start:start + sz]
+            t = min(topk, sz)
+            masked = jnp.where(
+                (a_lvl[None, :] == jnp.arange(k)[:, None])
+                & valid_i[:, None], s_lvl[None, :], jnp.inf)  # (K, Al)
+            neg_v, idx = jax.lax.top_k(-masked, t)
+            cand_s.append(-neg_v)                            # (K, t)
+            cand_idx.append(idx + start)
+            start += sz
+        cand_s = jnp.concatenate(cand_s, axis=1)             # (K, T)
+        cand_idx = jnp.concatenate(cand_idx, axis=1)
+        cand_ok = jnp.isfinite(cand_s)
 
-    keep = jax.vmap(per_image)(
-        score, assigned0, batch["gt_valid"])                  # (B, K, A)
-    keep_any = keep.any(axis=1)                               # (B, A)
-    pos = cand & keep_any
+        def per_gt(s, idx, ok):
+            order = jnp.argsort(jnp.where(ok, s, jnp.inf))
+            s = s[order]
+            idx = idx[order]
+            ok = ok[order]
+            n_cand = ok.sum()
+            fg0, logdens = gmm_fit_predict_1d(jnp.where(ok, s, 0.0), ok)
+            fgs = fg0 & ok
+            fg_rank = jnp.cumsum(fgs.astype(jnp.int32)) - 1
+            best = jnp.argmax(jnp.where(fgs, logdens, -jnp.inf))
+            thr_rank = fg_rank[best]
+            sel = fgs & (fg_rank <= thr_rank) & fgs.any() & (n_cand >= 2)
+            return jnp.zeros((scores_i.shape[0],), bool).at[
+                jnp.where(sel, idx, 0)].max(sel)
+
+        return jax.vmap(per_gt)(cand_s, cand_idx, cand_ok).any(axis=0)
+
+    pos = jax.vmap(per_image)(
+        score, assigned0, batch["gt_valid"])                  # (B, A)
     labels = jnp.where(pos, labels0, nc)
     pos_f = pos.astype(jnp.float32)
 
@@ -142,11 +205,11 @@ def paa_loss(head: PAAHead, cls_scores, bbox_preds, iou_preds, batch,
         lambda d, g: bbox_overlaps(d, g, is_aligned=True))(
         decoded, gt0)) * pos_f
     denom = jnp.maximum(_psum(iou_t.sum()), 1e-6)
-    loss_bbox = L.giou_loss(decoded, gt0,
-                            weight=jnp.maximum(iou_t, EPS) * pos_f,
-                            avg_factor=denom)
-    loss_iou = L.binary_cross_entropy(flat_iou, iou_t, weight=pos_f,
-                                      avg_factor=jnp.maximum(num_pos, 1.0))
+    loss_bbox = 1.3 * L.giou_loss(decoded, gt0,
+                                  weight=jnp.maximum(iou_t, EPS) * pos_f,
+                                  avg_factor=denom)
+    loss_iou = 0.5 * L.binary_cross_entropy(
+        flat_iou, iou_t, weight=pos_f, avg_factor=jnp.maximum(num_pos, 1.0))
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox, loss_iou=loss_iou)
 
 

@@ -95,17 +95,23 @@ def test_vfnet_star_offsets_geometry():
     assert float(off2[0, 0, 0, 16]) == 1.0 and float(off2[0, 0, 0, 17]) == 1.0
 
 
-def test_paa_em_separates_two_clusters():
-    from dsl_tpu.models.dense_heads.paa_head import em_fit_1d
+def test_paa_gmm_separates_two_clusters():
+    """sklearn-replica GMM (see also the exact-parity oracle in
+    ``test_torch_oracle_heads2.py::test_paa_loss_matches_reference``)."""
+    from dsl_tpu.models.dense_heads.paa_head import gmm_fit_predict_1d
 
-    scores = jnp.asarray([0.1, 0.12, 0.11, 0.9, 0.95, 0.88, 0.92])
+    scores = jnp.asarray([0.1, 0.11, 0.12, 0.88, 0.9, 0.92, 0.95])
     mask = jnp.ones((7,), bool)
-    r0 = np.asarray(em_fit_1d(scores, mask))
-    assert (r0[:3] > 0.5).all()       # low-loss cluster -> positives
-    assert (r0[3:] < 0.5).all()
-    # masked-out entries get zero responsibility
-    r0m = np.asarray(em_fit_1d(scores, mask.at[0].set(False)))
-    assert r0m[0] == 0.0
+    fg0, logdens = gmm_fit_predict_1d(scores, mask)
+    fg0 = np.asarray(fg0)
+    assert fg0[:3].all()              # low-loss cluster -> component 0
+    assert not fg0[3:].any()
+    assert np.isfinite(np.asarray(logdens)).all()
+    # masking drops samples from the fit: a lone high outlier left
+    # unmasked among lows still splits low/high
+    fg0m, _ = gmm_fit_predict_1d(scores, mask.at[5].set(False))
+    fg0m = np.asarray(fg0m)
+    assert fg0m[:3].all() and not fg0m[4]
 
 
 def test_autoassign_center_prior_params_exist_and_move():

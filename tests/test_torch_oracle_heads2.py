@@ -195,7 +195,8 @@ def _load_reference_heads2():
                                        "mmdet.models.dense_heads.fcos_head",
                                        "mmdet.models.dense_heads.atss_head",
                                        "mmdet.models.dense_heads.paa_head",
-                                       "mmdet.core.bbox"}}
+                                       "mmdet.core.bbox",
+                                       "mmdet.core.bbox.iou_calculators"}}
     sys.modules.update(new_mods)
     sys.modules["mmdet.utils"] = mm_utils
     try:
@@ -281,8 +282,13 @@ def _load_reference_heads2():
         mmdet_core.build_sampler = _build("BBOX_SAMPLERS")
         mmdet_core.build_bbox_coder = _build("BBOX_CODERS")
         mmdet_core_bbox = types.ModuleType("mmdet.core.bbox")
+        mmdet_core_bbox.__path__ = []
         mmdet_core_bbox.bbox_overlaps = iou2d.bbox_overlaps
         mmdet_core.bbox = mmdet_core_bbox
+        mmdet_core_iouc = types.ModuleType(
+            "mmdet.core.bbox.iou_calculators")
+        mmdet_core_iouc.bbox_overlaps = iou2d.bbox_overlaps
+        mmdet_core_bbox.iou_calculators = mmdet_core_iouc
 
         mmdet_mod = types.ModuleType("mmdet")
         mmdet_mod.core = mmdet_core
@@ -290,6 +296,7 @@ def _load_reference_heads2():
         sys.modules["mmdet"] = mmdet_mod
         sys.modules["mmdet.core"] = mmdet_core
         sys.modules["mmdet.core.bbox"] = mmdet_core_bbox
+        sys.modules["mmdet.core.bbox.iou_calculators"] = mmdet_core_iouc
 
         # ---- losses --------------------------------------------------------
         _load("refmm3.models.losses.utils",
@@ -422,10 +429,34 @@ def _load_reference_heads2():
         yolof = _load("refmm3.models.dense_heads.yolof_head",
                       osp.join(REF_ROOT, "models/dense_heads/yolof_head.py"))
 
+        # autoassign/paa import `mmdet.models.dense_heads.{atss,fcos,paa}`
+        # absolutely — load the real modules and alias them there
+        _load("refmm3.models.losses.gfocal_loss",
+              osp.join(REF_ROOT, "models/losses/gfocal_loss.py"))
+        atss = _load("refmm3.models.dense_heads.atss_head",
+                     osp.join(REF_ROOT, "models/dense_heads/atss_head.py"))
+        fcos = _load("refmm3.models.dense_heads.fcos_head",
+                     osp.join(REF_ROOT, "models/dense_heads/fcos_head.py"))
+        dh_pkg = types.ModuleType("mmdet.models.dense_heads")
+        dh_pkg.ATSSHead = atss.ATSSHead
+        dh_pkg.FCOSHead = fcos.FCOSHead
+        sys.modules["mmdet.models.dense_heads"] = dh_pkg
+        sys.modules["mmdet.models.dense_heads.atss_head"] = atss
+        sys.modules["mmdet.models.dense_heads.fcos_head"] = fcos
+        paa = _load("refmm3.models.dense_heads.paa_head",
+                    osp.join(REF_ROOT, "models/dense_heads/paa_head.py"))
+        sys.modules["mmdet.models.dense_heads.paa_head"] = paa
+        dh_pkg.PAAHead = paa.PAAHead
+        autoassign = _load(
+            "refmm3.models.dense_heads.autoassign_head",
+            osp.join(REF_ROOT, "models/dense_heads/autoassign_head.py"))
+
         ns = types.SimpleNamespace(
             CenterNetHead=centernet.CenterNetHead,
             FoveaHead=fovea.FoveaHead,
             YOLOFHead=yolof.YOLOFHead,
+            PAAHead=paa.PAAHead,
+            AutoAssignHead=autoassign.AutoAssignHead,
         )
         return ns
     finally:
@@ -573,6 +604,128 @@ def test_fovea_loss_matches_reference(ref_mod):
                            gt_valid=jnp.asarray(gt_v)))
     ours = {k: float(v) for k, v in ours.items()}
     for k in ("loss_cls", "loss_bbox"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_paa_loss_matches_reference(ref_mod):
+    """PAA (``paa_head.py:85-407``): MaxIoU(0.1) candidates, joint
+    focal+GIoU loss scoring, per-level topk pooling, sklearn GaussianMixture
+    reassignment with separation scheme (c) — our fixed-iteration
+    sklearn-replica EM must produce the same discrete positive set, and all
+    three losses (focal/max(num_pos,B), IoU-weighted GIoU/Σiou,
+    BCE×0.5/num_pos) must match."""
+    pytest.importorskip("sklearn")
+    B = 2
+    rng = np.random.RandomState(41)
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, 4, h, w) * 0.5).astype(np.float32)
+            for h, w in SIZES]
+    iou = [rng.randn(B, 1, h, w).astype(np.float32) for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [3, 2])
+
+    head = ref_mod.PAAHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32, topk=9, covariance_type="diag",
+        reg_decoded_bbox=True,
+        anchor_generator=dict(type="AnchorGenerator", ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type="GIoULoss", loss_weight=1.3),
+        loss_centerness=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                             loss_weight=0.5),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner",
+                                     pos_iou_thr=0.1, neg_iou_thr=0.1,
+                                     min_pos_iou=0, ignore_iof_thr=-1),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(i) for i in iou], [t(g) for g in gts],
+                        [t(l) for l in gt_labels], metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.paa_head import PAAHead, paa_loss
+
+    our_head = PAAHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = paa_loss(our_head, nhwc(cls), nhwc(bbox), nhwc(iou),
+                    dict(gt_bboxes=jnp.asarray(gt_b),
+                         gt_labels=jnp.asarray(gt_l),
+                         gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_iou"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_autoassign_loss_matches_reference(ref_mod):
+    """AutoAssign (``autoassign_head.py:120-440``): learnable CenterPrior
+    gaussians over stride-normalized offsets at offset-0 points, strict
+    inside-gt test, exp(3p)-weighted positive bags / num_gt, IoU-decayed
+    per-gt-normalized negative weights with last-gt-wins class scatter,
+    prior-sum-normalized negative focal, center-prior regularizer."""
+    B = 2
+    rng = np.random.RandomState(37)
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    # positive pixel-space distances (post relu x stride)
+    bbox = [(rng.rand(B, 4, h, w) * 40 + 1).astype(np.float32)
+            for h, w in SIZES]
+    obj = [rng.randn(B, 1, h, w).astype(np.float32) for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=12.0)
+    # random (non-default) center prior parameters exercise the gaussian
+    p_mean = (rng.randn(NUM_CLASSES, 2) * 0.3).astype(np.float32)
+    p_sigma = (rng.rand(NUM_CLASSES, 2) * 1.5 + 0.5).astype(np.float32)
+
+    head = ref_mod.AutoAssignHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32, strides=list(STRIDES),
+        loss_bbox=dict(type="GIoULoss", loss_weight=5.0),
+        train_cfg=None, test_cfg=None)
+    with torch.no_grad():
+        head.center_prior.mean.copy_(torch.from_numpy(p_mean))
+        head.center_prior.sigma.copy_(torch.from_numpy(p_sigma))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(o) for o in obj], [t(g) for g in gts],
+                        [t(l) for l in gt_labels], metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.autoassign_head import (AutoAssignHead,
+                                                            autoassign_loss)
+
+    our_head = AutoAssignHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = autoassign_loss(
+        our_head,
+        (nhwc(cls), nhwc(bbox), nhwc(obj),
+         (jnp.asarray(p_mean), jnp.asarray(p_sigma))),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_pos", "loss_neg", "loss_center"):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
