@@ -154,11 +154,13 @@ def points2bbox(head, pts, moment):
                          axis=-1)
     # moment; std via sqrt(var + eps) — jnp.std has an unbounded gradient at
     # zero spread (all 9 points identical happens at init on dead-ReLU
-    # positions) which NaNs the backward pass
+    # positions) which NaNs the backward pass. torch.std is UNBIASED
+    # (n-1 denominator) — the reference uses it, so we must too.
     mx = px.mean(-1)
     my = py.mean(-1)
-    sx = jnp.sqrt(((px - mx[..., None]) ** 2).mean(-1) + 1e-9)
-    sy = jnp.sqrt(((py - my[..., None]) ** 2).mean(-1) + 1e-9)
+    n1 = max(head.num_points - 1, 1)
+    sx = jnp.sqrt(((px - mx[..., None]) ** 2).sum(-1) / n1 + 1e-9)
+    sy = jnp.sqrt(((py - my[..., None]) ** 2).sum(-1) / n1 + 1e-9)
     mt = moment * head.moment_mul + jax.lax.stop_gradient(moment) \
         * (1 - head.moment_mul)
     hw = sx * jnp.exp(mt[0])
@@ -219,7 +221,9 @@ def reppoints_loss(head: RepPointsHead, outputs, batch,
     cls_scores, pts_inits, pts_refines, moment = outputs
     nc = head.num_classes
     shapes = [tuple(c.shape[1:3]) for c in cls_scores]
-    gen = MlvlPointGenerator(list(head.strides), offset=0.5)
+    # RepPoints uses offset-0 points (``MlvlPointGenerator(strides,
+    # offset=0.)`` in the reference __init__ :98-99)
+    gen = MlvlPointGenerator(list(head.strides), offset=0.0)
     pts = jnp.asarray(gen.flat_points(shapes))                 # (P, 2)
     pt_strides = jnp.concatenate([
         jnp.full((h * w,), float(s))
@@ -271,13 +275,15 @@ def reppoints_loss(head: RepPointsHead, outputs, batch,
     gt_r = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned_r, 0)[..., None], axis=1)
 
+    # reference loss_single: smooth-L1 elementwise over the (pos, 4) block
+    # averaged by num_pos (NOT num_pos*4) — bbox_weights are (N, 4) ones
     norm = (head.point_base_scale * pt_strides)[None, :, None]
     loss_pts_init = 0.5 * L.smooth_l1_loss(
         box_init / norm, gt_i / norm, beta=0.11,
-        weight=pos_i[..., None], avg_factor=num_pos_i * 4)
+        weight=pos_i[..., None], avg_factor=num_pos_i)
     loss_pts_refine = 1.0 * L.smooth_l1_loss(
         box_refine / norm, gt_r / norm, beta=0.11,
-        weight=pos_r[..., None], avg_factor=num_pos_r * 4)
+        weight=pos_r[..., None], avg_factor=num_pos_r)
     loss_cls = L.sigmoid_focal_loss(flat_cls, labels_r,
                                     avg_factor=num_pos_r)
     return dict(loss_cls=loss_cls, loss_pts_init=loss_pts_init,

@@ -196,7 +196,9 @@ def _load_reference_heads2():
                                        "mmdet.models.dense_heads.atss_head",
                                        "mmdet.models.dense_heads.paa_head",
                                        "mmdet.core.bbox",
-                                       "mmdet.core.bbox.iou_calculators"}}
+                                       "mmdet.core.bbox.iou_calculators",
+                                       "mmdet.core.anchor",
+                                       "mmdet.core.anchor.point_generator"}}
     sys.modules.update(new_mods)
     sys.modules["mmdet.utils"] = mm_utils
     try:
@@ -451,7 +453,18 @@ def _load_reference_heads2():
             "refmm3.models.dense_heads.autoassign_head",
             osp.join(REF_ROOT, "models/dense_heads/autoassign_head.py"))
 
+        # reppoints imports mmdet.core.anchor.point_generator absolutely
+        core_anchor_pkg = types.ModuleType("mmdet.core.anchor")
+        core_anchor_pkg.point_generator = point_gen
+        sys.modules["mmdet.core.anchor"] = core_anchor_pkg
+        sys.modules["mmdet.core.anchor.point_generator"] = point_gen
+        mmdet_core.anchor = core_anchor_pkg
+        reppoints = _load(
+            "refmm3.models.dense_heads.reppoints_head",
+            osp.join(REF_ROOT, "models/dense_heads/reppoints_head.py"))
+
         ns = types.SimpleNamespace(
+            RepPointsHead=reppoints.RepPointsHead,
             CenterNetHead=centernet.CenterNetHead,
             FoveaHead=fovea.FoveaHead,
             YOLOFHead=yolof.YOLOFHead,
@@ -604,6 +617,80 @@ def test_fovea_loss_matches_reference(ref_mod):
                            gt_valid=jnp.asarray(gt_v)))
     ours = {k: float(v) for k, v in ours.items()}
     for k in ("loss_cls", "loss_bbox"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_reppoints_loss_matches_reference(ref_mod):
+    """RepPoints (``reppoints_head.py:519-651``): offset-0 points,
+    PointAssigner (scale-matched level, nearest-point with conflict-to-
+    closer-gt) for the init stage, MaxIoU(0.5/0.4) on init-decoded boxes
+    for refine, moment transform with torch's UNBIASED std, stride-
+    normalized smooth-L1 (β0.11, ×0.5 init / ×1.0 refine) averaged by
+    num_pos, focal cls averaged by refine num_pos."""
+    B = 2
+    rng = np.random.RandomState(43)
+    n2 = 18
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    p_init = [(rng.randn(B, n2, h, w) * 0.5).astype(np.float32)
+              for h, w in SIZES]
+    p_refine = [(rng.randn(B, n2, h, w) * 0.5).astype(np.float32)
+                for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [4, 2])
+    moment = (rng.randn(2) * 0.2).astype(np.float32)
+
+    head = ref_mod.RepPointsHead(
+        num_classes=NUM_CLASSES, in_channels=32, feat_channels=32,
+        point_feat_channels=32, stacked_convs=1, num_points=9,
+        point_strides=list(STRIDES), point_base_scale=4,
+        transform_method="moment",
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox_init=dict(type="SmoothL1Loss", beta=0.11,
+                            loss_weight=0.5),
+        loss_bbox_refine=dict(type="SmoothL1Loss", beta=0.11,
+                              loss_weight=1.0),
+        train_cfg=_Cfg(
+            init=_Cfg(assigner=dict(type="PointAssigner", scale=4,
+                                    pos_num=1),
+                      allowed_border=-1, pos_weight=-1, debug=False),
+            refine=_Cfg(assigner=dict(type="MaxIoUAssigner",
+                                      pos_iou_thr=0.5, neg_iou_thr=0.4,
+                                      min_pos_iou=0, ignore_iof_thr=-1),
+                        allowed_border=-1, pos_weight=-1, debug=False)))
+    with torch.no_grad():
+        head.moment_transfer.copy_(torch.from_numpy(moment))
+    # valid_flags defaults to device='cuda' inside get_points
+    _orig_vf = head.point_generator.valid_flags
+    head.point_generator.valid_flags = (
+        lambda fs, pad, device="cpu": _orig_vf(fs, pad, device="cpu"))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(p) for p in p_init],
+                        [t(p) for p in p_refine], [t(g) for g in gts],
+                        [t(l) for l in gt_labels], metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.reppoints_head import (RepPointsHead,
+                                                           reppoints_loss)
+
+    our_head = RepPointsHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = reppoints_loss(
+        our_head,
+        (nhwc(cls), nhwc(p_init), nhwc(p_refine), jnp.asarray(moment)),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_pts_init", "loss_pts_refine"):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
