@@ -281,16 +281,18 @@ def _det_and_off_loss(head, tl_heat, br_heat, tl_off, br_off, t,
         avg = jnp.maximum((hm_t == 1.0).sum().astype(jnp.float32), 1.0)
         if axis_name:
             avg = jax.lax.psum(avg, axis_name)
-        pred = jnp.clip(jax.nn.sigmoid(hm_pred), 1e-4, 1 - 1e-4)
+        # mmdet avg_factor applies under reduction='mean' (sum/avg_factor);
+        # 'sum' would silently skip the normalization
+        pred = jax.nn.sigmoid(hm_pred)
         det = L.gaussian_focal_loss(pred, hm_t, alpha=2.0, gamma=4.0,
-                                    reduction="sum", avg_factor=avg)
+                                    reduction="mean", avg_factor=avg)
         mask = ((hm_t == 1.0).sum(-1, keepdims=True) > 0).astype(jnp.float32)
         off_avg = jnp.maximum(mask.sum(), 1.0)
         if axis_name:
             off_avg = jax.lax.psum(off_avg, axis_name)
         off = L.smooth_l1_loss(off_pred, off_t, beta=1.0,
                                weight=jnp.broadcast_to(mask, off_t.shape),
-                               reduction="sum", avg_factor=off_avg)
+                               reduction="mean", avg_factor=off_avg)
         return det, off, mask, off_avg
 
     tl_det, tl_off_l, tl_mask, tl_avg = _one(tl_heat, t["tl_heat"],
@@ -360,7 +362,7 @@ def centripetal_loss(head, outputs, batch, axis_name=None):
             return w * L.smooth_l1_loss(
                 pred, target, beta=1.0,
                 weight=jnp.broadcast_to(mask, target.shape),
-                reduction="sum", avg_factor=avg)
+                reduction="mean", avg_factor=avg)
 
         guide_total = guide_total + (
             _shift(tl_guides[lvl], t["tl_guide"], tl_mask, tl_avg,

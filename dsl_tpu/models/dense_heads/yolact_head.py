@@ -188,10 +188,12 @@ def yolact_loss(head, outputs, batch, axis_name=None):
     featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
     anchors = gen.flat_anchors(featmap_sizes)
 
+    # reference train_cfg: MaxIoUAssigner(0.5/0.4, min_pos_iou=0.,
+    # gt_max_assign_all=False) — only the single best anchor per gt
     labels, assigned, weights, _ = max_iou_assign(
         anchors, batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"],
         pos_iou_thr=head.pos_iou_thr, neg_iou_thr=head.neg_iou_thr,
-        min_pos_iou=0.0, num_classes=nc)
+        min_pos_iou=0.0, num_classes=nc, gt_max_assign_all=False)
 
     b, a = labels.shape
     flat_cls = jnp.concatenate(

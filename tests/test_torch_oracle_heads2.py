@@ -463,7 +463,23 @@ def _load_reference_heads2():
             "refmm3.models.dense_heads.reppoints_head",
             osp.join(REF_ROOT, "models/dense_heads/reppoints_head.py"))
 
+        _load("refmm3.models.losses.ae_loss",
+              osp.join(REF_ROOT, "models/losses/ae_loss.py"))
+        corner = _load("refmm3.models.dense_heads.corner_head",
+                       osp.join(REF_ROOT,
+                                "models/dense_heads/corner_head.py"))
+        centripetal = _load(
+            "refmm3.models.dense_heads.centripetal_head",
+            osp.join(REF_ROOT, "models/dense_heads/centripetal_head.py"))
+
+        yolact = _load("refmm3.models.dense_heads.yolact_head",
+                       osp.join(REF_ROOT,
+                                "models/dense_heads/yolact_head.py"))
+
         ns = types.SimpleNamespace(
+            YOLACTHead=yolact.YOLACTHead,
+            CornerHead=corner.CornerHead,
+            CentripetalHead=centripetal.CentripetalHead,
             RepPointsHead=reppoints.RepPointsHead,
             CenterNetHead=centernet.CenterNetHead,
             FoveaHead=fovea.FoveaHead,
@@ -620,6 +636,205 @@ def test_fovea_loss_matches_reference(ref_mod):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_yolact_bbox_cls_loss_matches_reference(ref_mod):
+    """YOLACT box branch (``yolact_head.py:137-303``): MaxIoU(0.5/0.4,
+    gt_max_assign_all=False) assignment, per-image OHEM softmax-CE with
+    exact 3:1 topk hard negatives (our dense threshold trick must equal
+    it), smooth-L1 ×1.5 on deltas, both averaged by total num_pos."""
+    B = 2
+    rng = np.random.RandomState(59)
+    na = 3
+    cls = [rng.randn(B, na * (NUM_CLASSES + 1), h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, na * 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=10.0)
+
+    head = ref_mod.YOLACTHead(
+        num_classes=NUM_CLASSES, in_channels=32, feat_channels=32,
+        num_head_convs=1, num_protos=8, use_ohem=True,
+        anchor_generator=dict(type="AnchorGenerator", octave_base_scale=3,
+                              scales_per_octave=1, ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=False,
+                      reduction="none", loss_weight=1.0),
+        loss_bbox=dict(type="SmoothL1Loss", beta=1.0, loss_weight=1.5),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner",
+                                     pos_iou_thr=0.5, neg_iou_thr=0.4,
+                                     min_pos_iou=0.0, ignore_iof_thr=-1,
+                                     gt_max_assign_all=False),
+                       smoothl1_beta=1.0, allowed_border=-1,
+                       pos_weight=-1, neg_pos_ratio=3, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref, _ = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                           [t(g) for g in gts], [t(l) for l in gt_labels],
+                           metas)
+    ref = {k: float(sum(float(x) for x in v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.yolact_head import (YOLACTHead,
+                                                        yolact_loss)
+
+    our_head = YOLACTHead(num_classes=NUM_CLASSES, strides=STRIDES,
+                          num_protos=8)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    coeff = tuple(jnp.zeros((B, h, w, 3 * 8)) for h, w in SIZES)
+    protos = jnp.zeros((B, 32, 40, 8))
+    segm = jnp.zeros((B, 16, 20, NUM_CLASSES))
+    ours = yolact_loss(
+        our_head, (nhwc(cls), nhwc(bbox), coeff, protos, segm),
+        dict(images=jnp.zeros((B, *IMG_HW, 3)),
+             gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v),
+             gt_mask_crops=jnp.zeros((B, K_GT, 16, 16)),
+             gt_masks_full=None))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_corner_loss_matches_reference(ref_mod):
+    """CornerNet (``corner_head.py:323-649`` + ``ae_loss.py``): per-class
+    gaussian corner splats (radius over ceil'd scaled w/h), peak-counted
+    GaussianFocal /2, class-agnostic-masked smooth-L1 offsets, AE pull/push
+    (0.25 each, per-image 1/N and 1/N(N-1)) — across 2 supervision levels."""
+    B = 2
+    rng = np.random.RandomState(47)
+    fh, fw = IMG_HW[0] // 4, IMG_HW[1] // 4
+    n_lvl = 2
+
+    def maps(c):
+        return [rng.randn(B, c, fh, fw).astype(np.float32)
+                for _ in range(n_lvl)]
+
+    tl_h, br_h = maps(NUM_CLASSES), maps(NUM_CLASSES)
+    tl_e, br_e = maps(1), maps(1)
+    tl_o, br_o = maps(2), maps(2)
+    gts, gt_labels = _random_gts(rng, [3, 2])
+
+    head = ref_mod.CornerHead(
+        num_classes=NUM_CLASSES, in_channels=16, num_feat_levels=n_lvl,
+        corner_emb_channels=1,
+        loss_heatmap=dict(type="GaussianFocalLoss", alpha=2.0, gamma=4.0,
+                          loss_weight=1.0),
+        loss_embedding=dict(type="AssociativeEmbeddingLoss",
+                            pull_weight=0.25, push_weight=0.25),
+        loss_offset=dict(type="SmoothL1Loss", beta=1.0, loss_weight=1.0),
+        train_cfg=None, test_cfg=None)
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(x) for x in tl_h], [t(x) for x in br_h],
+                        [t(x) for x in tl_e], [t(x) for x in br_e],
+                        [t(x) for x in tl_o], [t(x) for x in br_o],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        metas)
+    ref = {k: float(sum(float(x) for x in v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.corner_head import (CornerHead,
+                                                        corner_loss)
+
+    our_head = CornerHead(num_classes=NUM_CLASSES, num_feat_levels=n_lvl)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = corner_loss(
+        our_head,
+        (nhwc(tl_h), nhwc(br_h), nhwc(tl_e), nhwc(br_e), nhwc(tl_o),
+         nhwc(br_o)),
+        dict(images=jnp.zeros((B, *IMG_HW, 3)),
+             gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("det_loss", "pull_loss", "push_loss", "off_loss"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_centripetal_loss_matches_reference(ref_mod):
+    """CentripetalNet (``centripetal_head.py:loss_single``): corner det/
+    offset as CornerNet plus guiding-shift (x0.05) and log-centripetal
+    (x1.0) smooth-L1 at corner pixels."""
+    B = 2
+    rng = np.random.RandomState(53)
+    fh, fw = IMG_HW[0] // 4, IMG_HW[1] // 4
+    n_lvl = 2
+
+    def maps(c):
+        return [rng.randn(B, c, fh, fw).astype(np.float32)
+                for _ in range(n_lvl)]
+
+    tl_h, br_h = maps(NUM_CLASSES), maps(NUM_CLASSES)
+    tl_o, br_o = maps(2), maps(2)
+    tl_g, br_g = maps(2), maps(2)
+    tl_c, br_c = maps(2), maps(2)
+    gts, gt_labels = _random_gts(rng, [3, 2])
+
+    head = ref_mod.CentripetalHead(
+        num_classes=NUM_CLASSES, in_channels=16, num_feat_levels=n_lvl,
+        corner_emb_channels=0,
+        loss_heatmap=dict(type="GaussianFocalLoss", alpha=2.0, gamma=4.0,
+                          loss_weight=1.0),
+        loss_offset=dict(type="SmoothL1Loss", beta=1.0, loss_weight=1.0),
+        loss_guiding_shift=dict(type="SmoothL1Loss", beta=1.0,
+                                loss_weight=0.05),
+        loss_centripetal_shift=dict(type="SmoothL1Loss", beta=1.0,
+                                    loss_weight=1.0),
+        train_cfg=None, test_cfg=None)
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(x) for x in tl_h], [t(x) for x in br_h],
+                        [t(x) for x in tl_o], [t(x) for x in br_o],
+                        [t(x) for x in tl_g], [t(x) for x in br_g],
+                        [t(x) for x in tl_c], [t(x) for x in br_c],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        metas)
+    ref = {k: float(sum(float(x) for x in v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.corner_head import (CentripetalHead,
+                                                        centripetal_loss)
+
+    our_head = CentripetalHead(num_classes=NUM_CLASSES,
+                               num_feat_levels=n_lvl)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = centripetal_loss(
+        our_head,
+        (nhwc(tl_h), nhwc(br_h), nhwc(tl_o), nhwc(br_o), nhwc(tl_g),
+         nhwc(br_g), nhwc(tl_c), nhwc(br_c)),
+        dict(images=jnp.zeros((B, *IMG_HW, 3)),
+             gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    pairs = {"det_loss": "det_loss", "off_loss": "off_loss",
+             "guiding_loss": "guiding_loss",
+             "centripetal_loss": "centripetal_loss"}
+    for ok, rk in pairs.items():
+        np.testing.assert_allclose(
+            ours[ok], ref[rk], rtol=5e-5, atol=1e-6,
+            err_msg=f"{ok}: ours={ours[ok]} ref={ref[rk]}")
 
 
 def test_reppoints_loss_matches_reference(ref_mod):
