@@ -24,10 +24,17 @@ from dsl_tpu.core.boxes import bbox_overlaps
 def _max_iou_assign_single(anchors, gt_bboxes, gt_labels, gt_valid,
                            pos_iou_thr, neg_iou_thr, min_pos_iou,
                            num_classes, match_low_quality,
-                           gt_max_assign_all=True):
-    """(A,) labels (num_classes = bg), (A,) assigned gt idx, (A,) weights."""
+                           gt_max_assign_all=True, inside=None):
+    """(A,) labels (num_classes = bg), (A,) assigned gt idx, (A,) weights.
+
+    ``inside``: optional (A,) bool — anchors outside the image per
+    ``anchor_inside_flags`` (train_cfg ``allowed_border >= 0``) are
+    excluded: background label, zero weight, never a gt's best match
+    (the reference filters then unmaps — dense equivalent)."""
     ious = bbox_overlaps(anchors, gt_bboxes)             # (A, K)
     ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    if inside is not None:
+        ious = jnp.where(inside[:, None], ious, -1.0)
     max_iou = jnp.max(ious, axis=1)                      # (A,)
     argmax = jnp.argmax(ious, axis=1)
 
@@ -149,14 +156,17 @@ def atss_assign(anchors, num_anchors_per_level, gt_bboxes, gt_labels,
 
 def _approx_max_iou_assign_single(approxs, gt_bboxes, gt_labels, gt_valid,
                                   pos_iou_thr, neg_iou_thr, min_pos_iou,
-                                  num_classes):
+                                  num_classes, inside=None):
     """ApproxMaxIoUAssigner (``approx_max_iou_assigner.py``): the IoU of a
     square location is the max over its G approx anchors; the rest is
-    MaxIoU."""
+    MaxIoU (same last-gt-wins forced-match semantics as
+    ``_max_iou_assign_single`` — ``assign_wrt_overlaps`` is shared)."""
     a, g, _ = approxs.shape
     ious = bbox_overlaps(approxs.reshape(a * g, 4), gt_bboxes)
     ious = ious.reshape(a, g, -1).max(axis=1)            # (A, K)
     ious = jnp.where(gt_valid[None, :], ious, -1.0)
+    if inside is not None:
+        ious = jnp.where(inside[:, None], ious, -1.0)
     max_iou = jnp.max(ious, axis=1)
     argmax = jnp.argmax(ious, axis=1)
     is_pos = max_iou >= pos_iou_thr
@@ -165,8 +175,9 @@ def _approx_max_iou_assign_single(approxs, gt_bboxes, gt_labels, gt_valid,
     is_best = (ious == gt_best_iou[None, :]) & \
         (gt_best_iou[None, :] >= min_pos_iou) & gt_valid[None, :]
     forced = jnp.any(is_best, axis=1)
-    forced_gt = jnp.argmax(is_best, axis=1)
-    argmax = jnp.where(forced & ~is_pos, forced_gt, argmax)
+    kk = is_best.shape[1]
+    forced_gt = (kk - 1) - jnp.argmax(is_best[:, ::-1], axis=1)
+    argmax = jnp.where(forced, forced_gt, argmax)
     is_pos = is_pos | forced
     is_neg = is_neg & ~forced
     labels = jnp.where(is_pos, gt_labels[argmax], num_classes)
@@ -180,11 +191,16 @@ def _approx_max_iou_assign_single(approxs, gt_bboxes, gt_labels, gt_valid,
                                    "min_pos_iou", "num_classes"))
 def approx_max_iou_assign(approxs, gt_bboxes, gt_labels, gt_valid,
                           pos_iou_thr=0.5, neg_iou_thr=0.4,
-                          min_pos_iou=0.0, num_classes=80):
-    """approxs: (A, G, 4) — G approx anchors per square location."""
+                          min_pos_iou=0.0, num_classes=80, inside=None):
+    """approxs: (A, G, 4) — G approx anchors per square location.
+    ``inside``: optional (B, A) per-image position validity."""
     single = partial(_approx_max_iou_assign_single, approxs,
                      pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
                      min_pos_iou=min_pos_iou, num_classes=num_classes)
+    if inside is not None:
+        return jax.vmap(lambda gb, gl, gv, ins: single(gb, gl, gv,
+                                                       inside=ins))(
+            gt_bboxes, gt_labels, gt_valid, inside)
     return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)
 
 

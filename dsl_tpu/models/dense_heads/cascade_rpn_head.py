@@ -105,13 +105,18 @@ class CascadeRPNHead(nn.Module):
                 tuple(refined))
 
 
-def _region_assign(head, anchors_per_level, featmap_sizes, gt_bboxes,
-                   gt_valid):
-    """RegionAssigner semantics: a location is positive for the gt whose
-    center region (ratio 0.2 at the gt's mapped pyramid level) contains it.
-    Returns flat (B, A) assigned gt idx (-1 = negative) and weights."""
+def _region_assign(head, lvl_anchors, featmap_sizes, gt_bboxes, gt_valid):
+    """RegionAssigner (``core/bbox/assigners/region_assigner.py:36-221``),
+    torch-oracled: per gt IN ORDER at its mapped pyramid level, anchors whose
+    centers fall in the ignore region (ratio r2, *rounded* cell bounds
+    clamped to [0, size]) are knocked to ignore, then the center region
+    (ratio r1) is assigned to this gt — a later gt's ignore region overwrites
+    an earlier gt's positives; the adjacent-level ignore maps are applied
+    LAST and overwrite everything. Returns (B, A) assigned gt idx
+    (-1 = negative/ignore; only positives carry weight downstream)."""
     num_lvls = len(featmap_sizes)
     r1 = (1 - head.center_ratio) / 2
+    r2 = (1 - head.ignore_ratio) / 2
     scale = jnp.sqrt(jnp.maximum(
         (gt_bboxes[..., 2] - gt_bboxes[..., 0])
         * (gt_bboxes[..., 3] - gt_bboxes[..., 1]), 1e-6))
@@ -119,38 +124,60 @@ def _region_assign(head, anchors_per_level, featmap_sizes, gt_bboxes,
     tgt_lvl = jnp.clip(jnp.floor(
         jnp.log2(scale) - math.log2(min_size) + 0.5), 0, num_lvls - 1)
 
-    assigned_all, pos_all = [], []
+    assigned_all = []
     for lvl, (h, w) in enumerate(featmap_sizes):
         stride = head.strides[lvl]
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
-        cx = jnp.tile(xs, h)                         # (HW,)
-        cy = jnp.repeat(ys, w)
+        a = lvl_anchors[lvl]
+        cx = (a[:, 0] + a[:, 2]) * 0.5 / stride            # (HW,)
+        cy = (a[:, 1] + a[:, 3]) * 0.5 / stride
+
+        def region_flags(box, ratio):
+            f = box / stride
+            x1 = jnp.clip(jnp.round((1 - ratio) * f[0] + ratio * f[2]), 0, w)
+            y1 = jnp.clip(jnp.round((1 - ratio) * f[1] + ratio * f[3]), 0, h)
+            x2 = jnp.clip(jnp.round(ratio * f[0] + (1 - ratio) * f[2]), 0, w)
+            y2 = jnp.clip(jnp.round(ratio * f[1] + (1 - ratio) * f[3]), 0, h)
+            return (cx >= x1) & (cx <= x2) & (cy >= y1) & (cy <= y2)
 
         def per_image(boxes, valid, lvls):
-            x1 = (1 - r1) * boxes[:, 0] + r1 * boxes[:, 2]
-            x2 = r1 * boxes[:, 0] + (1 - r1) * boxes[:, 2]
-            y1 = (1 - r1) * boxes[:, 1] + r1 * boxes[:, 3]
-            y2 = r1 * boxes[:, 1] + (1 - r1) * boxes[:, 3]
-            inside = ((cx[:, None] >= x1[None]) & (cx[:, None] <= x2[None])
-                      & (cy[:, None] >= y1[None]) & (cy[:, None] <= y2[None]))
-            ok = inside & (lvls[None] == lvl) & (valid[None] > 0)
-            assigned = jnp.where(ok.any(axis=1),
-                                 jnp.argmax(ok, axis=1), -1)
-            return assigned
+            def body(carry, j):
+                assigned, igmap = carry
+                at_lvl = (lvls[j] == lvl) & (valid[j] > 0)
+                adj = (jnp.abs(lvls[j] - lvl) == 1) & (valid[j] > 0)
+                ig = region_flags(boxes[j], r2) & at_lvl
+                ps = region_flags(boxes[j], r1) & at_lvl
+                assigned = jnp.where(ig, -1, assigned)
+                assigned = jnp.where(ps, j, assigned)
+                igmap = igmap | (region_flags(boxes[j], r2) & adj)
+                return (assigned, igmap), None
 
-        a = jax.vmap(per_image)(gt_bboxes,
-                                gt_valid.astype(jnp.float32), tgt_lvl)
-        assigned_all.append(a)
-    assigned = jnp.concatenate(assigned_all, axis=1)      # (B, A)
-    return assigned
+            (assigned, igmap), _ = jax.lax.scan(
+                body, (jnp.full((h * w,), -1, jnp.int32),
+                       jnp.zeros((h * w,), bool)),
+                jnp.arange(boxes.shape[0]))
+            # default is negative (-1 used for both neg and ignore here:
+            # only positives matter for the stage-1 reg loss)
+            return jnp.where(igmap, -1, assigned)
+
+        a_img = jax.vmap(per_image)(
+            gt_bboxes, gt_valid.astype(jnp.float32), tgt_lvl)
+        assigned_all.append(a_img)
+    return jnp.concatenate(assigned_all, axis=1)           # (B, A)
 
 
 def cascade_rpn_loss(head: CascadeRPNHead, outputs, batch, axis_name=None):
-    s1_regs, s2_scores, s2_regs, refined = outputs
+    """Two-stage loss, torch-oracled against the reference stages with the
+    ``crpn_r50_caffe_fpn_1x_coco.py`` cfg: stage 1 = RegionAssigner + linear
+    IoU x10 on the decoded anchors with the GA-style ``total_labels / 200``
+    avg factor (``cascade_rpn_head.py:474-480``); stage 2 = MaxIoU(0.7/0.7/
+    min_pos 0.3) on the CLIPPED refined anchors (``refine_bboxes`` :530-544
+    decodes with ``max_shape=img_shape``), BCE + linear IoU x10 both averaged
+    by pos+neg (sampling head)."""
+    s1_regs, s2_scores, s2_regs, _ = outputs
     featmap_sizes = [tuple(r.shape[1:3]) for r in s1_regs]
     gen = head.make_anchor_generator()
-    anchors = gen.flat_anchors(featmap_sizes)
+    lvl_anchors = gen.grid_anchors(featmap_sizes)
+    anchors = jnp.concatenate(lvl_anchors, axis=0)
     b = s1_regs[0].shape[0]
     flat_r1 = jnp.concatenate(
         [r.reshape(b, -1, 4) for r in s1_regs], axis=1)
@@ -158,24 +185,40 @@ def cascade_rpn_loss(head: CascadeRPNHead, outputs, batch, axis_name=None):
         [s.reshape(b, -1) for s in s2_scores], axis=1)
     flat_r2 = jnp.concatenate(
         [r.reshape(b, -1, 4) for r in s2_regs], axis=1)
-    flat_ref = jnp.concatenate(list(refined), axis=1)
 
     def _psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    # stage 1: region assignment, IoU loss on decoded anchors
-    assigned1 = _region_assign(head, None, featmap_sizes,
+    # stage 1: region assignment, linear IoU loss on decoded anchors,
+    # avg factor = total label count / 200 (sampling=False stage)
+    assigned1 = _region_assign(head, lvl_anchors, featmap_sizes,
                                batch["gt_bboxes"], batch["gt_valid"])
     pos1 = (assigned1 >= 0).astype(jnp.float32)
-    n1 = jnp.maximum(_psum(pos1.sum()), 1.0)
+    n1 = _psum(jnp.asarray(float(b * anchors.shape[0]))) / 200.0
     gt1 = jnp.take_along_axis(batch["gt_bboxes"],
                               jnp.maximum(assigned1, 0)[..., None], axis=1)
     dec1 = delta2bbox(jnp.broadcast_to(anchors[None], flat_r1.shape),
                       flat_r1, (0, 0, 0, 0), STAGE1_STDS)
     ious1 = bbox_overlaps(dec1, gt1, is_aligned=True)
-    loss_s1 = jnp.sum((1.0 - ious1) * pos1) / n1
+    loss_s1 = 10.0 * jnp.sum((1.0 - ious1) * pos1) / n1
 
-    # stage 2: MaxIoU on the refined anchors, BCE + IoU loss
+    # refined anchors: stage-1 decode clipped to the image
+    # (reference ``refine_bboxes`` passes max_shape=img_shape)
+    flat_ref = delta2bbox(jnp.broadcast_to(anchors[None], flat_r1.shape),
+                          jax.lax.stop_gradient(flat_r1), (0, 0, 0, 0),
+                          STAGE1_STDS)
+    if batch.get("img_shapes") is not None:
+        hw = batch["img_shapes"]
+        xlim = hw[:, None, 1:2]
+        ylim = hw[:, None, 0:1]
+        flat_ref = jnp.concatenate(
+            [jnp.clip(flat_ref[..., 0:1], 0, xlim),
+             jnp.clip(flat_ref[..., 1:2], 0, ylim),
+             jnp.clip(flat_ref[..., 2:3], 0, xlim),
+             jnp.clip(flat_ref[..., 3:4], 0, ylim)], axis=-1)
+
+    # stage 2: MaxIoU on the refined anchors, BCE + linear IoU, both
+    # averaged by pos+neg (per-image max(1))
     labels, assigned2, weights, _ = jax.vmap(
         lambda a, gb, gl, gv: _max_iou_assign_single(
             a, gb, gl, gv, pos_iou_thr=head.pos_iou_thr,
@@ -184,15 +227,18 @@ def cascade_rpn_loss(head: CascadeRPNHead, outputs, batch, axis_name=None):
         flat_ref, batch["gt_bboxes"],
         jnp.zeros_like(batch["gt_labels"]), batch["gt_valid"])
     pos2 = (labels < 1).astype(jnp.float32)
-    n2 = jnp.maximum(_psum((weights > 0).astype(jnp.float32).sum()), 1.0)
-    np2 = jnp.maximum(_psum(pos2.sum()), 1.0)
+    wpos = (weights > 0) & (labels < 1)
+    wneg = (weights > 0) & (labels == 1)
+    n2 = _psum(
+        jnp.maximum(wpos.astype(jnp.float32).sum(axis=1), 1.0).sum()
+        + jnp.maximum(wneg.astype(jnp.float32).sum(axis=1), 1.0).sum())
     loss_cls = L.binary_cross_entropy(flat_s2, pos2, weight=weights,
-                                      reduction="sum", avg_factor=n2)
+                                      reduction="mean", avg_factor=n2)
     gt2 = jnp.take_along_axis(batch["gt_bboxes"],
                               jnp.maximum(assigned2, 0)[..., None], axis=1)
     dec2 = delta2bbox(flat_ref, flat_r2, (0, 0, 0, 0), STAGE2_STDS)
     ious2 = bbox_overlaps(dec2, gt2, is_aligned=True)
-    loss_reg = jnp.sum((1.0 - ious2) * pos2) / np2
+    loss_reg = 10.0 * jnp.sum((1.0 - ious2) * pos2) / n2
     return dict(loss_rpn_reg_s1=loss_s1, loss_rpn_cls=loss_cls,
                 loss_rpn_reg_s2=loss_reg)
 

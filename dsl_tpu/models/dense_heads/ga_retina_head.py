@@ -61,15 +61,22 @@ class GARetinaHead(nn.Module):
     scales_per_octave: int = 3
     anchor_ratios: Sequence[float] = (0.5, 1.0, 2.0)
     loc_filter_thr: float = 0.01
-    # train_cfg parity
+    # train_cfg parity (reference ga_retinanet_r50_caffe_fpn_1x_coco.py)
     center_ratio: float = 0.2
     ignore_ratio: float = 0.5
     ga_pos_iou_thr: float = 0.5
     ga_neg_iou_thr: float = 0.4
+    ga_min_pos_iou: float = 0.4
+    ga_sample_num: int = 256       # RandomSampler(num=256, pos_fraction=.5)
+    ga_pos_fraction: float = 0.5
     pos_iou_thr: float = 0.5
     neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.0
+    allowed_border: float = -1.0
     target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
-    target_stds: Sequence[float] = (0.07, 0.07, 0.11, 0.11)
+    target_stds: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    anchor_stds: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    bbox_beta: float = 0.04
     # config-parity fields
     approx_anchor_generator: dict | None = None
     square_anchor_generator: dict | None = None
@@ -142,19 +149,66 @@ class GARetinaHead(nn.Module):
                 tuple(loc_preds))
 
 
-def _guided_anchors(head, squares, shape_flat):
-    """squares (A, 4) + predicted (dw, dh) -> guided anchors (B, A, 4)
-    (reference ``_get_guided_anchors_single`` :340-372: delta decode with
-    zero dxy)."""
+def _resolve_ga_cfgs(head):
+    """Pull the coder stds / loss hyperparams out of the config-parity dicts
+    (reference builds them via ``build_bbox_coder``/``build_loss``,
+    ``guided_anchor_head.py:176-183``); head-field defaults otherwise."""
+    anchor_stds = tuple((head.anchor_coder or {}).get(
+        "target_stds", head.anchor_stds))
+    bc = head.bbox_coder or {}
+    means = tuple(bc.get("target_means", head.target_means))
+    stds = tuple(bc.get("target_stds", head.target_stds))
+    lb = head.loss_bbox or {}
+    bbox_beta = lb.get("beta", head.bbox_beta)
+    bbox_lw = lb.get("loss_weight", 1.0)
+    lc = head.loss_cls or {}
+    cls_gamma = lc.get("gamma", 2.0)
+    cls_alpha = lc.get("alpha", 0.25)
+    cls_lw = lc.get("loss_weight", 1.0)
+    ls = head.loss_shape or {}
+    shape_beta = ls.get("beta", 0.2)
+    shape_lw = ls.get("loss_weight", 1.0)
+    ll = head.loss_loc or {}
+    loc_gamma = ll.get("gamma", 2.0)
+    loc_alpha = ll.get("alpha", 0.25)
+    loc_lw = ll.get("loss_weight", 1.0)
+    return dict(anchor_stds=anchor_stds, means=means, stds=stds,
+                bbox_beta=bbox_beta, bbox_lw=bbox_lw, cls_gamma=cls_gamma,
+                cls_alpha=cls_alpha, cls_lw=cls_lw, shape_beta=shape_beta,
+                shape_lw=shape_lw, loc_gamma=loc_gamma, loc_alpha=loc_alpha,
+                loc_lw=loc_lw)
+
+
+# delta2bbox's wh_ratio_clip=1e-6 used by the anchor decode (reference
+# ``_get_guided_anchors_single`` :340-372 and ``loss_shape_single`` :605-627)
+_MAX_RATIO = abs(math.log(1e-6))
+
+
+def _shape_decoded_anchors(squares, shape_flat, anchor_stds):
+    """squares (A, 4) + predicted (dw, dh) -> anchors (B, A, 4): the
+    reference's ``anchor_coder.decode`` with dxy=0 and std-scaled dwh."""
     sw = (squares[:, 2] - squares[:, 0])[None]
     sh = (squares[:, 3] - squares[:, 1])[None]
     cx = ((squares[:, 0] + squares[:, 2]) * 0.5)[None]
     cy = ((squares[:, 1] + squares[:, 3]) * 0.5)[None]
-    d = jax.lax.stop_gradient(shape_flat)
-    w = sw * jnp.exp(jnp.clip(d[..., 0], -10, 10))
-    h = sh * jnp.exp(jnp.clip(d[..., 1], -10, 10))
+    dw = jnp.clip(shape_flat[..., 0] * anchor_stds[2], -_MAX_RATIO,
+                  _MAX_RATIO)
+    dh = jnp.clip(shape_flat[..., 1] * anchor_stds[3], -_MAX_RATIO,
+                  _MAX_RATIO)
+    w = sw * jnp.exp(dw)
+    h = sh * jnp.exp(dh)
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
                      axis=-1)
+
+
+def _guided_anchors(head, squares, shape_flat, anchor_stds=None):
+    """Guided anchors: stop-gradient shape decode (reference
+    ``_get_guided_anchors_single`` :340-372)."""
+    if anchor_stds is None:
+        anchor_stds = _resolve_ga_cfgs(head)["anchor_stds"]
+    return _shape_decoded_anchors(squares,
+                                  jax.lax.stop_gradient(shape_flat),
+                                  anchor_stds)
 
 
 def _loc_targets(head, gt_bboxes, gt_valid, featmap_sizes):
@@ -193,21 +247,31 @@ def _loc_targets(head, gt_bboxes, gt_valid, featmap_sizes):
         stride = strides[lvl]
 
         def per_image(boxes, valid, lvls):
+            # reference order matters (torch-oracled): per gt IN ORDER,
+            # weight[ignore_region] = 0 then weight[center_region] = 1 —
+            # a later gt's ignore region zeroes an earlier gt's center
+            # weight (its target stays 1); the adjacent-level ignore map
+            # only zeroes cells no same-level region ever touched (w < 0)
             def body(carry, j):
-                center, ignore = carry
+                t, wcur, igmap = carry
                 box = boxes[j] / stride
                 at_lvl = (lvls[j] == lvl) & (valid[j] > 0)
                 adj = (jnp.abs(lvls[j] - lvl) == 1) & (valid[j] > 0)
                 c = region_mask(box, r1, h, w) & at_lvl
-                ig = region_mask(box, r2, h, w) & (at_lvl | adj)
-                return (center | c, ignore | ig), None
+                ig = region_mask(box, r2, h, w) & at_lvl
+                wcur = jnp.where(ig, 0.0, wcur)
+                wcur = jnp.where(c, 1.0, wcur)
+                igmap = igmap | (region_mask(box, r2, h, w) & adj)
+                return (t | c, wcur, igmap), None
 
-            (center, ignore), _ = jax.lax.scan(
-                body, (jnp.zeros((h, w), bool), jnp.zeros((h, w), bool)),
+            (t, wcur, igmap), _ = jax.lax.scan(
+                body, (jnp.zeros((h, w), bool),
+                       jnp.full((h, w), -1.0, jnp.float32),
+                       jnp.zeros((h, w), bool)),
                 jnp.arange(boxes.shape[0]))
-            t = center.astype(jnp.float32)
-            wgt = jnp.where(center, 1.0, jnp.where(ignore, 0.0, 0.1))
-            return t, wgt
+            wgt = jnp.where((wcur < 0) & igmap, 0.0,
+                            jnp.where(wcur < 0, 0.1, wcur))
+            return t.astype(jnp.float32), wgt
 
         t, wgt = jax.vmap(per_image)(gt_bboxes,
                                      gt_valid.astype(jnp.float32), tgt_lvl)
@@ -238,56 +302,75 @@ def ga_retina_loss(head, outputs, batch, axis_name=None):
     def _psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    cfg = _resolve_ga_cfgs(head)
+
     # ---- loc loss (focal on the single-logit objectness map) ----
     loc_tw, loc_avg = _loc_targets(head, batch["gt_bboxes"],
                                    batch["gt_valid"], featmap_sizes)
     loss_loc = 0.0
     for lvl, (t, wgt) in enumerate(loc_tw):
         logits = loc_preds[lvl].reshape(b, -1, 1)
-        labels = jnp.where(t.reshape(b, -1) > 0, 0, 1)     # 0 = fg, 1 = bg
-        loss_loc = loss_loc + L.sigmoid_focal_loss(
-            logits, labels, weight=wgt.reshape(b, -1), avg_factor=loc_avg)
+        # reference quirk (torch-oracled): ``loss_loc_single`` :629-636
+        # feeds the 0/1 center map to FocalLoss as *class indices*, so a
+        # center (1 == num_classes) is one-hot BACKGROUND for the single
+        # logit and the off-center 0s are the "positive" class
+        labels = t.reshape(b, -1).astype(jnp.int32)
+        loss_loc = loss_loc + cfg["loc_lw"] * L.sigmoid_focal_loss(
+            logits, labels, gamma=cfg["loc_gamma"], alpha=cfg["loc_alpha"],
+            weight=wgt.reshape(b, -1), avg_factor=loc_avg)
 
     # ---- shape loss (BoundedIoU on the best-shape anchors) ----
-    s_labels, s_assigned, _, _ = approx_max_iou_assign(
+    s_labels, s_assigned, s_weights, _ = approx_max_iou_assign(
         approxs, batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"],
         pos_iou_thr=head.ga_pos_iou_thr, neg_iou_thr=head.ga_neg_iou_thr,
-        min_pos_iou=0.0, num_classes=nc)
+        min_pos_iou=head.ga_min_pos_iou, num_classes=nc)
     s_pos = (s_labels < nc).astype(jnp.float32)
-    num_shape_pos = jnp.maximum(_psum(s_pos.sum()), 1.0)
+    # reference: RandomSampler(num, pos_fraction) over the shape candidates;
+    # anchor_total_num = sum_i max(pos_i, 1) + sum_i max(neg_i, 1) with
+    # neg_i = min(num - kept_pos_i, available below-neg-thr candidates)
+    # (``ga_shape_targets`` :594-595 with ``loss`` :671-675). The random
+    # *choice* never enters the loss (bbox_weights are pos-only), only the
+    # deterministic counts do.
+    pos_per_img = s_pos.sum(axis=1)
+    avail_neg = ((s_weights > 0) & (s_labels == nc)).astype(
+        jnp.float32).sum(axis=1)
+    kept_pos = jnp.minimum(pos_per_img,
+                           float(int(head.ga_sample_num
+                                     * head.ga_pos_fraction)))
+    kept_neg = jnp.minimum(head.ga_sample_num - kept_pos, avail_neg)
+    anchor_fg = jnp.maximum(pos_per_img, 1.0).sum()
+    anchor_bg = jnp.maximum(kept_neg, 1.0).sum()
+    anchor_total = _psum(anchor_fg + anchor_bg)
     gt_s = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(s_assigned, 0)[..., None], axis=1)
     # predicted anchor (gradient flows through shape pred here)
-    sw = (squares[:, 2] - squares[:, 0])[None]
-    sh = (squares[:, 3] - squares[:, 1])[None]
-    cx = ((squares[:, 0] + squares[:, 2]) * 0.5)[None]
-    cy = ((squares[:, 1] + squares[:, 3]) * 0.5)[None]
-    pw = sw * jnp.exp(jnp.clip(flat_shape[..., 0], -10, 10))
-    ph = sh * jnp.exp(jnp.clip(flat_shape[..., 1], -10, 10))
-    pred_anchors = jnp.stack(
-        [cx - pw / 2, cy - ph / 2, cx + pw / 2, cy + ph / 2], axis=-1)
-    loss_shape = L.bounded_iou_loss(
-        pred_anchors, gt_s, beta=0.2, weight=s_pos[..., None],
-        reduction="sum", avg_factor=num_shape_pos)
+    pred_anchors = _shape_decoded_anchors(squares, flat_shape,
+                                          cfg["anchor_stds"])
+    loss_shape = cfg["shape_lw"] * L.bounded_iou_loss(
+        pred_anchors, gt_s, beta=cfg["shape_beta"], weight=s_pos[..., None],
+        reduction="mean", avg_factor=anchor_total)
 
     # ---- cls/bbox losses on the guided anchors (per-image anchors) ----
-    ga = _guided_anchors(head, squares, flat_shape)        # (B, A, 4)
+    ga = _guided_anchors(head, squares, flat_shape, cfg["anchor_stds"])
     labels, assigned, weights, _ = jax.vmap(
         lambda a, gb, gl, gv: _max_iou_assign_single(
             a, gb, gl, gv, pos_iou_thr=head.pos_iou_thr,
-            neg_iou_thr=head.neg_iou_thr, min_pos_iou=0.0,
+            neg_iou_thr=head.neg_iou_thr, min_pos_iou=head.min_pos_iou,
             num_classes=nc, match_low_quality=True))(
         ga, batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"])
     pos = labels < nc
-    num_pos = jnp.maximum(_psum(pos.astype(jnp.float32).sum()), 1.0)
-    loss_cls = L.sigmoid_focal_loss(flat_cls, labels, weight=weights,
-                                    avg_factor=num_pos)
+    # per-image max(1) (reference AnchorHead.get_targets :~ num_total_pos)
+    num_pos = _psum(jnp.maximum(
+        pos.astype(jnp.float32).sum(axis=1), 1.0).sum())
+    loss_cls = cfg["cls_lw"] * L.sigmoid_focal_loss(
+        flat_cls, labels, gamma=cfg["cls_gamma"], alpha=cfg["cls_alpha"],
+        weight=weights, avg_factor=num_pos)
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
-    deltas = jax.vmap(lambda a, g_: bbox2delta(a, g_, head.target_means,
-                                               head.target_stds))(ga, gt)
-    loss_bbox = L.smooth_l1_loss(
-        flat_reg, deltas, beta=1.0,
+    deltas = jax.vmap(lambda a, g_: bbox2delta(a, g_, cfg["means"],
+                                               cfg["stds"]))(ga, gt)
+    loss_bbox = cfg["bbox_lw"] * L.smooth_l1_loss(
+        flat_reg, deltas, beta=cfg["bbox_beta"],
         weight=pos.astype(jnp.float32)[..., None], avg_factor=num_pos)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                 loss_shape=loss_shape, loss_loc=loss_loc)

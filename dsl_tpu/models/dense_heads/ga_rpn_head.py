@@ -36,9 +36,14 @@ class GARPNHead(GARetinaHead):
     octave_base_scale: int = 8
     pos_iou_thr: float = 0.7
     neg_iou_thr: float = 0.3
+    min_pos_iou: float = 0.3
     ga_pos_iou_thr: float = 0.7
     ga_neg_iou_thr: float = 0.3
+    ga_min_pos_iou: float = 0.3
+    allowed_border: float = 0.0    # rpn_r50_fpn.py train_cfg
     target_stds: Sequence[float] = (0.07, 0.07, 0.11, 0.11)
+    anchor_stds: Sequence[float] = (0.07, 0.07, 0.14, 0.14)
+    bbox_beta: float = 1.0
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -89,56 +94,96 @@ def ga_rpn_loss(head: GARPNHead, outputs, batch, axis_name=None):
     def _psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    from dsl_tpu.models.dense_heads.ga_retina_head import (
+        _resolve_ga_cfgs, _shape_decoded_anchors)
+
+    cfg = _resolve_ga_cfgs(head)
+
+    # ---- allowed_border anchor filtering (anchor_inside_flags) ----
+    # rpn train_cfg has allowed_border=0: approx positions / guided anchors
+    # sticking out of the image are excluded from assignment entirely
+    # (``get_sampled_approxs`` :239-287 + AnchorHead._get_targets_single).
+    border = float(head.allowed_border)
+    approx_inside = None
+    if border >= 0 and batch.get("img_shapes") is not None:
+        hw = batch["img_shapes"]                           # (B, 2) [h, w]
+
+        def _inside(boxes, hw_i):
+            return ((boxes[..., 0] >= -border)
+                    & (boxes[..., 1] >= -border)
+                    & (boxes[..., 2] < hw_i[1] + border)
+                    & (boxes[..., 3] < hw_i[0] + border))
+
+        # a square position is valid if ANY of its G approxs is inside
+        approx_inside = jax.vmap(
+            lambda hw_i: jnp.any(_inside(approxs, hw_i), axis=1))(hw)
+
     loc_tw, loc_avg = _loc_targets(head, batch["gt_bboxes"],
                                    batch["gt_valid"], featmap_sizes)
     loss_loc = 0.0
     for lvl, (t, wgt) in enumerate(loc_tw):
         logits = loc_preds[lvl].reshape(b, -1, 1)
-        labels = jnp.where(t.reshape(b, -1) > 0, 0, 1)
-        loss_loc = loss_loc + L.sigmoid_focal_loss(
-            logits, labels, weight=wgt.reshape(b, -1), avg_factor=loc_avg)
+        # center map fed as class indices — see ga_retina_loss loc note
+        labels = t.reshape(b, -1).astype(jnp.int32)
+        loss_loc = loss_loc + cfg["loc_lw"] * L.sigmoid_focal_loss(
+            logits, labels, gamma=cfg["loc_gamma"], alpha=cfg["loc_alpha"],
+            weight=wgt.reshape(b, -1), avg_factor=loc_avg)
 
-    s_labels, s_assigned, _, _ = approx_max_iou_assign(
+    s_labels, s_assigned, s_weights, _ = approx_max_iou_assign(
         approxs, batch["gt_bboxes"],
         jnp.zeros_like(batch["gt_labels"]), batch["gt_valid"],
         pos_iou_thr=head.ga_pos_iou_thr, neg_iou_thr=head.ga_neg_iou_thr,
-        min_pos_iou=0.0, num_classes=1)
+        min_pos_iou=head.ga_min_pos_iou, num_classes=1,
+        inside=approx_inside)
     s_pos = (s_labels < 1).astype(jnp.float32)
-    num_shape_pos = jnp.maximum(_psum(s_pos.sum()), 1.0)
+    # RandomSampler(num, pos_fraction) count semantics (see ga_retina_loss);
+    # negatives are capped by the AVAILABLE below-neg-thr inside positions
+    pos_per_img = s_pos.sum(axis=1)
+    avail_neg = ((s_weights > 0) & (s_labels == 1)).astype(
+        jnp.float32).sum(axis=1)
+    kept_pos = jnp.minimum(pos_per_img,
+                           float(int(head.ga_sample_num
+                                     * head.ga_pos_fraction)))
+    kept_neg = jnp.minimum(head.ga_sample_num - kept_pos, avail_neg)
+    anchor_total = _psum(jnp.maximum(pos_per_img, 1.0).sum()
+                         + jnp.maximum(kept_neg, 1.0).sum())
     gt_s = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(s_assigned, 0)[..., None], axis=1)
-    sw = (squares[:, 2] - squares[:, 0])[None]
-    sh = (squares[:, 3] - squares[:, 1])[None]
-    cx = ((squares[:, 0] + squares[:, 2]) * 0.5)[None]
-    cy = ((squares[:, 1] + squares[:, 3]) * 0.5)[None]
-    pw = sw * jnp.exp(jnp.clip(flat_shape[..., 0], -10, 10))
-    ph = sh * jnp.exp(jnp.clip(flat_shape[..., 1], -10, 10))
-    pred_anchors = jnp.stack(
-        [cx - pw / 2, cy - ph / 2, cx + pw / 2, cy + ph / 2], axis=-1)
-    loss_shape = L.bounded_iou_loss(
-        pred_anchors, gt_s, beta=0.2, weight=s_pos[..., None],
-        reduction="sum", avg_factor=num_shape_pos)
+    pred_anchors = _shape_decoded_anchors(squares, flat_shape,
+                                          cfg["anchor_stds"])
+    loss_shape = cfg["shape_lw"] * L.bounded_iou_loss(
+        pred_anchors, gt_s, beta=cfg["shape_beta"], weight=s_pos[..., None],
+        reduction="mean", avg_factor=anchor_total)
 
-    ga = _guided_anchors(head, squares, flat_shape)
+    ga = _guided_anchors(head, squares, flat_shape, cfg["anchor_stds"])
+    cls_inside = None
+    if approx_inside is not None:
+        # effective flags: approx-position validity AND the guided anchor
+        # itself inside (AnchorHead._get_targets_single re-checks)
+        ga_inside = jax.vmap(_inside)(ga, batch["img_shapes"])
+        cls_inside = approx_inside & ga_inside
     labels, assigned, weights, _ = jax.vmap(
-        lambda a, gb, gl, gv: _max_iou_assign_single(
+        lambda a, gb, gl, gv, ins: _max_iou_assign_single(
             a, gb, gl, gv, pos_iou_thr=head.pos_iou_thr,
-            neg_iou_thr=head.neg_iou_thr, min_pos_iou=0.0,
-            num_classes=1, match_low_quality=True))(
+            neg_iou_thr=head.neg_iou_thr, min_pos_iou=head.min_pos_iou,
+            num_classes=1, match_low_quality=True, inside=ins))(
         ga, batch["gt_bboxes"], jnp.zeros_like(batch["gt_labels"]),
-        batch["gt_valid"])
+        batch["gt_valid"],
+        cls_inside if cls_inside is not None
+        else jnp.ones(ga.shape[:2], bool))
     pos = labels < 1
     posf = pos.astype(jnp.float32)
     num = jnp.maximum(_psum((weights > 0).astype(jnp.float32).sum()), 1.0)
     loss_cls = L.binary_cross_entropy(
-        flat_cls, posf, weight=weights, reduction="sum", avg_factor=num)
+        flat_cls, posf, weight=weights, reduction="mean", avg_factor=num)
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
-    deltas = jax.vmap(lambda a, g_: bbox2delta(a, g_, head.target_means,
-                                               head.target_stds))(ga, gt)
-    num_pos = jnp.maximum(_psum(posf.sum()), 1.0)
-    loss_bbox = L.smooth_l1_loss(flat_reg, deltas, beta=1.0,
-                                 weight=posf[..., None], avg_factor=num_pos)
+    deltas = jax.vmap(lambda a, g_: bbox2delta(a, g_, cfg["means"],
+                                               cfg["stds"]))(ga, gt)
+    # sampling head: bbox avg_factor is num_total_samples = pos + neg,
+    # same as cls (AnchorHead.loss_single with CrossEntropy cls)
+    loss_bbox = L.smooth_l1_loss(flat_reg, deltas, beta=cfg["bbox_beta"],
+                                 weight=posf[..., None], avg_factor=num)
     return dict(loss_rpn_cls=loss_cls, loss_rpn_bbox=loss_bbox,
                 loss_anchor_shape=loss_shape, loss_anchor_loc=loss_loc)
 

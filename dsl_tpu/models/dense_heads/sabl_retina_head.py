@@ -172,10 +172,10 @@ def sabl_loss(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
     bcls_w = bcls_w * pos_f[..., None]
 
     loss_bbox_cls = 1.5 * L.binary_cross_entropy(
-        flat_bcls, blabels, weight=bcls_w, reduction="sum",
+        flat_bcls, blabels, weight=bcls_w, reduction="mean",
         avg_factor=num_pos * 4 * sn)
     loss_bbox_reg = 1.5 * L.smooth_l1_loss(
-        flat_breg, offsets, beta=1.0 / 9.0, weight=off_w, reduction="sum",
+        flat_breg, offsets, beta=1.0 / 9.0, weight=off_w, reduction="mean",
         avg_factor=num_pos * 4 * head.offset_topk)
     return dict(loss_cls=loss_cls, loss_bbox_cls=loss_bbox_cls,
                 loss_bbox_reg=loss_bbox_reg)

@@ -279,7 +279,7 @@ def yolact_loss(head, outputs, batch, axis_name=None):
 
     segm_t = jax.vmap(union)(pasted, batch["gt_labels"])
     losses["loss_segm"] = L.binary_cross_entropy(
-        segm_pred, segm_t, reduction="sum",
+        segm_pred, segm_t, reduction="mean",
         avg_factor=float(b * sh * sw))
     return losses
 

@@ -137,10 +137,10 @@ def sabl_roi_loss(bbox_head: SABLHead, cls_logits, bucket_preds, samples,
         bbox_head.offset_upperbound, bbox_head.cls_ignore_neighbor)
     bcls, boff = bucket_preds
     loss_bucket_cls = L.binary_cross_entropy(
-        bcls, blabels, weight=cw * pos[:, None], reduction="sum",
+        bcls, blabels, weight=cw * pos[:, None], reduction="mean",
         avg_factor=num_pos * 4 * sn)
     loss_bucket_off = L.smooth_l1_loss(
-        boff, offsets, beta=0.1, weight=ow * pos[:, None], reduction="sum",
+        boff, offsets, beta=0.1, weight=ow * pos[:, None], reduction="mean",
         avg_factor=num_pos * 4 * bbox_head.offset_topk)
     return dict(loss_cls=loss_cls, loss_bbox_cls=loss_bucket_cls,
                 loss_bbox_reg=loss_bucket_off)

@@ -1,0 +1,756 @@
+"""Torch oracles, tranche 3: SABL / Guided-Anchoring (GA-Retina, GA-RPN)
+losses against the reference's OWN code.
+
+Same approach as ``test_torch_oracle_heads2.py``: the reference's actual
+``loss``/target code (``/root/reference/mmdet/models/dense_heads/
+{sabl_retina_head,guided_anchor_head,ga_rpn_head}.py``) runs on CPU with its
+real assigners (``ApproxMaxIoUAssigner``), coders (``BucketingBBoxCoder``,
+``DeltaXYWHBBoxCoder``), samplers and loss modules loaded from the reference
+tree (mmcv + registries stubbed), and our dense K-padded implementations must
+reproduce every loss component to fp32 tolerance.
+
+Sampler determinism: where a config uses ``RandomSampler`` for the *cls*
+branch (GA-RPN), the oracle uses a sampler ``num`` large enough that every
+candidate is kept deterministically (same convention as
+``test_torch_oracle_rcnn.py``). The GA *shape* branch keeps the real
+``num=256`` sampler: only positive counts (<=128 here) and the deterministic
+negative count enter the loss, never the random choice itself.
+
+Skipped automatically when /root/reference or torch is unavailable.
+"""
+
+import os.path as osp
+import sys
+import types
+from functools import partial
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference/mmdet"
+REF_SABL = osp.join(REF_ROOT, "models/dense_heads/sabl_retina_head.py")
+
+torch = pytest.importorskip("torch")
+pytestmark = pytest.mark.skipif(not osp.exists(REF_SABL),
+                                reason="reference tree not available")
+
+NUM_CLASSES = 6
+STRIDES = (8, 16, 32, 64, 128)
+SIZES = [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)]
+IMG_HW = (128, 160)
+K_GT = 8
+
+
+def _load_reference_heads3():
+    import importlib.util
+    import torch.nn as nn
+
+    new_mods = {}
+
+    def _stub(name):
+        mod = types.ModuleType(name)
+        new_mods[name] = mod
+        return mod
+
+    def _load(name, path):
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        new_mods[name] = mod
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    # ---- mmcv stubs --------------------------------------------------------
+    mmcv = _stub("mmcv")
+    mmcv.jit = lambda **kw: (lambda f: f)
+    mmcv.is_tuple_of = lambda seq, t: isinstance(seq, tuple) and all(
+        isinstance(x, t) for x in seq)
+
+    class ConfigDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def get(self, k, default=None):
+            return dict.get(self, k, default)
+
+    mmcv.ConfigDict = ConfigDict
+    mmcv_cnn = _stub("mmcv.cnn")
+
+    class Scale(nn.Module):
+        def __init__(self, scale=1.0):
+            super().__init__()
+            self.scale = nn.Parameter(torch.tensor(float(scale)))
+
+        def forward(self, x):
+            return x * self.scale
+
+    class ConvModule(nn.Module):
+        """Constructible stand-in (towers never forwarded by loss oracles)."""
+
+        def __init__(self, in_c, out_c, k=None, stride=1, padding=0,
+                     conv_cfg=None, norm_cfg=None, bias="auto",
+                     kernel_size=None, **kw):
+            super().__init__()
+            k = k if k is not None else (kernel_size or 3)
+            self.conv = nn.Conv2d(in_c, out_c, k, stride, padding,
+                                  bias=(bias if isinstance(bias, bool)
+                                        else norm_cfg is None))
+
+        def forward(self, x):
+            return self.conv(x)
+
+    mmcv_cnn.Scale = Scale
+    mmcv_cnn.ConvModule = ConvModule
+    mmcv_cnn.normal_init = lambda *a, **k: None
+    mmcv_cnn.constant_init = lambda *a, **k: None
+    mmcv_cnn.is_norm = lambda m: False
+    mmcv_cnn.bias_init_with_prob = lambda p: float(-np.log((1 - p) / p))
+    mmcv_runner = _stub("mmcv.runner")
+    mmcv_runner.force_fp32 = lambda **kw: (lambda f: f)
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
+    class ModuleList(nn.ModuleList):
+        def __init__(self, modules=None, init_cfg=None):
+            super().__init__(modules)
+
+    mmcv_runner.BaseModule = BaseModule
+    mmcv_runner.ModuleList = ModuleList
+    mmcv_ops = _stub("mmcv.ops")
+
+    def _no_cuda(*a, **k):
+        raise RuntimeError("CUDA op must not be reached on CPU")
+
+    mmcv_ops.sigmoid_focal_loss = _no_cuda
+    mmcv_ops.batched_nms = _no_cuda
+    mmcv_ops.nms = _no_cuda
+
+    class DeformConv2d(nn.Module):
+        """Constructible stand-in (loss-only oracles never forward it)."""
+
+        def __init__(self, in_c, out_c, kernel_size=3, stride=1, padding=0,
+                     dilation=1, **kw):
+            super().__init__()
+            k = kernel_size
+            self.weight = nn.Parameter(torch.zeros(out_c, in_c, k, k))
+
+        def forward(self, x, offset):
+            raise RuntimeError("not to be forwarded in the oracle")
+
+    class MaskedConv2d(nn.Conv2d):
+        """Constructible stand-in; loss oracles never call forward."""
+
+        def forward(self, x, mask=None):
+            raise RuntimeError("not to be forwarded in the oracle")
+
+    mmcv_ops.DeformConv2d = DeformConv2d
+    mmcv_ops.MaskedConv2d = MaskedConv2d
+    mmcv.cnn, mmcv.runner, mmcv.ops = mmcv_cnn, mmcv_runner, mmcv_ops
+
+    # ---- registry / builder stubs ------------------------------------------
+    class _Reg:
+        def __init__(self):
+            self.classes = {}
+
+        def register_module(self, *a, **k):
+            def deco(cls):
+                self.classes[cls.__name__] = cls
+                return cls
+            return deco
+        register = register_module
+
+    regs = {n: _Reg() for n in
+            ("LOSSES", "HEADS", "PRIOR_GENERATORS", "BBOX_ASSIGNERS",
+             "BBOX_SAMPLERS", "BBOX_CODERS", "IOU_CALCULATORS")}
+
+    def _build(reg):
+        def build(cfg, **kw):
+            cfg = dict(cfg)
+            return regs[reg].classes[cfg.pop("type")](**cfg, **kw)
+        return build
+
+    mm_utils = _stub("mmdet.utils")
+
+    class NiceRepr:
+        def __repr__(self):
+            return self.__class__.__name__
+
+    util_mixins = types.ModuleType("mmdet.utils.util_mixins")
+    util_mixins.NiceRepr = NiceRepr
+    mm_utils.util_mixins = util_mixins
+    new_mods["mmdet.utils.util_mixins"] = util_mixins
+
+    for pkg in ("refmm4", "refmm4.core", "refmm4.core.anchor",
+                "refmm4.core.bbox", "refmm4.core.bbox.assigners",
+                "refmm4.core.bbox.samplers", "refmm4.core.bbox.coder",
+                "refmm4.core.bbox.iou_calculators", "refmm4.models",
+                "refmm4.models.losses", "refmm4.models.utils",
+                "refmm4.models.dense_heads"):
+        _stub(pkg)
+    anchor_builder = _stub("refmm4.core.anchor.builder")
+    anchor_builder.PRIOR_GENERATORS = regs["PRIOR_GENERATORS"]
+    anchor_builder.ANCHOR_GENERATORS = regs["PRIOR_GENERATORS"]
+    bbox_builder = _stub("refmm4.core.bbox.builder")
+    bbox_builder.BBOX_ASSIGNERS = regs["BBOX_ASSIGNERS"]
+    bbox_builder.BBOX_SAMPLERS = regs["BBOX_SAMPLERS"]
+    bbox_builder.BBOX_CODERS = regs["BBOX_CODERS"]
+    iou_builder = _stub("refmm4.core.bbox.iou_calculators.builder")
+    iou_builder.IOU_CALCULATORS = regs["IOU_CALCULATORS"]
+    models_builder = _stub("refmm4.models.builder")
+    models_builder.HEADS = regs["HEADS"]
+    models_builder.LOSSES = regs["LOSSES"]
+    models_builder.build_loss = _build("LOSSES")
+
+    saved = {k: sys.modules.get(k)
+             for k in set(new_mods) | {"mmdet", "mmdet.core", "mmdet.utils",
+                                       "mmdet.utils.util_mixins",
+                                       "mmdet.models", "mmdet.models.utils",
+                                       "mmdet.models.dense_heads",
+                                       "mmdet.core.bbox",
+                                       "mmdet.core.bbox.demodata",
+                                       "mmdet.core.bbox.iou_calculators",
+                                       "mmdet.core.anchor"}}
+    sys.modules.update(new_mods)
+    sys.modules["mmdet.utils"] = mm_utils
+    try:
+        iou2d = _load(
+            "refmm4.core.bbox.iou_calculators.iou2d_calculator",
+            osp.join(REF_ROOT,
+                     "core/bbox/iou_calculators/iou2d_calculator.py"))
+        iou_pkg = sys.modules["refmm4.core.bbox.iou_calculators"]
+        iou_pkg.build_iou_calculator = _build("IOU_CALCULATORS")
+        iou_pkg.bbox_overlaps = iou2d.bbox_overlaps
+
+        transforms = _load("refmm4.core.bbox.transforms",
+                           osp.join(REF_ROOT, "core/bbox/transforms.py"))
+        sys.modules["refmm4.core.bbox"].transforms = transforms
+        anchor_utils = _load("refmm4.core.anchor.utils",
+                             osp.join(REF_ROOT, "core/anchor/utils.py"))
+        _load("refmm4.core.anchor.anchor_generator",
+              osp.join(REF_ROOT, "core/anchor/anchor_generator.py"))
+        _load("refmm4.core.bbox.coder.base_bbox_coder",
+              osp.join(REF_ROOT, "core/bbox/coder/base_bbox_coder.py"))
+        _load("refmm4.core.bbox.coder.delta_xywh_bbox_coder",
+              osp.join(REF_ROOT,
+                       "core/bbox/coder/delta_xywh_bbox_coder.py"))
+        _load("refmm4.core.bbox.coder.bucketing_bbox_coder",
+              osp.join(REF_ROOT,
+                       "core/bbox/coder/bucketing_bbox_coder.py"))
+        _load("refmm4.core.bbox.assigners.base_assigner",
+              osp.join(REF_ROOT, "core/bbox/assigners/base_assigner.py"))
+        _load("refmm4.core.bbox.assigners.assign_result",
+              osp.join(REF_ROOT, "core/bbox/assigners/assign_result.py"))
+        _load("refmm4.core.bbox.assigners.max_iou_assigner",
+              osp.join(REF_ROOT,
+                       "core/bbox/assigners/max_iou_assigner.py"))
+        _load("refmm4.core.bbox.assigners.approx_max_iou_assigner",
+              osp.join(REF_ROOT,
+                       "core/bbox/assigners/approx_max_iou_assigner.py"))
+        _load("refmm4.core.bbox.samplers.sampling_result",
+              osp.join(REF_ROOT, "core/bbox/samplers/sampling_result.py"))
+        _load("refmm4.core.bbox.samplers.base_sampler",
+              osp.join(REF_ROOT, "core/bbox/samplers/base_sampler.py"))
+        _load("refmm4.core.bbox.samplers.pseudo_sampler",
+              osp.join(REF_ROOT, "core/bbox/samplers/pseudo_sampler.py"))
+
+        def multi_apply(func, *args, **kwargs):
+            pfunc = partial(func, **kwargs) if kwargs else func
+            return tuple(map(list, zip(*map(pfunc, *args))))
+
+        def unmap(data, count, inds, fill=0):
+            """core/utils/misc.py:32 semantics."""
+            inds = inds.type(torch.bool)
+            if data.dim() == 1:
+                ret = data.new_full((count,), fill)
+                ret[inds] = data
+            else:
+                ret = data.new_full((count,) + data.size()[1:], fill)
+                ret[inds, :] = data
+            return ret
+
+        mmdet_core = types.ModuleType("mmdet.core")
+        mmdet_core.bbox_overlaps = iou2d.bbox_overlaps
+        mmdet_core.multi_apply = multi_apply
+        mmdet_core.reduce_mean = lambda t: t
+        mmdet_core.unmap = unmap
+        mmdet_core.calc_region = anchor_utils.calc_region
+        mmdet_core.anchor_inside_flags = anchor_utils.anchor_inside_flags
+        mmdet_core.images_to_levels = anchor_utils.images_to_levels
+        mmdet_core.multiclass_nms = None
+        mmdet_core.force_fp32 = mmcv_runner.force_fp32
+        mmdet_core.build_anchor_generator = _build("PRIOR_GENERATORS")
+        mmdet_core.build_prior_generator = _build("PRIOR_GENERATORS")
+        mmdet_core.build_assigner = _build("BBOX_ASSIGNERS")
+        mmdet_core.build_sampler = _build("BBOX_SAMPLERS")
+        mmdet_core.build_bbox_coder = _build("BBOX_CODERS")
+        mmdet_core_bbox = types.ModuleType("mmdet.core.bbox")
+        mmdet_core_bbox.__path__ = []
+        mmdet_core_bbox.bbox_overlaps = iou2d.bbox_overlaps
+        demodata = types.ModuleType("mmdet.core.bbox.demodata")
+        demodata.ensure_rng = lambda rng=None: np.random.RandomState(rng)
+        mmdet_core_bbox.demodata = demodata
+        mmdet_core.bbox = mmdet_core_bbox
+
+        mmdet_mod = types.ModuleType("mmdet")
+        mmdet_mod.core = mmdet_core
+        mmdet_mod.utils = mm_utils
+        sys.modules["mmdet"] = mmdet_mod
+        sys.modules["mmdet.core"] = mmdet_core
+        sys.modules["mmdet.core.bbox"] = mmdet_core_bbox
+        sys.modules["mmdet.core.bbox.demodata"] = demodata
+
+        rnd = _load("refmm4.core.bbox.samplers.random_sampler",
+                    osp.join(REF_ROOT,
+                             "core/bbox/samplers/random_sampler.py"))
+        region = _load(
+            "refmm4.core.bbox.assigners.region_assigner",
+            osp.join(REF_ROOT, "core/bbox/assigners/region_assigner.py"))
+        mmdet_core.RegionAssigner = region.RegionAssigner
+
+        # ---- losses --------------------------------------------------------
+        _load("refmm4.models.losses.utils",
+              osp.join(REF_ROOT, "models/losses/utils.py"))
+        _load("refmm4.models.losses.accuracy",
+              osp.join(REF_ROOT, "models/losses/accuracy.py"))
+        _load("refmm4.models.losses.focal_loss",
+              osp.join(REF_ROOT, "models/losses/focal_loss.py"))
+        _load("refmm4.models.losses.iou_loss",
+              osp.join(REF_ROOT, "models/losses/iou_loss.py"))
+        _load("refmm4.models.losses.cross_entropy_loss",
+              osp.join(REF_ROOT, "models/losses/cross_entropy_loss.py"))
+        _load("refmm4.models.losses.smooth_l1_loss",
+              osp.join(REF_ROOT, "models/losses/smooth_l1_loss.py"))
+
+        mmdet_models = types.ModuleType("mmdet.models")
+        mmdet_models.HEADS = regs["HEADS"]
+        mmdet_models.build_loss = models_builder.build_loss
+        sys.modules["mmdet.models"] = mmdet_models
+        mmdet_mod.models = mmdet_models
+
+        # ---- dense heads ---------------------------------------------------
+        _load("refmm4.models.dense_heads.base_dense_head",
+              osp.join(REF_ROOT, "models/dense_heads/base_dense_head.py"))
+        mixins = _stub("refmm4.models.dense_heads.dense_test_mixins")
+
+        class BBoxTestMixin:
+            pass
+
+        mixins.BBoxTestMixin = BBoxTestMixin
+        sys.modules["refmm4.models.dense_heads.dense_test_mixins"] = mixins
+
+        _load("refmm4.models.dense_heads.anchor_head",
+              osp.join(REF_ROOT, "models/dense_heads/anchor_head.py"))
+        ga = _load("refmm4.models.dense_heads.guided_anchor_head",
+                   osp.join(REF_ROOT,
+                            "models/dense_heads/guided_anchor_head.py"))
+        sabl = _load("refmm4.models.dense_heads.sabl_retina_head", REF_SABL)
+        garpn = _load("refmm4.models.dense_heads.ga_rpn_head",
+                      osp.join(REF_ROOT,
+                               "models/dense_heads/ga_rpn_head.py"))
+        models_builder.build_head = _build("HEADS")
+        _load("refmm4.models.dense_heads.rpn_head",
+              osp.join(REF_ROOT, "models/dense_heads/rpn_head.py"))
+        crpn = _load("refmm4.models.dense_heads.cascade_rpn_head",
+                     osp.join(REF_ROOT,
+                              "models/dense_heads/cascade_rpn_head.py"))
+
+        ns = types.SimpleNamespace(
+            SABLRetinaHead=sabl.SABLRetinaHead,
+            GuidedAnchorHead=ga.GuidedAnchorHead,
+            GARPNHead=garpn.GARPNHead,
+            StageCascadeRPNHead=crpn.StageCascadeRPNHead,
+            RandomSampler=rnd.RandomSampler,
+        )
+        return ns
+    finally:
+        # the RandomSampler lazily imports mmdet.core.bbox.demodata at
+        # CONSTRUCTION time (inside the tests), so the fake mmdet tree must
+        # outlive the loader; everything else is restored.
+        keep = {"mmdet", "mmdet.core", "mmdet.core.bbox",
+                "mmdet.core.bbox.demodata"}
+        for k, v in saved.items():
+            if k in keep and v is None:
+                continue
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    return _load_reference_heads3()
+
+
+class _Cfg(dict):
+    """mmcv-Config-style attribute access over a plain dict."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError:
+            raise AttributeError(k)
+
+
+def _random_gts(rng, gt_counts, min_wh=8.0):
+    H, W = IMG_HW
+    gts, gt_labels = [], []
+    for n in gt_counts:
+        x1 = rng.rand(n) * W * 0.6
+        y1 = rng.rand(n) * H * 0.6
+        bw = rng.rand(n) * (W * 0.4) + min_wh
+        bh = rng.rand(n) * (H * 0.4) + min_wh
+        gts.append(np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                             np.minimum(y1 + bh, H - 1)],
+                            -1).astype(np.float32))
+        gt_labels.append(rng.randint(0, NUM_CLASSES, size=n)
+                         .astype(np.int64))
+    return gts, gt_labels
+
+
+def _pad_gts(gts, gt_labels, k=K_GT):
+    b = len(gts)
+    gt_b = np.zeros((b, k, 4), np.float32)
+    gt_l = np.zeros((b, k), np.int32)
+    gt_v = np.zeros((b, k), bool)
+    for i, g in enumerate(gts):
+        gt_b[i, :len(g)] = g
+        gt_l[i, :len(g)] = gt_labels[i]
+        gt_v[i, :len(g)] = True
+    return gt_b, gt_l, gt_v
+
+
+def _metas(b):
+    return [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+            for _ in range(b)]
+
+
+def _sum_ref(ref):
+    return {k: float(sum(float(x) for x in v) if isinstance(v, list) else v)
+            for k, v in ref.items()}
+
+
+def test_sabl_loss_matches_reference(ref_mod):
+    """SABL retina loss (``sabl_retina_head.py:437-521``): ApproxMaxIoU
+    (0.5/0.4) assignment over the 9-approx groups, focal cls avg num_pos,
+    bucket-cls BCE x1.5 avg num_pos*4*side_num, bucket-offset smooth-L1
+    (beta 1/9) x1.5 avg num_pos*4*offset_topk, with the BucketingBBoxCoder's
+    topk-offset / neighbor-ignore encode (``bucketing_bbox_coder.py:144-266``).
+    """
+    B = 2
+    rng = np.random.RandomState(61)
+    side = 7
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bcls = [(rng.randn(B, side * 4, h, w)).astype(np.float32)
+            for h, w in SIZES]
+    breg = [(rng.randn(B, side * 4, h, w) * 0.5).astype(np.float32)
+            for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=16.0)
+
+    head = ref_mod.SABLRetinaHead(
+        num_classes=NUM_CLASSES, in_channels=32, feat_channels=32,
+        stacked_convs=1,
+        approx_anchor_generator=dict(
+            type="AnchorGenerator", octave_base_scale=4, scales_per_octave=3,
+            ratios=[0.5, 1.0, 2.0], strides=list(STRIDES)),
+        square_anchor_generator=dict(
+            type="AnchorGenerator", ratios=[1.0], scales=[4],
+            strides=list(STRIDES)),
+        bbox_coder=dict(type="BucketingBBoxCoder", num_buckets=14,
+                        scale_factor=3.0),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                           loss_weight=1.5),
+        loss_bbox_reg=dict(type="SmoothL1Loss", beta=1.0 / 9.0,
+                           loss_weight=1.5),
+        train_cfg=_Cfg(assigner=dict(type="ApproxMaxIoUAssigner",
+                                     pos_iou_thr=0.5, neg_iou_thr=0.4,
+                                     min_pos_iou=0.0, ignore_iof_thr=-1),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls],
+                        [(t(bc), t(br)) for bc, br in zip(bcls, breg)],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        _metas(B))
+    ref = _sum_ref(ref)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.sabl_retina_head import (SABLRetinaHead,
+                                                             sabl_loss)
+
+    our_head = SABLRetinaHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = sabl_loss(our_head, nhwc(cls), nhwc(bcls), nhwc(breg),
+                     dict(gt_bboxes=jnp.asarray(gt_b),
+                          gt_labels=jnp.asarray(gt_l),
+                          gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox_cls", "loss_bbox_reg"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def _ga_retina_ref_head(ref_mod):
+    return ref_mod.GuidedAnchorHead(
+        num_classes=NUM_CLASSES, in_channels=32, feat_channels=32,
+        approx_anchor_generator=dict(
+            type="AnchorGenerator", octave_base_scale=4, scales_per_octave=3,
+            ratios=[0.5, 1.0, 2.0], strides=list(STRIDES)),
+        square_anchor_generator=dict(
+            type="AnchorGenerator", ratios=[1.0], scales=[4],
+            strides=list(STRIDES)),
+        anchor_coder=dict(type="DeltaXYWHBBoxCoder",
+                          target_means=[0.0] * 4, target_stds=[1.0] * 4),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4, target_stds=[1.0] * 4),
+        loc_filter_thr=0.01,
+        loss_loc=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_shape=dict(type="BoundedIoULoss", beta=0.2, loss_weight=1.0),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type="SmoothL1Loss", beta=0.04, loss_weight=1.0),
+        train_cfg=_Cfg(
+            ga_assigner=dict(type="ApproxMaxIoUAssigner", pos_iou_thr=0.5,
+                             neg_iou_thr=0.4, min_pos_iou=0.4,
+                             ignore_iof_thr=-1),
+            ga_sampler=dict(type="RandomSampler", num=256, pos_fraction=0.5,
+                            neg_pos_ub=-1, add_gt_as_proposals=False),
+            assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                          neg_iou_thr=0.5, min_pos_iou=0.0,
+                          ignore_iof_thr=-1),
+            allowed_border=-1, center_ratio=0.2, ignore_ratio=0.5,
+            pos_weight=-1, debug=False))
+
+
+def test_ga_retina_loss_matches_reference(ref_mod):
+    """GA-Retina loss (``guided_anchor_head.py:640-742`` with the
+    ``ga_retinanet_r50_caffe_fpn_1x_coco.py`` train_cfg): center/ignore
+    region loc targets (``ga_loc_targets`` :374-474, avg HW*B/200),
+    ApproxMaxIoU(0.5/0.4/min_pos 0.4) shape targets with RandomSampler-256
+    fg+bg normalization, BoundedIoU shape loss on the std-scaled anchor
+    decode, and focal/smooth-L1(beta .04) cls/bbox on the per-image guided
+    anchors (MaxIoU 0.5/0.5)."""
+    B = 2
+    rng = np.random.RandomState(67)
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    shape = [(rng.randn(B, 2, h, w) * 0.4).astype(np.float32)
+             for h, w in SIZES]
+    loc = [rng.randn(B, 1, h, w).astype(np.float32) for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=16.0)
+
+    head = _ga_retina_ref_head(ref_mod)
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(x) for x in bbox],
+                        [t(s) for s in shape], [t(x) for x in loc],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        _metas(B))
+    ref = _sum_ref(ref)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.ga_retina_head import (GARetinaHead,
+                                                           ga_retina_loss)
+
+    our_head = GARetinaHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = ga_retina_loss(
+        our_head, (nhwc(cls), nhwc(bbox), nhwc(shape), nhwc(loc)),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_shape", "loss_loc"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_ga_rpn_loss_matches_reference(ref_mod):
+    """GA-RPN loss (``ga_rpn_head.py:47-69`` + ``guided_anchor_head.py:
+    640-742`` with the ``ga_rpn_r50_caffe_fpn_1x_coco.py`` train_cfg):
+    class-agnostic BCE/smooth-L1 on the std-scaled guided anchors
+    (anchor_coder stds .07/.14), MaxIoU(0.7/0.3/min_pos .3) with
+    allowed_border=0 inside-filtering, ApproxMaxIoU shape targets with
+    min_pos_iou=0.3 and RandomSampler-256 fg+bg normalization. The *cls*
+    sampler uses a keep-everything num (our dense loss has no random
+    subsample); the *shape* sampler keeps the real 256."""
+    B = 2
+    rng = np.random.RandomState(71)
+    cls = [rng.randn(B, 1, h, w).astype(np.float32) for h, w in SIZES]
+    bbox = [(rng.randn(B, 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    shape = [(rng.randn(B, 2, h, w) * 0.4).astype(np.float32)
+             for h, w in SIZES]
+    loc = [rng.randn(B, 1, h, w).astype(np.float32) for h, w in SIZES]
+    gts, _ = _random_gts(rng, [3, 2], min_wh=24.0)
+
+    num_pos_total = sum(h * w for h, w in SIZES)
+    head = ref_mod.GARPNHead(
+        in_channels=32, feat_channels=32,
+        approx_anchor_generator=dict(
+            type="AnchorGenerator", octave_base_scale=8, scales_per_octave=3,
+            ratios=[0.5, 1.0, 2.0], strides=list(STRIDES)),
+        square_anchor_generator=dict(
+            type="AnchorGenerator", ratios=[1.0], scales=[8],
+            strides=list(STRIDES)),
+        anchor_coder=dict(type="DeltaXYWHBBoxCoder",
+                          target_means=[0.0] * 4,
+                          target_stds=[0.07, 0.07, 0.14, 0.14]),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[0.07, 0.07, 0.11, 0.11]),
+        loc_filter_thr=0.01,
+        loss_loc=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_shape=dict(type="BoundedIoULoss", beta=0.2, loss_weight=1.0),
+        loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                      loss_weight=1.0),
+        loss_bbox=dict(type="SmoothL1Loss", beta=1.0, loss_weight=1.0),
+        train_cfg=_Cfg(
+            ga_assigner=dict(type="ApproxMaxIoUAssigner", pos_iou_thr=0.7,
+                             neg_iou_thr=0.3, min_pos_iou=0.3,
+                             ignore_iof_thr=-1),
+            ga_sampler=dict(type="RandomSampler", num=256, pos_fraction=0.5,
+                            neg_pos_ub=-1, add_gt_as_proposals=False),
+            assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                          neg_iou_thr=0.3, min_pos_iou=0.3,
+                          ignore_iof_thr=-1, match_low_quality=True),
+            sampler=dict(type="RandomSampler", num=4 * num_pos_total,
+                         pos_fraction=0.5, neg_pos_ub=-1,
+                         add_gt_as_proposals=False),
+            allowed_border=0, center_ratio=0.2, ignore_ratio=0.5,
+            pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(x) for x in bbox],
+                        [t(s) for s in shape], [t(x) for x in loc],
+                        [t(g) for g in gts], _metas(B))
+    ref = _sum_ref(ref)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.ga_rpn_head import (GARPNHead,
+                                                        ga_rpn_loss)
+
+    our_head = GARPNHead(strides=STRIDES, octave_base_scale=8)
+    gt_b, gt_l, gt_v = _pad_gts(gts, [np.zeros(len(g), np.int64)
+                                      for g in gts])
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = ga_rpn_loss(
+        our_head, (nhwc(cls), nhwc(bbox), nhwc(shape), nhwc(loc)),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v),
+             img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B,
+                                    dtype=jnp.float32)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_rpn_cls", "loss_rpn_bbox", "loss_anchor_shape",
+              "loss_anchor_loc"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_cascade_rpn_loss_matches_reference(ref_mod):
+    """Cascade RPN two-stage loss (``cascade_rpn_head.py:93-501`` with the
+    ``crpn_r50_caffe_fpn_1x_coco.py`` cfg): stage 1 RegionAssigner
+    (sequential ignore/center overwrites, adjacent-level ignore applied
+    last) + linear IoU x10 with the total-labels/200 avg factor; stage 2
+    MaxIoU(0.7/0.7/min_pos .3) on refine_bboxes' image-clipped decode
+    (stds .1/.5), BCE + linear IoU x10 averaged by pos+neg. The stage-2
+    cls sampler uses a keep-everything num (dense loss, no random
+    subsample)."""
+    B = 2
+    rng = np.random.RandomState(73)
+    r1 = [(rng.randn(B, 4, h, w) * 0.3).astype(np.float32)
+          for h, w in SIZES]
+    s2 = [rng.randn(B, 1, h, w).astype(np.float32) for h, w in SIZES]
+    r2 = [(rng.randn(B, 4, h, w) * 0.3).astype(np.float32)
+          for h, w in SIZES]
+    gts, _ = _random_gts(rng, [3, 2], min_wh=24.0)
+    num_total = sum(h * w for h, w in SIZES)
+
+    anchor_gen = dict(type="AnchorGenerator", scales=[8], ratios=[1.0],
+                      strides=list(STRIDES))
+    stage1 = ref_mod.StageCascadeRPNHead(
+        in_channels=32, feat_channels=32, anchor_generator=dict(anchor_gen),
+        adapt_cfg=dict(type="dilation", dilation=3), bridged_feature=True,
+        sampling=False, with_cls=False, reg_decoded_bbox=True,
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=(0.0,) * 4,
+                        target_stds=(0.1, 0.1, 0.5, 0.5)),
+        loss_bbox=dict(type="IoULoss", linear=True, loss_weight=10.0),
+        train_cfg=_Cfg(assigner=dict(type="RegionAssigner",
+                                     center_ratio=0.2, ignore_ratio=0.5),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    stage2 = ref_mod.StageCascadeRPNHead(
+        in_channels=32, feat_channels=32, anchor_generator=dict(anchor_gen),
+        adapt_cfg=dict(type="offset"), bridged_feature=False,
+        sampling=True, with_cls=True, reg_decoded_bbox=True,
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=(0.0,) * 4,
+                        target_stds=(0.05, 0.05, 0.1, 0.1)),
+        loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                      loss_weight=1.0),
+        loss_bbox=dict(type="IoULoss", linear=True, loss_weight=10.0),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7,
+                                     neg_iou_thr=0.7, min_pos_iou=0.3,
+                                     ignore_iof_thr=-1),
+                       sampler=dict(type="RandomSampler", num=4 * num_total,
+                                    pos_fraction=0.5, neg_pos_ub=-1,
+                                    add_gt_as_proposals=False),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = _metas(B)
+    with torch.no_grad():
+        anchor_list, valid_list = stage1.get_anchors(
+            [s for s in SIZES], metas, device="cpu")
+        l1 = stage1.loss(anchor_list, valid_list, [None] * len(SIZES),
+                         [t(x) for x in r1], [t(g) for g in gts], metas)
+        anchor_list2 = stage1.refine_bboxes(anchor_list,
+                                            [t(x) for x in r1], metas)
+        l2 = stage2.loss(anchor_list2, valid_list, [t(x) for x in s2],
+                         [t(x) for x in r2], [t(g) for g in gts], metas)
+    ref = dict(loss_rpn_reg_s1=_sum_ref(l1)["loss_rpn_reg"],
+               loss_rpn_cls=_sum_ref(l2)["loss_rpn_cls"],
+               loss_rpn_reg_s2=_sum_ref(l2)["loss_rpn_reg"])
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.cascade_rpn_head import (
+        CascadeRPNHead, cascade_rpn_loss)
+
+    our_head = CascadeRPNHead(strides=STRIDES, anchor_scale=8.0)
+    gt_b, gt_l, gt_v = _pad_gts(gts, [np.zeros(len(g), np.int64)
+                                      for g in gts])
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = cascade_rpn_loss(
+        our_head, (nhwc(r1), nhwc(s2), nhwc(r2), None),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v),
+             img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B,
+                                    dtype=jnp.float32)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_rpn_reg_s1", "loss_rpn_cls", "loss_rpn_reg_s2"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
