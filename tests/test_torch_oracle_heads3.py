@@ -107,6 +107,7 @@ def _load_reference_heads3():
 
     mmcv_cnn.Scale = Scale
     mmcv_cnn.ConvModule = ConvModule
+    mmcv_cnn.DepthwiseSeparableConvModule = ConvModule
     mmcv_cnn.normal_init = lambda *a, **k: None
     mmcv_cnn.constant_init = lambda *a, **k: None
     mmcv_cnn.is_norm = lambda m: False
@@ -255,6 +256,8 @@ def _load_reference_heads3():
         _load("refmm4.core.bbox.assigners.approx_max_iou_assigner",
               osp.join(REF_ROOT,
                        "core/bbox/assigners/approx_max_iou_assigner.py"))
+        _load("refmm4.core.bbox.assigners.atss_assigner",
+              osp.join(REF_ROOT, "core/bbox/assigners/atss_assigner.py"))
         _load("refmm4.core.bbox.samplers.sampling_result",
               osp.join(REF_ROOT, "core/bbox/samplers/sampling_result.py"))
         _load("refmm4.core.bbox.samplers.base_sampler",
@@ -279,6 +282,8 @@ def _load_reference_heads3():
 
         mmdet_core = types.ModuleType("mmdet.core")
         mmdet_core.bbox_overlaps = iou2d.bbox_overlaps
+        mmdet_core.distance2bbox = transforms.distance2bbox
+        mmdet_core.bbox2distance = transforms.bbox2distance
         mmdet_core.multi_apply = multi_apply
         mmdet_core.reduce_mean = lambda t: t
         mmdet_core.unmap = unmap
@@ -325,10 +330,24 @@ def _load_reference_heads3():
               osp.join(REF_ROOT, "models/losses/focal_loss.py"))
         _load("refmm4.models.losses.iou_loss",
               osp.join(REF_ROOT, "models/losses/iou_loss.py"))
-        _load("refmm4.models.losses.cross_entropy_loss",
-              osp.join(REF_ROOT, "models/losses/cross_entropy_loss.py"))
-        _load("refmm4.models.losses.smooth_l1_loss",
-              osp.join(REF_ROOT, "models/losses/smooth_l1_loss.py"))
+        ce_mod = _load("refmm4.models.losses.cross_entropy_loss",
+                       osp.join(REF_ROOT,
+                                "models/losses/cross_entropy_loss.py"))
+        sl1_mod = _load("refmm4.models.losses.smooth_l1_loss",
+                        osp.join(REF_ROOT,
+                                 "models/losses/smooth_l1_loss.py"))
+        pisa_mod = _load("refmm4.models.losses.pisa_loss",
+                         osp.join(REF_ROOT, "models/losses/pisa_loss.py"))
+        _load("refmm4.models.losses.gfocal_loss",
+              osp.join(REF_ROOT, "models/losses/gfocal_loss.py"))
+        _load("refmm4.models.losses.kd_loss",
+              osp.join(REF_ROOT, "models/losses/kd_loss.py"))
+        losses_pkg = sys.modules["refmm4.models.losses"]
+        losses_pkg.carl_loss = pisa_mod.carl_loss
+        losses_pkg.isr_p = pisa_mod.isr_p
+        losses_pkg.CrossEntropyLoss = ce_mod.CrossEntropyLoss
+        losses_pkg.SmoothL1Loss = sl1_mod.SmoothL1Loss
+        losses_pkg.smooth_l1_loss = sl1_mod.smooth_l1_loss
 
         mmdet_models = types.ModuleType("mmdet.models")
         mmdet_models.HEADS = regs["HEADS"]
@@ -362,12 +381,29 @@ def _load_reference_heads3():
         crpn = _load("refmm4.models.dense_heads.cascade_rpn_head",
                      osp.join(REF_ROOT,
                               "models/dense_heads/cascade_rpn_head.py"))
+        _load("refmm4.models.dense_heads.retina_head",
+              osp.join(REF_ROOT, "models/dense_heads/retina_head.py"))
+        pisa_r = _load(
+            "refmm4.models.dense_heads.pisa_retinanet_head",
+            osp.join(REF_ROOT, "models/dense_heads/pisa_retinanet_head.py"))
+        _load("refmm4.models.dense_heads.ssd_head",
+              osp.join(REF_ROOT, "models/dense_heads/ssd_head.py"))
+        pisa_s = _load(
+            "refmm4.models.dense_heads.pisa_ssd_head",
+            osp.join(REF_ROOT, "models/dense_heads/pisa_ssd_head.py"))
+        _load("refmm4.models.dense_heads.gfl_head",
+              osp.join(REF_ROOT, "models/dense_heads/gfl_head.py"))
+        ld = _load("refmm4.models.dense_heads.ld_head",
+                   osp.join(REF_ROOT, "models/dense_heads/ld_head.py"))
 
         ns = types.SimpleNamespace(
+            LDHead=ld.LDHead,
             SABLRetinaHead=sabl.SABLRetinaHead,
             GuidedAnchorHead=ga.GuidedAnchorHead,
             GARPNHead=garpn.GARPNHead,
             StageCascadeRPNHead=crpn.StageCascadeRPNHead,
+            PISARetinaHead=pisa_r.PISARetinaHead,
+            PISASSDHead=pisa_s.PISASSDHead,
             RandomSampler=rnd.RandomSampler,
         )
         return ns
@@ -751,6 +787,182 @@ def test_cascade_rpn_loss_matches_reference(ref_mod):
                                     dtype=jnp.float32)))
     ours = {k: float(v) for k, v in ours.items()}
     for k in ("loss_rpn_reg_s1", "loss_rpn_cls", "loss_rpn_reg_s2"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_pisa_retina_loss_matches_reference(ref_mod):
+    """PISA RetinaNet (``pisa_retinanet_head.py:21-154`` + ``losses/
+    pisa_loss.py:8-183`` with the pisa_retinanet cfg): ISR-P IoU-HLR
+    reweighting of the positive focal weights (two-level rank, loss-sum-
+    preserving rescale), SmoothL1(beta .11) bbox loss, CARL weighted by
+    normalized sigmoid scores at the gt class / num_pos."""
+    B = 2
+    rng = np.random.RandomState(79)
+    na = 9
+    cls = [rng.randn(B, na * NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, na * 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [4, 3], min_wh=12.0)
+
+    head = ref_mod.PISARetinaHead(
+        num_classes=NUM_CLASSES, in_channels=32, feat_channels=32,
+        stacked_convs=1,
+        anchor_generator=dict(type="AnchorGenerator", octave_base_scale=4,
+                              scales_per_octave=3, ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder", target_means=[0.0] * 4,
+                        target_stds=[1.0] * 4),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type="SmoothL1Loss", beta=0.11, loss_weight=1.0),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.4, min_pos_iou=0.0,
+                                     ignore_iof_thr=-1),
+                       isr=dict(k=2.0, bias=0.0),
+                       carl=dict(k=1.0, bias=0.2),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(x) for x in bbox],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        _metas(B))
+    ref = _sum_ref(ref)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.pisa_heads import (PISARetinaHead,
+                                                       pisa_retina_loss)
+
+    our_head = PISARetinaHead(
+        num_classes=NUM_CLASSES, strides=STRIDES,
+        loss_bbox=dict(type="SmoothL1Loss", beta=0.11, loss_weight=1.0))
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = pisa_retina_loss(
+        our_head, nhwc(cls), nhwc(bbox),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_carl"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_ld_loss_matches_reference(ref_mod):
+    """LD head (``ld_head.py:10-261`` with the ld_r18 cfg): the GFL losses
+    plus KL distillation of the per-side distance distributions from the
+    teacher's bbox branch (T=10, x0.25), weighted by the student's max
+    sigmoid class score at positives, per-level sum/4 — NOT renormalized by
+    the quality-weight sum, unlike loss_bbox/dfl."""
+    B = 2
+    rng = np.random.RandomState(89)
+    nb = 17
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [rng.randn(B, 4 * nb, h, w).astype(np.float32)
+            for h, w in SIZES]
+    soft = [rng.randn(B, 4 * nb, h, w).astype(np.float32)
+            for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=16.0)
+
+    head = ref_mod.LDHead(
+        num_classes=NUM_CLASSES, in_channels=32, feat_channels=32,
+        stacked_convs=1,
+        anchor_generator=dict(type="AnchorGenerator", ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(STRIDES)),
+        loss_cls=dict(type="QualityFocalLoss", use_sigmoid=True,
+                      beta=2.0, loss_weight=1.0),
+        loss_dfl=dict(type="DistributionFocalLoss", loss_weight=0.25),
+        loss_bbox=dict(type="GIoULoss", loss_weight=2.0),
+        loss_ld=dict(type="KnowledgeDistillationKLDivLoss",
+                     loss_weight=0.25, T=10),
+        reg_max=16,
+        train_cfg=_Cfg(assigner=dict(type="ATSSAssigner", topk=9),
+                       allowed_border=-1, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(x) for x in bbox],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        [t(s) for s in soft], _metas(B))
+    ref = _sum_ref(ref)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.ld_head import LDHead, ld_loss
+
+    our_head = LDHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = ld_loss(our_head, nhwc(cls), nhwc(bbox), nhwc(soft),
+                   dict(gt_bboxes=jnp.asarray(gt_b),
+                        gt_labels=jnp.asarray(gt_l),
+                        gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_dfl", "loss_ld"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_pisa_ssd_loss_matches_reference(ref_mod):
+    """PISA SSD (``pisa_ssd_head.py:11-139``): per-image OHEM CE on the
+    ISR-P-reweighted labels (plain-CE rescale normalizer), SmoothL1(beta 1)
+    bbox loss, CARL with softmax scores; all averaged by num_total_pos."""
+    B = 2
+    rng = np.random.RandomState(83)
+    na = 6
+    cls = [rng.randn(B, na * (NUM_CLASSES + 1), h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [(rng.randn(B, na * 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    gts, gt_labels = _random_gts(rng, [4, 3], min_wh=12.0)
+
+    head = ref_mod.PISASSDHead(
+        num_classes=NUM_CLASSES, in_channels=[32] * 5,
+        anchor_generator=dict(type="AnchorGenerator", scales=[4, 8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder", target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.5,
+                                     neg_iou_thr=0.5, min_pos_iou=0.0,
+                                     ignore_iof_thr=-1,
+                                     gt_max_assign_all=False),
+                       isr=dict(k=2.0, bias=0.0),
+                       carl=dict(k=1.0, bias=0.2),
+                       smoothl1_beta=1.0, allowed_border=-1,
+                       pos_weight=-1, neg_pos_ratio=3, debug=False))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(x) for x in bbox],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        _metas(B))
+    ref = _sum_ref(ref)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.pisa_heads import (PISASSDHead,
+                                                       pisa_ssd_loss)
+
+    our_head = PISASSDHead(num_classes=NUM_CLASSES, strides=STRIDES,
+                           anchor_scales=(4.0, 8.0),
+                           anchor_ratios=(0.5, 1.0, 2.0),
+                           target_stds=(0.1, 0.1, 0.2, 0.2),
+                           pos_iou_thr=0.5, neg_iou_thr=0.5,
+                           neg_pos_ratio=3)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = pisa_ssd_loss(
+        our_head, nhwc(cls), nhwc(bbox),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_carl"):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
