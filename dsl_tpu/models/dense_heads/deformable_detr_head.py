@@ -304,8 +304,15 @@ def deformable_detr_loss(head, outputs, batch, axis_name=None):
     cls_all, box_all = outputs
     b, nlay, q, _ = cls_all.shape
     nc = head.num_classes
-    img_h, img_w = batch["images"].shape[1:3]
-    factor = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+    # per-image img_shape normalization (detr_head.py:506-512)
+    if batch.get("img_shapes") is not None:
+        hw = batch["img_shapes"]
+        factor = jnp.stack([hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]],
+                           axis=-1)[:, None, :]            # (B, 1, 4)
+    else:
+        img_h, img_w = batch["images"].shape[1:3]
+        factor = jnp.asarray([img_w, img_h, img_w, img_h],
+                             jnp.float32)[None, None, :]
 
     gt_xyxy = batch["gt_bboxes"]
     gt_norm = xyxy_to_cxcywh(gt_xyxy / factor)
@@ -320,14 +327,17 @@ def deformable_detr_loss(head, outputs, batch, axis_name=None):
         cls = cls_all[:, layer]
         box = box_all[:, layer]
 
-        def per_image_cost(c_, bx, gl, gn, gx):
+        def per_image_cost(c_, bx, gl, gn, gx, f):
+            # L1 matching cost in normalized XYXY (box_format='xyxy'),
+            # unlike the cxcywh loss target — see detr_head.py note
             return (focal_cost(c_, gl, head.cost_cls)
-                    + bbox_l1_cost(bx, gn, head.cost_bbox)
-                    + iou_cost(cxcywh_to_xyxy(bx) * factor, gx,
+                    + bbox_l1_cost(cxcywh_to_xyxy(bx), gx / f,
+                                   head.cost_bbox)
+                    + iou_cost(cxcywh_to_xyxy(bx) * f, gx,
                                head.cost_iou))
 
         cost = jax.lax.stop_gradient(jax.vmap(per_image_cost)(
-            cls, box, gtl, gt_norm, gt_xyxy))
+            cls, box, gtl, gt_norm, gt_xyxy, factor))
         cost = jnp.where(gtv[:, None, :], cost, 1e8)
         assigned = hungarian_match(cost, gtv)
         pos = assigned >= 0
@@ -339,8 +349,9 @@ def deformable_detr_loss(head, outputs, batch, axis_name=None):
         posf = pos.astype(jnp.float32)
         loss_cls = head.loss_cls_weight * L.sigmoid_focal_loss(
             cls, labels, avg_factor=num_gt)
+        # reference avg_factor = num_total_pos over all 4 coords
         loss_bbox = head.loss_bbox_weight * L.l1_loss(
-            box, tgt_norm, weight=posf[..., None], avg_factor=num_gt * 4)
+            box, tgt_norm, weight=posf[..., None], avg_factor=num_gt)
         giou = bbox_overlaps(cxcywh_to_xyxy(box) * factor, tgt_xyxy,
                              mode="giou", is_aligned=True)
         loss_iou = head.loss_iou_weight * jnp.sum((1 - giou) * posf) / num_gt

@@ -93,9 +93,16 @@ def detr_loss(head: DETRHead, outputs, batch, axis_name=None):
     cls_all, bbox_all = outputs            # (B, L, Q, C+1), (B, L, Q, 4)
     b, nl, q, _ = cls_all.shape
     nc = head.num_classes
-    img_h = batch["images"].shape[1]
-    img_w = batch["images"].shape[2]
-    factor = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+    # reference normalizes by the per-image img_shape (detr_head.py:506-512)
+    if batch.get("img_shapes") is not None:
+        hw = batch["img_shapes"]
+        factor = jnp.stack([hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]],
+                           axis=-1)[:, None, :]            # (B, 1, 4)
+    else:
+        img_h = batch["images"].shape[1]
+        img_w = batch["images"].shape[2]
+        factor = jnp.asarray([img_w, img_h, img_w, img_h],
+                             jnp.float32)[None, None, :]
 
     gt_xyxy = batch["gt_bboxes"]
     gt_norm = xyxy_to_cxcywh(gt_xyxy / factor)             # (B, K, 4)
@@ -111,14 +118,18 @@ def detr_loss(head: DETRHead, outputs, batch, axis_name=None):
         cls = cls_all[:, layer]                            # (B, Q, C+1)
         bbox = bbox_all[:, layer]                          # (B, Q, 4) norm
 
-        def per_image_cost(c, bx, gl, gn, gx):
+        def per_image_cost(c, bx, gl, gn, gx, f):
+            # BBoxL1Cost(box_format='xyxy'): the L1 matching cost is in
+            # NORMALIZED XYXY (pred converted, gt divided by the factor) —
+            # unlike the loss target, which is cxcywh
+            # (``match_cost.py:44-49`` + ``hungarian_assigner.py:120-122``)
             cost = classification_cost(c, gl, head.cost_cls) \
-                + bbox_l1_cost(bx, gn, head.cost_bbox) \
-                + iou_cost(cxcywh_to_xyxy(bx) * factor, gx, head.cost_iou)
+                + bbox_l1_cost(cxcywh_to_xyxy(bx), gx / f, head.cost_bbox) \
+                + iou_cost(cxcywh_to_xyxy(bx) * f, gx, head.cost_iou)
             return cost
 
         cost = jax.lax.stop_gradient(jax.vmap(per_image_cost)(
-            cls, bbox, gtl, gt_norm, gt_xyxy))             # (B, Q, K)
+            cls, bbox, gtl, gt_norm, gt_xyxy, factor))     # (B, Q, K)
         cost = jnp.where(gtv[:, None, :] > 0, cost, 1e8)
         assigned = hungarian_match(cost, batch["gt_valid"])  # (B, Q)
         pos = assigned >= 0
@@ -134,8 +145,10 @@ def detr_loss(head: DETRHead, outputs, batch, axis_name=None):
             cls.reshape(-1, nc + 1), labels.reshape(-1),
             weight=wc.reshape(-1), avg_factor=cls_avg)
         posf = pos.astype(jnp.float32)
+        # reference avg_factor = num_total_pos, summing all 4 coordinates
+        # (``loss_single`` :330-332)
         loss_bbox = head.loss_bbox_weight * L.l1_loss(
-            bbox, tgt_norm, weight=posf[..., None], avg_factor=num_gt * 4)
+            bbox, tgt_norm, weight=posf[..., None], avg_factor=num_gt)
         giou = bbox_overlaps(cxcywh_to_xyxy(bbox) * factor, tgt_xyxy,
                              mode="giou", is_aligned=True)
         loss_iou = head.loss_iou_weight * jnp.sum(

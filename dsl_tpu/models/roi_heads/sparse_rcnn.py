@@ -246,8 +246,15 @@ def sparse_rcnn_loss(detector, variables, batch, rng_key=None,
             strides)
 
         def per_image_cost(c, bx, gl, gx, f):
+            # BBoxL1Cost(box_format='xywh'): Sparse R-CNN matches in
+            # NORMALIZED CXCYWH (``sparse_roi_head.py`` passes
+            # bbox_xyxy_to_cxcywh(proposals / imgs_whwh); ``match_cost.py``
+            # converts the gt the same way)
+            from dsl_tpu.models.dense_heads.detr_head import xyxy_to_cxcywh
+
             return (focal_cost(c, gl, cost_cls)
-                    + bbox_l1_cost(bx / f, gx / f, cost_bbox)
+                    + bbox_l1_cost(xyxy_to_cxcywh(bx / f),
+                                   xyxy_to_cxcywh(gx / f), cost_bbox)
                     + iou_cost(bx, gx, cost_iou))
 
         cost = jax.lax.stop_gradient(jax.vmap(per_image_cost)(

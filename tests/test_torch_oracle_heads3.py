@@ -108,6 +108,41 @@ def _load_reference_heads3():
     mmcv_cnn.Scale = Scale
     mmcv_cnn.ConvModule = ConvModule
     mmcv_cnn.DepthwiseSeparableConvModule = ConvModule
+    mmcv_cnn.Conv2d = nn.Conv2d
+    mmcv_cnn.Linear = nn.Linear
+    mmcv_cnn.build_activation_layer = lambda cfg: nn.ReLU()
+    _stub("mmcv.cnn.bricks")
+    bricks_tf = _stub("mmcv.cnn.bricks.transformer")
+
+    class FFN(nn.Module):
+        """Constructible stand-in (loss-only oracles never forward it)."""
+
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    bricks_tf.FFN = FFN
+    bricks_tf.build_positional_encoding = lambda cfg: nn.Identity()
+    mmcv_utils = _stub("mmcv.utils")
+
+    class _McvRegistry:
+        def __init__(self, name, **kw):
+            self.classes = {}
+
+        def register_module(self, *a, **k):
+            def deco(cls):
+                self.classes[cls.__name__] = cls
+                return cls
+            return deco
+
+    def _mcv_build_from_cfg(cfg, registry, default_args=None):
+        c = dict(cfg)
+        if default_args:
+            for k, v in default_args.items():
+                c.setdefault(k, v)
+        return registry.classes[c.pop("type")](**c)
+
+    mmcv_utils.Registry = _McvRegistry
+    mmcv_utils.build_from_cfg = _mcv_build_from_cfg
     mmcv_cnn.normal_init = lambda *a, **k: None
     mmcv_cnn.constant_init = lambda *a, **k: None
     mmcv_cnn.is_norm = lambda m: False
@@ -219,6 +254,8 @@ def _load_reference_heads3():
                                        "mmdet.core.bbox",
                                        "mmdet.core.bbox.demodata",
                                        "mmdet.core.bbox.iou_calculators",
+                                       "mmdet.core.bbox.transforms",
+                                       "mmdet.models.utils.transformer",
                                        "mmdet.core.anchor"}}
     sys.modules.update(new_mods)
     sys.modules["mmdet.utils"] = mm_utils
@@ -297,12 +334,18 @@ def _load_reference_heads3():
         mmdet_core.build_assigner = _build("BBOX_ASSIGNERS")
         mmdet_core.build_sampler = _build("BBOX_SAMPLERS")
         mmdet_core.build_bbox_coder = _build("BBOX_CODERS")
+        mmdet_core.bbox_cxcywh_to_xyxy = transforms.bbox_cxcywh_to_xyxy
+        mmdet_core.bbox_xyxy_to_cxcywh = transforms.bbox_xyxy_to_cxcywh
         mmdet_core_bbox = types.ModuleType("mmdet.core.bbox")
         mmdet_core_bbox.__path__ = []
         mmdet_core_bbox.bbox_overlaps = iou2d.bbox_overlaps
         demodata = types.ModuleType("mmdet.core.bbox.demodata")
         demodata.ensure_rng = lambda rng=None: np.random.RandomState(rng)
         mmdet_core_bbox.demodata = demodata
+        mmdet_core_bbox.transforms = transforms
+        mmdet_core_iouc = types.ModuleType("mmdet.core.bbox.iou_calculators")
+        mmdet_core_iouc.bbox_overlaps = iou2d.bbox_overlaps
+        mmdet_core_bbox.iou_calculators = mmdet_core_iouc
         mmdet_core.bbox = mmdet_core_bbox
 
         mmdet_mod = types.ModuleType("mmdet")
@@ -312,6 +355,8 @@ def _load_reference_heads3():
         sys.modules["mmdet.core"] = mmdet_core
         sys.modules["mmdet.core.bbox"] = mmdet_core_bbox
         sys.modules["mmdet.core.bbox.demodata"] = demodata
+        sys.modules["mmdet.core.bbox.transforms"] = transforms
+        sys.modules["mmdet.core.bbox.iou_calculators"] = mmdet_core_iouc
 
         rnd = _load("refmm4.core.bbox.samplers.random_sampler",
                     osp.join(REF_ROOT,
@@ -320,6 +365,18 @@ def _load_reference_heads3():
             "refmm4.core.bbox.assigners.region_assigner",
             osp.join(REF_ROOT, "core/bbox/assigners/region_assigner.py"))
         mmdet_core.RegionAssigner = region.RegionAssigner
+
+        mc_pkg = _stub("refmm4.core.bbox.match_costs")
+        sys.modules["refmm4.core.bbox.match_costs"] = mc_pkg
+        mc_builder = _load("refmm4.core.bbox.match_costs.builder",
+                           osp.join(REF_ROOT,
+                                    "core/bbox/match_costs/builder.py"))
+        _load("refmm4.core.bbox.match_costs.match_cost",
+              osp.join(REF_ROOT, "core/bbox/match_costs/match_cost.py"))
+        mc_pkg.build_match_cost = mc_builder.build_match_cost
+        _load("refmm4.core.bbox.assigners.hungarian_assigner",
+              osp.join(REF_ROOT,
+                       "core/bbox/assigners/hungarian_assigner.py"))
 
         # ---- losses --------------------------------------------------------
         _load("refmm4.models.losses.utils",
@@ -396,8 +453,44 @@ def _load_reference_heads3():
         ld = _load("refmm4.models.dense_heads.ld_head",
                    osp.join(REF_ROOT, "models/dense_heads/ld_head.py"))
 
+        # DETR: anchor_free_head stand-in + transformer build stub (the
+        # loss oracle fabricates decoder outputs, no transformer forward)
+        afh_mod = _stub("refmm4.models.dense_heads.anchor_free_head")
+        sys.modules["refmm4.models.dense_heads.anchor_free_head"] = afh_mod
+        base_dense = sys.modules[
+            "refmm4.models.dense_heads.base_dense_head"]
+
+        class AnchorFreeHead(base_dense.BaseDenseHead):
+            pass
+
+        afh_mod.AnchorFreeHead = AnchorFreeHead
+        mm_models_utils = types.ModuleType("mmdet.models.utils")
+
+        class _TransformerStub(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.embed_dims = 256
+                self.decoder = types.SimpleNamespace(num_layers=2)
+
+        mm_models_utils.build_transformer = lambda cfg: _TransformerStub()
+        mm_tf = types.ModuleType("mmdet.models.utils.transformer")
+        mm_tf.inverse_sigmoid = lambda x, eps=1e-5: torch.log(
+            x.clamp(min=eps) / (1 - x).clamp(min=eps))
+        mm_models_utils.transformer = mm_tf
+        sys.modules["mmdet.models.utils"] = mm_models_utils
+        sys.modules["mmdet.models.utils.transformer"] = mm_tf
+        mmdet_models.utils = mm_models_utils
+        detr = _load("refmm4.models.dense_heads.detr_head",
+                     osp.join(REF_ROOT, "models/dense_heads/detr_head.py"))
+        ddetr = _load(
+            "refmm4.models.dense_heads.deformable_detr_head",
+            osp.join(REF_ROOT,
+                     "models/dense_heads/deformable_detr_head.py"))
+
         ns = types.SimpleNamespace(
             LDHead=ld.LDHead,
+            DETRHead=detr.DETRHead,
+            DeformableDETRHead=ddetr.DeformableDETRHead,
             SABLRetinaHead=sabl.SABLRetinaHead,
             GuidedAnchorHead=ga.GuidedAnchorHead,
             GARPNHead=garpn.GARPNHead,
@@ -907,6 +1000,122 @@ def test_ld_loss_matches_reference(ref_mod):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_detr_loss_matches_reference(ref_mod):
+    """DETR head loss (``detr_head.py:267-560``): HungarianAssigner over
+    ClassificationCost(1) + BBoxL1Cost(5, normalized cxcywh) + IoUCost(giou,
+    2), softmax CE with bg class weight 0.1 (avg = pos + 0.1*neg), L1 x5 and
+    GIoU x2 averaged by num_pos, repeated per decoder layer (aux d0.*)."""
+    B = 2
+    L_DEC = 2
+    Q = 20
+    rng = np.random.RandomState(97)
+    cls = rng.randn(L_DEC, B, Q, NUM_CLASSES + 1).astype(np.float32)
+    bbox = (rng.rand(L_DEC, B, Q, 4) * 0.9 + 0.05).astype(np.float32)
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=16.0)
+
+    head = ref_mod.DETRHead(
+        num_classes=NUM_CLASSES, in_channels=32,
+        num_query=Q,
+        transformer=dict(act_cfg=dict(type="ReLU")),
+        loss_cls=dict(type="CrossEntropyLoss", bg_cls_weight=0.1,
+                      use_sigmoid=False, loss_weight=1.0, class_weight=1.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=5.0),
+        loss_iou=dict(type="GIoULoss", loss_weight=2.0),
+        train_cfg=dict(assigner=dict(
+            type="HungarianAssigner",
+            cls_cost=dict(type="ClassificationCost", weight=1.0),
+            reg_cost=dict(type="BBoxL1Cost", weight=5.0),
+            iou_cost=dict(type="IoUCost", iou_mode="giou", weight=2.0))))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss([t(cls)], [t(bbox)],
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        _metas(B))
+    ref = {k: float(v) for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.detr_head import DETRHead, detr_loss
+
+    our_head = DETRHead(num_classes=NUM_CLASSES, num_query=Q)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    ours = detr_loss(
+        our_head,
+        (jnp.asarray(cls.transpose(1, 0, 2, 3)),
+         jnp.asarray(bbox.transpose(1, 0, 2, 3))),
+        dict(images=jnp.zeros((B, *IMG_HW, 3)),
+             img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B,
+                                    dtype=jnp.float32),
+             gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    pairs = [("loss_cls", "loss_cls"), ("loss_bbox", "loss_bbox"),
+             ("loss_iou", "loss_iou"), ("d0.loss_cls", "loss_cls_aux0"),
+             ("d0.loss_bbox", "loss_bbox_aux0"),
+             ("d0.loss_iou", "loss_iou_aux0")]
+    for rk, ok in pairs:
+        np.testing.assert_allclose(
+            ours[ok], ref[rk], rtol=5e-5, atol=1e-6,
+            err_msg=f"{rk}: ours={ours[ok]} ref={ref[rk]}")
+
+
+def test_deformable_detr_loss_matches_reference(ref_mod):
+    """Deformable-DETR loss (``deformable_detr_head.py:183-266``): the DETR
+    set loss with sigmoid focal cls (x2, avg num_pos) and FocalLossCost(2) /
+    BBoxL1Cost(5) / IoUCost(giou, 2) matching, per decoder layer."""
+    B = 2
+    L_DEC = 2
+    Q = 20
+    rng = np.random.RandomState(101)
+    cls = rng.randn(L_DEC, B, Q, NUM_CLASSES).astype(np.float32)
+    bbox = (rng.rand(L_DEC, B, Q, 4) * 0.9 + 0.05).astype(np.float32)
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=16.0)
+
+    head = ref_mod.DeformableDETRHead(
+        num_classes=NUM_CLASSES, in_channels=32,
+        num_query=Q,
+        transformer=dict(act_cfg=dict(type="ReLU")),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=2.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=5.0),
+        loss_iou=dict(type="GIoULoss", loss_weight=2.0),
+        train_cfg=dict(assigner=dict(
+            type="HungarianAssigner",
+            cls_cost=dict(type="FocalLossCost", weight=2.0),
+            reg_cost=dict(type="BBoxL1Cost", weight=5.0),
+            iou_cost=dict(type="IoUCost", iou_mode="giou", weight=2.0))))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.loss(t(cls), t(bbox), None, None,
+                        [t(g) for g in gts], [t(l) for l in gt_labels],
+                        _metas(B))
+    ref = {k: float(v) for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.deformable_detr_head import (
+        DeformableDETRHead, deformable_detr_loss)
+
+    our_head = DeformableDETRHead(num_classes=NUM_CLASSES, num_query=Q)
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    ours = deformable_detr_loss(
+        our_head,
+        (jnp.asarray(cls.transpose(1, 0, 2, 3)),
+         jnp.asarray(bbox.transpose(1, 0, 2, 3))),
+        dict(images=jnp.zeros((B, *IMG_HW, 3)),
+             img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B,
+                                    dtype=jnp.float32),
+             gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v)))
+    ours = {k: float(v) for k, v in ours.items()}
+    pairs = [("loss_cls", "loss_cls"), ("loss_bbox", "loss_bbox"),
+             ("loss_iou", "loss_iou"), ("d0.loss_cls", "loss_cls_aux0"),
+             ("d0.loss_bbox", "loss_bbox_aux0"),
+             ("d0.loss_iou", "loss_iou_aux0")]
+    for rk, ok in pairs:
+        np.testing.assert_allclose(
+            ours[ok], ref[rk], rtol=5e-5, atol=1e-6,
+            err_msg=f"{rk}: ours={ours[ok]} ref={ref[rk]}")
 
 
 def test_pisa_ssd_loss_matches_reference(ref_mod):
