@@ -53,8 +53,18 @@ class SABLRetinaHead(nn.Module):
     norm_cfg: dict | None = None   # GN towers (sabl *gn* configs)
 
     @property
+    def resolved_num_buckets(self) -> int:
+        return int((self.bbox_coder or {}).get("num_buckets",
+                                               self.num_buckets))
+
+    @property
+    def resolved_scale_factor(self) -> float:
+        return float((self.bbox_coder or {}).get("scale_factor",
+                                                 self.scale_factor))
+
+    @property
     def side_num(self) -> int:
-        return int(math.ceil(self.num_buckets / 2.0))
+        return int(math.ceil(self.resolved_num_buckets / 2.0))
 
     def make_square_generator(self) -> AnchorGenerator:
         cfg = dict(self.square_anchor_generator or {})
@@ -162,7 +172,8 @@ def sabl_loss(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
 
     def encode(sq, g):
-        return bbox2bucket(sq, g, head.num_buckets, head.scale_factor,
+        return bbox2bucket(sq, g, head.resolved_num_buckets,
+                           head.resolved_scale_factor,
                            head.offset_topk, head.offset_upperbound,
                            head.cls_ignore_neighbor)
 
@@ -204,8 +215,8 @@ def sabl_get_bboxes(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
         scores, bcls, breg, squares = (take(scores), take(bcls), take(breg),
                                        take(squares))
         boxes, conf = jax.vmap(
-            lambda s, c, o: bucket2bbox(s, c, o, head.num_buckets,
-                                        head.scale_factor))(squares, bcls,
+            lambda s, c, o: bucket2bbox(s, c, o, head.resolved_num_buckets,
+                                        head.resolved_scale_factor))(squares, bcls,
                                                             breg)
         # bucketing-guided rescoring (reference sabl_retina_head get_bboxes)
         scores = scores * conf[..., None]

@@ -244,39 +244,56 @@ def sparse_rcnn_loss(detector, variables, batch, rng_key=None,
         cls, boxes, proposal_feats = _stage_forward(
             detector, variables, feats, proposals, proposal_feats, stage,
             strides)
-
-        def per_image_cost(c, bx, gl, gx, f):
-            # BBoxL1Cost(box_format='xywh'): Sparse R-CNN matches in
-            # NORMALIZED CXCYWH (``sparse_roi_head.py`` passes
-            # bbox_xyxy_to_cxcywh(proposals / imgs_whwh); ``match_cost.py``
-            # converts the gt the same way)
-            from dsl_tpu.models.dense_heads.detr_head import xyxy_to_cxcywh
-
-            return (focal_cost(c, gl, cost_cls)
-                    + bbox_l1_cost(xyxy_to_cxcywh(bx / f),
-                                   xyxy_to_cxcywh(gx / f), cost_bbox)
-                    + iou_cost(bx, gx, cost_iou))
-
-        cost = jax.lax.stop_gradient(jax.vmap(per_image_cost)(
-            cls, boxes, gtl, gt_xyxy, whwh[:, None, :]))
-        cost = jnp.where(gtv[:, None, :], cost, 1e8)
-        assigned = hungarian_match(cost, gtv)              # (B, P)
-        pos = assigned >= 0
-        safe = jnp.maximum(assigned, 0)
-        labels = jnp.where(pos, jnp.take_along_axis(gtl, safe, axis=1), nc)
-        tgt = jnp.take_along_axis(gt_xyxy, safe[..., None], axis=1)
-
-        posf = pos.astype(jnp.float32)
-        losses[f"s{stage}.loss_cls"] = loss_cls_w * L.sigmoid_focal_loss(
-            cls, labels, avg_factor=num_gt)
-        losses[f"s{stage}.loss_bbox"] = loss_bbox_w * L.l1_loss(
-            boxes / whwh[:, None, :], tgt / whwh[:, None, :],
-            weight=posf[..., None], avg_factor=num_gt * 4)
-        giou = bbox_overlaps(boxes, tgt, mode="giou", is_aligned=True)
-        losses[f"s{stage}.loss_iou"] = loss_iou_w * jnp.sum(
-            (1.0 - giou) * posf) / num_gt
+        stage_losses = sparse_stage_set_loss(
+            cls, boxes, gtl, gt_xyxy, gtv, whwh, nc, num_gt,
+            cost_cls=cost_cls, cost_bbox=cost_bbox, cost_iou=cost_iou,
+            loss_cls_w=loss_cls_w, loss_bbox_w=loss_bbox_w,
+            loss_iou_w=loss_iou_w)
+        for k, v in stage_losses.items():
+            losses[f"s{stage}.{k}"] = v
         proposals = jax.lax.stop_gradient(boxes)
     return _parse_losses(losses)
+
+
+def sparse_stage_set_loss(cls, boxes, gtl, gt_xyxy, gtv, whwh, nc, num_gt,
+                          cost_cls=2.0, cost_bbox=5.0, cost_iou=2.0,
+                          loss_cls_w=2.0, loss_bbox_w=5.0, loss_iou_w=2.0):
+    """One Sparse R-CNN stage's Hungarian set loss (torch-oracled against
+    ``sparse_roi_head.py:195-225`` + ``dii_head.py:197-280``): focal cls
+    over ALL proposals avg num_pos, L1 on whwh-normalized xyxy and GIoU on
+    absolute boxes — both positives-only, avg num_pos."""
+    def per_image_cost(c, bx, gl, gx, f):
+        # BBoxL1Cost(box_format='xywh'): Sparse R-CNN matches in
+        # NORMALIZED CXCYWH (``sparse_roi_head.py`` passes
+        # bbox_xyxy_to_cxcywh(proposals / imgs_whwh); ``match_cost.py``
+        # converts the gt the same way)
+        from dsl_tpu.models.dense_heads.detr_head import xyxy_to_cxcywh
+
+        return (focal_cost(c, gl, cost_cls)
+                + bbox_l1_cost(xyxy_to_cxcywh(bx / f),
+                               xyxy_to_cxcywh(gx / f), cost_bbox)
+                + iou_cost(bx, gx, cost_iou))
+
+    cost = jax.lax.stop_gradient(jax.vmap(per_image_cost)(
+        cls, boxes, gtl, gt_xyxy, whwh[:, None, :]))
+    cost = jnp.where(gtv[:, None, :], cost, 1e8)
+    assigned = hungarian_match(cost, gtv)                  # (B, P)
+    pos = assigned >= 0
+    safe = jnp.maximum(assigned, 0)
+    labels = jnp.where(pos, jnp.take_along_axis(gtl, safe, axis=1), nc)
+    tgt = jnp.take_along_axis(gt_xyxy, safe[..., None], axis=1)
+
+    posf = pos.astype(jnp.float32)
+    loss_cls = loss_cls_w * L.sigmoid_focal_loss(
+        cls, labels, avg_factor=num_gt)
+    # reference avg_factor = num_pos over all 4 coords (L1Loss in
+    # ``dii_head.py:268-273``)
+    loss_bbox = loss_bbox_w * L.l1_loss(
+        boxes / whwh[:, None, :], tgt / whwh[:, None, :],
+        weight=posf[..., None], avg_factor=num_gt)
+    giou = bbox_overlaps(boxes, tgt, mode="giou", is_aligned=True)
+    loss_iou = loss_iou_w * jnp.sum((1.0 - giou) * posf) / num_gt
+    return dict(loss_cls=loss_cls, loss_bbox=loss_bbox, loss_iou=loss_iou)
 
 
 def sparse_rcnn_predict(detector, variables, images, img_shapes=None,

@@ -120,8 +120,16 @@ def _load_reference_heads3():
         def __init__(self, *a, **k):
             super().__init__()
 
+    class MultiheadAttention(nn.Module):
+        """Constructible stand-in (loss-only oracles never forward it)."""
+
+        def __init__(self, *a, **k):
+            super().__init__()
+
     bricks_tf.FFN = FFN
+    bricks_tf.MultiheadAttention = MultiheadAttention
     bricks_tf.build_positional_encoding = lambda cfg: nn.Identity()
+    mmcv_cnn.build_norm_layer = lambda cfg, dim: ("ln", nn.LayerNorm(dim))
     mmcv_utils = _stub("mmcv.utils")
 
     class _McvRegistry:
@@ -149,6 +157,7 @@ def _load_reference_heads3():
     mmcv_cnn.bias_init_with_prob = lambda p: float(-np.log((1 - p) / p))
     mmcv_runner = _stub("mmcv.runner")
     mmcv_runner.force_fp32 = lambda **kw: (lambda f: f)
+    mmcv_runner.auto_fp16 = lambda **kw: (lambda f: f)
 
     class BaseModule(nn.Module):
         def __init__(self, init_cfg=None):
@@ -256,6 +265,9 @@ def _load_reference_heads3():
                                        "mmdet.core.bbox.iou_calculators",
                                        "mmdet.core.bbox.transforms",
                                        "mmdet.models.utils.transformer",
+                                       "mmdet.models.builder",
+                                       "mmdet.models.losses",
+                                       "mmdet.models.dense_heads.atss_head",
                                        "mmdet.core.anchor"}}
     sys.modules.update(new_mods)
     sys.modules["mmdet.utils"] = mm_utils
@@ -487,10 +499,46 @@ def _load_reference_heads3():
             osp.join(REF_ROOT,
                      "models/dense_heads/deformable_detr_head.py"))
 
+        # Sparse R-CNN DIIHead (stage set loss); BBoxHead base needs the
+        # mmdet.models facade modules below
+        mm_builder = types.ModuleType("mmdet.models.builder")
+        mm_builder.HEADS = regs["HEADS"]
+        mm_builder.build_loss = models_builder.build_loss
+        sys.modules["mmdet.models.builder"] = mm_builder
+        mmdet_models.builder = mm_builder
+        acc_mod = sys.modules["refmm4.models.losses.accuracy"]
+        mm_losses = types.ModuleType("mmdet.models.losses")
+        mm_losses.accuracy = acc_mod.accuracy
+        sys.modules["mmdet.models.losses"] = mm_losses
+        mmdet_models.losses = mm_losses
+        mm_models_utils.build_linear_layer = (
+            lambda cfg, in_features, out_features:
+            nn.Linear(in_features, out_features))
+        atss_stub = types.ModuleType("mmdet.models.dense_heads.atss_head")
+        atss_stub.reduce_mean = lambda t: t
+        sys.modules["mmdet.models.dense_heads.atss_head"] = atss_stub
+        for pkg in ("refmm4.models.roi_heads",
+                    "refmm4.models.roi_heads.bbox_heads"):
+            m = _stub(pkg)
+            sys.modules[pkg] = m
+        _load("refmm4.models.roi_heads.bbox_heads.bbox_head",
+              osp.join(REF_ROOT,
+                       "models/roi_heads/bbox_heads/bbox_head.py"))
+        dii = _load("refmm4.models.roi_heads.bbox_heads.dii_head",
+                    osp.join(REF_ROOT,
+                             "models/roi_heads/bbox_heads/dii_head.py"))
+
+        hung_mod = sys.modules[
+            "refmm4.core.bbox.assigners.hungarian_assigner"]
+        pseudo_mod = sys.modules["refmm4.core.bbox.samplers.pseudo_sampler"]
         ns = types.SimpleNamespace(
             LDHead=ld.LDHead,
             DETRHead=detr.DETRHead,
             DeformableDETRHead=ddetr.DeformableDETRHead,
+            DIIHead=dii.DIIHead,
+            HungarianAssigner=hung_mod.HungarianAssigner,
+            PseudoSampler=pseudo_mod.PseudoSampler,
+            bbox_xyxy_to_cxcywh=transforms.bbox_xyxy_to_cxcywh,
             SABLRetinaHead=sabl.SABLRetinaHead,
             GuidedAnchorHead=ga.GuidedAnchorHead,
             GARPNHead=garpn.GARPNHead,
@@ -1116,6 +1164,76 @@ def test_deformable_detr_loss_matches_reference(ref_mod):
         np.testing.assert_allclose(
             ours[ok], ref[rk], rtol=5e-5, atol=1e-6,
             err_msg=f"{rk}: ours={ours[ok]} ref={ref[rk]}")
+
+
+def test_sparse_rcnn_stage_loss_matches_reference(ref_mod):
+    """Sparse R-CNN stage set loss (``sparse_roi_head.py:195-225`` +
+    ``dii_head.py:197-353``): HungarianAssigner over FocalLossCost(2) +
+    BBoxL1Cost(5, box_format='xywh' — normalized CXCYWH) + IoUCost(giou, 2),
+    then focal cls over all proposals and L1 (whwh-normalized) + GIoU on
+    positives, all averaged by num_pos."""
+    B = 2
+    P = 12
+    rng = np.random.RandomState(103)
+    H, W = IMG_HW
+    cls = rng.randn(B, P, NUM_CLASSES).astype(np.float32)
+    # decoded stage boxes: random xyxy inside the image
+    x1 = rng.rand(B, P) * W * 0.6
+    y1 = rng.rand(B, P) * H * 0.6
+    bw = rng.rand(B, P) * W * 0.35 + 8
+    bh = rng.rand(B, P) * H * 0.35 + 8
+    boxes = np.stack([x1, y1, np.minimum(x1 + bw, W - 1),
+                      np.minimum(y1 + bh, H - 1)], -1).astype(np.float32)
+    gts, gt_labels = _random_gts(rng, [3, 2], min_wh=16.0)
+
+    head = ref_mod.DIIHead(
+        num_classes=NUM_CLASSES, in_channels=32,
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=2.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=5.0),
+        loss_iou=dict(type="GIoULoss", loss_weight=2.0),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder", target_means=[0.0] * 4,
+                        target_stds=[0.5, 0.5, 1.0, 1.0],
+                        clip_border=False))
+    assigner = ref_mod.HungarianAssigner(
+        cls_cost=dict(type="FocalLossCost", weight=2.0),
+        reg_cost=dict(type="BBoxL1Cost", weight=5.0, box_format="xywh"),
+        iou_cost=dict(type="IoUCost", iou_mode="giou", weight=2.0))
+    sampler = ref_mod.PseudoSampler()
+    t = torch.from_numpy
+    whwh = torch.tensor([W, H, W, H], dtype=torch.float32)
+    with torch.no_grad():
+        sampling_results = []
+        for i in range(B):
+            ccwh = ref_mod.bbox_xyxy_to_cxcywh(t(boxes[i]) / whwh[None])
+            ar = assigner.assign(ccwh, t(cls[i]), t(gts[i]),
+                                 t(gt_labels[i]), _metas(B)[i])
+            sampling_results.append(
+                sampler.sample(ar, t(boxes[i]), t(gts[i])))
+        targets = head.get_targets(sampling_results,
+                                   [t(g) for g in gts],
+                                   [t(l) for l in gt_labels],
+                                   _Cfg(pos_weight=1), True)
+        ref = head.loss(t(cls).view(-1, NUM_CLASSES), t(boxes).view(-1, 4),
+                        *targets,
+                        imgs_whwh=whwh[None, None].repeat(B, P, 1))
+    ref = {k: float(v) for k, v in ref.items() if k != "pos_acc"}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.roi_heads.sparse_rcnn import sparse_stage_set_loss
+
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    whwh_j = jnp.asarray([[W, H, W, H]] * B, jnp.float32)
+    num_gt = jnp.asarray(float(sum(len(g) for g in gts)))
+    ours = sparse_stage_set_loss(
+        jnp.asarray(cls), jnp.asarray(boxes),
+        jnp.clip(jnp.asarray(gt_l), 0, NUM_CLASSES - 1),
+        jnp.asarray(gt_b), jnp.asarray(gt_v), whwh_j, NUM_CLASSES, num_gt)
+    ours = {k: float(v) for k, v in ours.items()}
+    for k in ("loss_cls", "loss_bbox", "loss_iou"):
+        np.testing.assert_allclose(
+            ours[k], ref[k], rtol=5e-5, atol=1e-6,
+            err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
 
 
 def test_pisa_ssd_loss_matches_reference(ref_mod):
