@@ -527,6 +527,11 @@ def _load_reference_heads3():
         dii = _load("refmm4.models.roi_heads.bbox_heads.dii_head",
                     osp.join(REF_ROOT,
                              "models/roi_heads/bbox_heads/dii_head.py"))
+        m = _stub("refmm4.models.roi_heads.mask_heads")
+        sys.modules["refmm4.models.roi_heads.mask_heads"] = m
+        grid = _load("refmm4.models.roi_heads.mask_heads.grid_head",
+                     osp.join(REF_ROOT,
+                              "models/roi_heads/mask_heads/grid_head.py"))
 
         hung_mod = sys.modules[
             "refmm4.core.bbox.assigners.hungarian_assigner"]
@@ -536,6 +541,7 @@ def _load_reference_heads3():
             DETRHead=detr.DETRHead,
             DeformableDETRHead=ddetr.DeformableDETRHead,
             DIIHead=dii.DIIHead,
+            GridHead=grid.GridHead,
             HungarianAssigner=hung_mod.HungarianAssigner,
             PseudoSampler=pseudo_mod.PseudoSampler,
             bbox_xyxy_to_cxcywh=transforms.bbox_xyxy_to_cxcywh,
@@ -1234,6 +1240,56 @@ def test_sparse_rcnn_stage_loss_matches_reference(ref_mod):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_grid_targets_and_loss_match_reference(ref_mod):
+    """Grid R-CNN grid head (``grid_head.py:223-295``): 2x-expanded roi,
+    per-grid-point circle splat (int-truncated centers, radius 1) on the
+    whole map, Grid-R-CNN-Plus sub-region crops, BCE x15 on fused+unfused —
+    incl. the expanded-w <= grid_size small-box skip."""
+    N = 6
+    rng = np.random.RandomState(107)
+    x1 = rng.rand(N) * 60
+    y1 = rng.rand(N) * 50
+    w = rng.rand(N) * 40 + 12
+    h = rng.rand(N) * 40 + 12
+    w[0] = 1.2            # expanded width 2.4 <= grid_size 3 -> skipped
+    rois = np.stack([x1, y1, x1 + w, y1 + h], -1).astype(np.float32)
+    gts = rois + rng.randn(N, 4).astype(np.float32) * 3.0
+
+    head = ref_mod.GridHead(
+        grid_points=9, num_convs=2, in_channels=32,
+        point_feat_channels=8,
+        loss_grid=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                       loss_weight=15.0),
+        norm_cfg=dict(type="GN", num_groups=36))
+    t = torch.from_numpy
+    sr = types.SimpleNamespace(pos_bboxes=t(rois), pos_gt_bboxes=t(gts))
+    with torch.no_grad():
+        ref_t = head.get_targets([sr], _Cfg(pos_radius=1))
+        half = ref_t.shape[-1]
+        fused = rng.randn(N, 9, half, half).astype(np.float32)
+        unfused = rng.randn(N, 9, half, half).astype(np.float32)
+        ref_loss = float(head.loss(
+            dict(fused=t(fused), unfused=t(unfused)), ref_t)["loss_grid"])
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.roi_heads.grid_head import (GridHead, grid_loss,
+                                                    grid_targets)
+
+    our_head = GridHead(grid_points=9, roi_size=14)
+    valid = jnp.ones((N,), jnp.float32)
+    ours_t = grid_targets(our_head, jnp.asarray(rois), jnp.asarray(gts),
+                          valid)
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(ours_t), -1, 1), ref_t.numpy(),
+        err_msg="grid sub-targets differ")
+    ours_loss = float(grid_loss(
+        our_head,
+        dict(fused=jnp.moveaxis(jnp.asarray(fused), 1, -1),
+             unfused=jnp.moveaxis(jnp.asarray(unfused), 1, -1)),
+        ours_t, valid))
+    np.testing.assert_allclose(ours_loss, ref_loss, rtol=5e-5, atol=1e-6)
 
 
 def test_pisa_ssd_loss_matches_reference(ref_mod):

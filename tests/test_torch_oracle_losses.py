@@ -214,6 +214,29 @@ def test_balanced_l1_matches_reference(ref_mod):
     np.testing.assert_allclose(ours, ref, rtol=5e-5, atol=1e-6)
 
 
+def test_htc_semantic_loss_matches_reference():
+    """HTC FusedSemanticHead.loss (``fused_semantic_head.py:82,102-106``)
+    IS ``nn.CrossEntropyLoss(ignore_index=255) * 0.2`` — executed here as
+    the oracle, incl. ignore pixels."""
+    import jax.numpy as jnp
+    from dsl_tpu.models.roi_heads.htc import semantic_seg_loss
+
+    rng = np.random.RandomState(17)
+    nc, hgt, wid = 183, 16, 20
+    logits = rng.randn(2, hgt, wid, nc).astype(np.float32)
+    labels = rng.randint(0, nc, size=(2, hgt, wid)).astype(np.int64)
+    labels[:, :3] = 255                       # ignore band
+    crit = torch.nn.CrossEntropyLoss(ignore_index=255)
+    with torch.no_grad():
+        ref = float(crit(
+            torch.from_numpy(logits.transpose(0, 3, 1, 2)),
+            torch.from_numpy(labels)) * 0.2)
+    ours = float(semantic_seg_loss(jnp.asarray(logits),
+                                   jnp.asarray(labels.astype(np.int32)),
+                                   loss_weight=0.2))
+    np.testing.assert_allclose(ours, ref, rtol=5e-5, atol=1e-6)
+
+
 def test_seesaw_matches_reference(ref_mod):
     """SeesawLoss (``seesaw_loss.py:79-263``): split (C + 2) head —
     objectness CE over all samples + seesaw CE over positives with
