@@ -311,8 +311,9 @@ def deformable_detr_loss(head, outputs, batch, axis_name=None):
                            axis=-1)[:, None, :]            # (B, 1, 4)
     else:
         img_h, img_w = batch["images"].shape[1:3]
-        factor = jnp.asarray([img_w, img_h, img_w, img_h],
-                             jnp.float32)[None, None, :]
+        factor = jnp.broadcast_to(
+            jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32),
+            (b, 1, 4))
 
     gt_xyxy = batch["gt_bboxes"]
     gt_norm = xyxy_to_cxcywh(gt_xyxy / factor)

@@ -101,8 +101,9 @@ def detr_loss(head: DETRHead, outputs, batch, axis_name=None):
     else:
         img_h = batch["images"].shape[1]
         img_w = batch["images"].shape[2]
-        factor = jnp.asarray([img_w, img_h, img_w, img_h],
-                             jnp.float32)[None, None, :]
+        factor = jnp.broadcast_to(
+            jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32),
+            (b, 1, 4))
 
     gt_xyxy = batch["gt_bboxes"]
     gt_norm = xyxy_to_cxcywh(gt_xyxy / factor)             # (B, K, 4)

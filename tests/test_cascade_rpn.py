@@ -31,7 +31,8 @@ def test_region_assign_centers():
     gt = jnp.asarray([[[16.0, 16.0, 48.0, 48.0]]])
     valid = jnp.asarray([[True]])
     sizes = [(16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
-    a = _region_assign(head, None, sizes, gt, valid)
+    lvl_anchors = head.make_anchor_generator().grid_anchors(sizes)
+    a = _region_assign(head, lvl_anchors, sizes, gt, valid)
     a0 = np.asarray(a[0, :256]).reshape(16, 16)
     assert a0[8, 8] == 0           # gt center location positive
     assert a0[0, 0] == -1

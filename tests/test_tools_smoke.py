@@ -94,7 +94,13 @@ def test_publish_model_cli(tmp_path, monkeypatch, capsys):
                  batch_stats={})
     save_checkpoint(prefix, state, meta=dict(epoch=1))
 
-    mod = importlib.import_module("publish_model")
+    # load by explicit path: tools/model_converters/publish_model.py (the
+    # reference-layout alias, no main()) shadows the real module when
+    # test_dataset_converters put its dir on sys.path first
+    spec = importlib.util.spec_from_file_location(
+        "publish_model_real", osp.join(REPO, "tools", "publish_model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
     out_prefix = str(tmp_path / "published")
     monkeypatch.setattr(sys, "argv", ["publish_model.py", prefix,
                                       out_prefix, "--teacher"])
