@@ -277,6 +277,14 @@ def _det_and_off_loss(head, tl_heat, br_heat, tl_off, br_off, t,
                       axis_name=None):
     """GaussianFocal det loss + SmoothL1 offset loss at GT corner pixels
     (reference ``loss_single`` :573-649)."""
+    hm_cfg = dict(head.loss_heatmap or {})
+    hm_alpha = float(hm_cfg.get("alpha", 2.0))
+    hm_gamma = float(hm_cfg.get("gamma", 4.0))
+    hm_lw = float(hm_cfg.get("loss_weight", 1.0))
+    off_cfg = dict(head.loss_offset or {})
+    off_beta = float(off_cfg.get("beta", 1.0))
+    off_lw = float(off_cfg.get("loss_weight", 1.0))
+
     def _one(hm_pred, hm_t, off_pred, off_t):
         avg = jnp.maximum((hm_t == 1.0).sum().astype(jnp.float32), 1.0)
         if axis_name:
@@ -284,15 +292,17 @@ def _det_and_off_loss(head, tl_heat, br_heat, tl_off, br_off, t,
         # mmdet avg_factor applies under reduction='mean' (sum/avg_factor);
         # 'sum' would silently skip the normalization
         pred = jax.nn.sigmoid(hm_pred)
-        det = L.gaussian_focal_loss(pred, hm_t, alpha=2.0, gamma=4.0,
-                                    reduction="mean", avg_factor=avg)
+        det = hm_lw * L.gaussian_focal_loss(
+            pred, hm_t, alpha=hm_alpha, gamma=hm_gamma,
+            reduction="mean", avg_factor=avg)
         mask = ((hm_t == 1.0).sum(-1, keepdims=True) > 0).astype(jnp.float32)
         off_avg = jnp.maximum(mask.sum(), 1.0)
         if axis_name:
             off_avg = jax.lax.psum(off_avg, axis_name)
-        off = L.smooth_l1_loss(off_pred, off_t, beta=1.0,
-                               weight=jnp.broadcast_to(mask, off_t.shape),
-                               reduction="mean", avg_factor=off_avg)
+        off = off_lw * L.smooth_l1_loss(
+            off_pred, off_t, beta=off_beta,
+            weight=jnp.broadcast_to(mask, off_t.shape),
+            reduction="mean", avg_factor=off_avg)
         return det, off, mask, off_avg
 
     tl_det, tl_off_l, tl_mask, tl_avg = _one(tl_heat, t["tl_heat"],
@@ -326,11 +336,15 @@ def corner_loss(head, outputs, batch, axis_name=None):
         det_total = det_total + det
         off_total = off_total + off
         if head.with_corner_emb:
+            emb_cfg = dict(head.loss_embedding or {})
             tl_e = _gather_at(tl_embs[lvl], t["tl_y"], t["tl_x"])
             br_e = _gather_at(br_embs[lvl], t["br_y"], t["br_x"])
-            pull, push = L.ae_loss(tl_e, br_e, batch["gt_valid"],
-                                   pull_weight=head.pull_weight,
-                                   push_weight=head.push_weight)
+            pull, push = L.ae_loss(
+                tl_e, br_e, batch["gt_valid"],
+                pull_weight=float(emb_cfg.get("pull_weight",
+                                              head.pull_weight)),
+                push_weight=float(emb_cfg.get("push_weight",
+                                              head.push_weight)))
             pull_total = pull_total + pull
             push_total = push_total + push
     losses["det_loss"] = det_total
@@ -364,16 +378,18 @@ def centripetal_loss(head, outputs, batch, axis_name=None):
                 weight=jnp.broadcast_to(mask, target.shape),
                 reduction="mean", avg_factor=avg)
 
+        gw = float(dict(head.loss_guiding_shift or {}).get(
+            "loss_weight", head.guiding_weight))
+        cw = float(dict(head.loss_centripetal_shift or {}).get(
+            "loss_weight", head.centripetal_weight))
         guide_total = guide_total + (
-            _shift(tl_guides[lvl], t["tl_guide"], tl_mask, tl_avg,
-                   head.guiding_weight)
+            _shift(tl_guides[lvl], t["tl_guide"], tl_mask, tl_avg, gw)
             + _shift(br_guides[lvl], t["br_guide"], br_mask, br_avg,
-                     head.guiding_weight)) / 2.0
+                     gw)) / 2.0
         cent_total = cent_total + (
-            _shift(tl_cents[lvl], t["tl_cent"], tl_mask, tl_avg,
-                   head.centripetal_weight)
+            _shift(tl_cents[lvl], t["tl_cent"], tl_mask, tl_avg, cw)
             + _shift(br_cents[lvl], t["br_cent"], br_mask, br_avg,
-                     head.centripetal_weight)) / 2.0
+                     cw)) / 2.0
     return dict(det_loss=det_total, off_loss=off_total,
                 guiding_loss=guide_total, centripetal_loss=cent_total)
 
