@@ -2,6 +2,7 @@
 eval_metric, compute_distribution, publish_model)."""
 
 import json
+import os
 import os.path as osp
 import sys
 
@@ -306,3 +307,21 @@ def test_test_robustness_cli(tmp_path, monkeypatch):
 
     _, mPC, _ = aggregate(res)
     assert "bbox_mAP" in mPC
+
+
+def test_tools_tree_covers_reference_listing():
+    """Every tool path in the reference tree (``/root/reference/tools``)
+    exists here — incl. the analysis_tools/misc/model_converters aliases
+    and the deployment placeholders that map to the TPU equivalents."""
+    ref_tools = osp.join("/root/reference", "tools")
+    if not osp.isdir(ref_tools):
+        pytest.skip("reference tree not available")
+    missing = []
+    for root, _, files in os.walk(ref_tools):
+        rel = osp.relpath(root, ref_tools)
+        for f in files:
+            if not f.endswith((".py", ".sh")):
+                continue
+            if not osp.exists(osp.join(REPO, "tools", rel, f)):
+                missing.append(osp.join(rel, f))
+    assert not missing, f"reference tools missing here: {missing}"

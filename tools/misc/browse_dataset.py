@@ -1,0 +1,11 @@
+#!/usr/bin/env python
+"""Alias of tools/browse_dataset.py at the reference's path
+(``tools/misc/browse_dataset.py``)."""
+import os.path as osp
+import runpy
+import sys
+
+if __name__ == "__main__":
+    sys.argv[0] = osp.join(osp.dirname(osp.abspath(__file__)), "..",
+                           "browse_dataset.py")
+    runpy.run_path(sys.argv[0], run_name="__main__")
