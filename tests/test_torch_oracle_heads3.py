@@ -1242,6 +1242,118 @@ def test_sparse_rcnn_stage_loss_matches_reference(ref_mod):
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
 
 
+def test_pisa_roi_isr_carl_match_reference(ref_mod):
+    """Two-stage ISR-P/CARL branch (``pisa_loss.py:8-183`` with (N, 5)
+    rois, CLASS-SPECIFIC deltas (N, C*4) and softmax CE — the
+    ``pisa_roi_head.py`` configuration): the reference isr_p rewrites the
+    positive label weights; our isr_p_weights + rescale must produce the
+    same weighted CE, and carl_loss the same score-weighted smooth-L1."""
+    rng = np.random.RandomState(109)
+    nc = 6
+    B, P, K = 2, 16, 4
+    N = B * P
+    H, W = IMG_HW
+    # per-image gts and roi assignment (first 5 rois of each image pos)
+    gx1 = rng.rand(B, K) * W * 0.5
+    gy1 = rng.rand(B, K) * H * 0.5
+    gw = rng.rand(B, K) * 40 + 16
+    gh = rng.rand(B, K) * 40 + 16
+    gts = np.stack([gx1, gy1, gx1 + gw, gy1 + gh], -1).astype(np.float32)
+    labels = np.full((B, P), nc, np.int64)
+    assigned = np.zeros((B, P), np.int64)
+    for i in range(B):
+        labels[i, :5] = rng.randint(0, nc, size=5)
+        assigned[i, :5] = rng.randint(0, K, size=5)
+    rois = np.zeros((B, P, 4), np.float32)
+    for i in range(B):
+        for j in range(P):
+            g = gts[i, assigned[i, j]]
+            jit = rng.randn(4) * 4
+            rois[i, j] = [max(g[0] + jit[0], 0), max(g[1] + jit[1], 0),
+                          min(g[2] + jit[2], W - 1),
+                          min(g[3] + jit[3], H - 1)]
+    cls = rng.randn(N, nc + 1).astype(np.float32)
+    bbox_pred = (rng.randn(N, nc * 4) * 0.3).astype(np.float32)
+
+    t = torch.from_numpy
+    import importlib
+    pisa_mod = sys.modules.get("refmm4.models.losses.pisa_loss")
+    ce_mod = sys.modules.get("refmm4.models.losses.cross_entropy_loss")
+    sl1_mod = sys.modules.get("refmm4.models.losses.smooth_l1_loss")
+    coder_mod = sys.modules.get(
+        "refmm4.core.bbox.coder.delta_xywh_bbox_coder")
+    coder = coder_mod.DeltaXYWHBBoxCoder(target_means=[0.0] * 4,
+                                         target_stds=[0.1, 0.1, 0.2, 0.2])
+    # flat (image-major) targets, encoded per roi against its gt
+    flat_rois = np.concatenate(
+        [np.repeat(np.arange(B), P)[:, None].astype(np.float32),
+         rois.reshape(-1, 4)], axis=1)
+    gt_per_roi = np.stack([gts[i, assigned[i, j]]
+                           for i in range(B) for j in range(P)])
+    with torch.no_grad():
+        enc = coder.encode(t(rois.reshape(-1, 4)), t(gt_per_roi))
+        flat_labels = t(labels.reshape(-1))
+        pos = labels.reshape(-1) < nc
+        bbox_targets = torch.zeros(N, 4)
+        bbox_weights = torch.zeros(N, 4)
+        bbox_targets[t(pos)] = enc[t(pos)]
+        bbox_weights[t(pos)] = 1.0
+        label_weights = torch.ones(N)
+        srs = [types.SimpleNamespace(
+            pos_assigned_gt_inds=t(assigned[i, :5])) for i in range(B)]
+        new_t = pisa_mod.isr_p(
+            t(cls), t(bbox_pred),
+            (flat_labels, label_weights, bbox_targets, bbox_weights),
+            t(flat_rois), srs, loss_cls=ce_mod.CrossEntropyLoss(),
+            bbox_coder=coder, k=2.0, bias=0.0, num_class=nc)
+        _, new_lw, _, _ = new_t
+        ce_ref = torch.nn.functional.cross_entropy(
+            t(cls), flat_labels, reduction="none")
+        ref_loss_cls = float((ce_ref * new_lw).sum() / N)
+        carl = pisa_mod.carl_loss(
+            t(cls), flat_labels, t(bbox_pred), bbox_targets,
+            sl1_mod.SmoothL1Loss(beta=1.0), k=1.0, bias=0.2,
+            avg_factor=N, sigmoid=False, num_class=nc)
+        ref_loss_carl = float(carl["loss_carl"])
+
+    import jax
+    import jax.numpy as jnp
+    from dsl_tpu.core import losses as L
+    from dsl_tpu.core.boxes import bbox2delta, bbox_overlaps, delta2bbox
+    from dsl_tpu.core.pisa import (carl_weights, isr_p_rescale,
+                                   isr_p_weights)
+
+    jl = jnp.asarray(labels.reshape(-1).astype(np.int32))
+    pos_mask = jnp.asarray(pos)
+    stds = (0.1, 0.1, 0.2, 0.2)
+    reg = jnp.asarray(bbox_pred).reshape(N, nc, 4)
+    cls_idx = jnp.clip(jl, 0, nc - 1)
+    reg_sel = jnp.take_along_axis(
+        reg, cls_idx[:, None, None].repeat(4, -1), axis=1)[:, 0]
+    decoded = delta2bbox(jnp.asarray(rois.reshape(-1, 4)), reg_sel,
+                         (0, 0, 0, 0), stds)
+    ious = bbox_overlaps(decoded, jnp.asarray(gt_per_roi), is_aligned=True)
+    gt_ids = jnp.asarray(
+        (np.repeat(np.arange(B), P) * K + assigned.reshape(-1))
+        .astype(np.int32))
+    isr_w = isr_p_weights(jl, pos_mask, gt_ids, ious, nc, k=2.0, bias=0.0)
+    ce = L.cross_entropy(jnp.asarray(cls), jl, reduction="none")
+    w = isr_p_rescale(ce, jnp.ones((N,)), isr_w, pos_mask)
+    ours_loss_cls = float(jnp.sum(ce * w) / N)
+    np.testing.assert_allclose(ours_loss_cls, ref_loss_cls, rtol=5e-5,
+                               atol=1e-6, err_msg="isr_p weighted CE")
+
+    tgt = bbox2delta(jnp.asarray(rois.reshape(-1, 4)),
+                     jnp.asarray(gt_per_roi), (0, 0, 0, 0), stds)
+    tgt = tgt * pos_mask[:, None]
+    cw = carl_weights(jnp.asarray(cls), jl, pos_mask, nc, k=1.0,
+                      bias=0.2, sigmoid=False)
+    per_l1 = L.smooth_l1_loss(reg_sel, tgt, reduction="none").sum(-1)
+    ours_loss_carl = float(jnp.sum(per_l1 * cw) / N)
+    np.testing.assert_allclose(ours_loss_carl, ref_loss_carl, rtol=5e-5,
+                               atol=1e-6, err_msg="carl")
+
+
 def test_grid_targets_and_loss_match_reference(ref_mod):
     """Grid R-CNN grid head (``grid_head.py:223-295``): 2x-expanded roi,
     per-grid-point circle splat (int-truncated centers, radius 1) on the
