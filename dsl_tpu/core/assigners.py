@@ -82,17 +82,22 @@ def _max_iou_assign_single(anchors, gt_bboxes, gt_labels, gt_valid,
 def max_iou_assign(anchors, gt_bboxes, gt_labels, gt_valid,
                    pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0,
                    num_classes=80, match_low_quality=True,
-                   gt_max_assign_all=True):
+                   gt_max_assign_all=True, inside=None):
     """Batched MaxIoU assignment.
 
-    anchors: (A, 4); gt_*: (B, K, ...). Returns labels (B, A),
-    assigned_gt (B, A), weights (B, A), max_iou (B, A).
+    anchors: (A, 4); gt_*: (B, K, ...); ``inside``: optional (B, A)
+    per-image anchor validity (allowed_border filtering). Returns labels
+    (B, A), assigned_gt (B, A), weights (B, A), max_iou (B, A).
     """
     single = partial(_max_iou_assign_single, anchors,
                      pos_iou_thr=pos_iou_thr, neg_iou_thr=neg_iou_thr,
                      min_pos_iou=min_pos_iou, num_classes=num_classes,
                      match_low_quality=match_low_quality,
                      gt_max_assign_all=gt_max_assign_all)
+    if inside is not None:
+        return jax.vmap(lambda gb, gl, gv, ins: single(gb, gl, gv,
+                                                       inside=ins))(
+            gt_bboxes, gt_labels, gt_valid, inside)
     return jax.vmap(single)(gt_bboxes, gt_labels, gt_valid)
 
 

@@ -129,6 +129,19 @@ def rpn_loss(head: RPNHead, scores, deltas, batch,
     featmap_sizes = [tuple(s.shape[1:3]) for s in scores]
     anchors = gen.flat_anchors(featmap_sizes)
 
+    # allowed_border anchor filtering (anchor_inside_flags; the standalone
+    # ``configs/rpn/*`` train_cfg uses allowed_border=0 — border anchors
+    # are excluded from assignment entirely)
+    border = float(tc.get("allowed_border", -1))
+    inside = None
+    if border >= 0 and batch.get("img_shapes") is not None:
+        hw = batch["img_shapes"]
+        inside = jax.vmap(
+            lambda hw_i: ((anchors[:, 0] >= -border)
+                          & (anchors[:, 1] >= -border)
+                          & (anchors[:, 2] < hw_i[1] + border)
+                          & (anchors[:, 3] < hw_i[0] + border)))(hw)
+
     # class-agnostic: every gt has label 0
     labels, assigned, weights, _ = max_iou_assign(
         anchors, batch["gt_bboxes"],
@@ -137,7 +150,7 @@ def rpn_loss(head: RPNHead, scores, deltas, batch,
         neg_iou_thr=float(asn.get("neg_iou_thr", head.neg_iou_thr)),
         min_pos_iou=float(asn.get("min_pos_iou", 0.3)),
         match_low_quality=bool(asn.get("match_low_quality", True)),
-        num_classes=1)
+        num_classes=1, inside=inside)
 
     b = labels.shape[0]
     flat_score = jnp.concatenate(

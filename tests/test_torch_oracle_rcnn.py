@@ -410,6 +410,76 @@ def test_rpn_loss_matches_reference(ref_mod, loss_bbox_cfg):
             err_msg=f"{ok}: ours={float(ours[ok])} ref={ref[rk]}")
 
 
+def test_rpn_loss_allowed_border_matches_reference(ref_mod):
+    """The standalone ``configs/rpn/*`` train_cfg uses ``allowed_border=0``:
+    anchors sticking out of the image (``anchor_inside_flags``) are excluded
+    from assignment and averaging entirely — this pins our dense inside-mask
+    equivalent of the reference's filter-then-unmap."""
+    B = 2
+    rng = np.random.RandomState(23)
+    na = 3
+    cls = [rng.randn(B, na, h, w).astype(np.float32) for h, w in SIZES]
+    bbox = [(rng.randn(B, na * 4, h, w) * 0.3).astype(np.float32)
+            for h, w in SIZES]
+    gts, gt_labels = _make_gts(29, [3, 4])
+    num_anchors = sum(na * h * w for h, w in SIZES)
+
+    head = ref_mod.RPNHead(
+        in_channels=16, feat_channels=16,
+        anchor_generator=dict(type="AnchorGenerator", scales=[8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4, target_stds=[1.0] * 4),
+        loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                      loss_weight=1.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=1.0),
+        train_cfg=_Cfg(assigner=dict(type="MaxIoUAssigner",
+                                     pos_iou_thr=0.7, neg_iou_thr=0.3,
+                                     min_pos_iou=0.3,
+                                     match_low_quality=True,
+                                     ignore_iof_thr=-1),
+                       sampler=dict(type="RandomSampler",
+                                    num=4 * num_anchors, pos_fraction=0.5,
+                                    neg_pos_ub=-1,
+                                    add_gt_as_proposals=False),
+                       allowed_border=0, pos_weight=-1, debug=False))
+    t = torch.from_numpy
+    metas = [dict(img_shape=(*IMG_HW, 3), pad_shape=(*IMG_HW, 3))
+             for _ in range(B)]
+    with torch.no_grad():
+        ref = head.loss([t(c) for c in cls], [t(b) for b in bbox],
+                        [t(g) for g in gts], metas)
+    ref = {k: float(sum(v) if isinstance(v, list) else v)
+           for k, v in ref.items()}
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.rpn_head import RPNHead, rpn_loss
+
+    our_head = RPNHead(in_channels=16, feat_channels=16, strides=STRIDES,
+                       loss_bbox=dict(type="L1Loss", loss_weight=1.0))
+    gt_b, gt_l, gt_v = _pad_gts(gts, gt_labels)
+    nhwc = lambda arrs: tuple(jnp.asarray(a.transpose(0, 2, 3, 1))
+                              for a in arrs)
+    ours = rpn_loss(
+        our_head, nhwc(cls), nhwc(bbox),
+        dict(gt_bboxes=jnp.asarray(gt_b), gt_labels=jnp.asarray(gt_l),
+             gt_valid=jnp.asarray(gt_v),
+             img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B,
+                                    dtype=jnp.float32)),
+        train_cfg=dict(assigner=dict(pos_iou_thr=0.7, neg_iou_thr=0.3,
+                                     min_pos_iou=0.3,
+                                     match_low_quality=True),
+                       sampler=dict(num=4 * num_anchors,
+                                    pos_fraction=0.5),
+                       allowed_border=0))
+    for ok, rk in (("loss_rpn_cls", "loss_rpn_cls"),
+                   ("loss_rpn_bbox", "loss_rpn_bbox")):
+        np.testing.assert_allclose(
+            float(ours[ok]), ref[rk], rtol=5e-5, atol=1e-6,
+            err_msg=f"{ok}: ours={float(ours[ok])} ref={ref[rk]}")
+
+
 # ---------------------------------------------------------------------------
 # RCNN bbox-head loss oracle
 # ---------------------------------------------------------------------------
