@@ -1,9 +1,19 @@
 """VOC-style mAP / recall evaluation, pure numpy.
 
 Parity with ``/root/reference/mmdet/core/evaluation/mean_ap.py:1-469``
-(``eval_map``) and ``recall.py``: per-class greedy IoU matching against
-GT with difficult/ignore handling, AP by the 'area' (every-point) or
-'11points' interpolation, scale-range filtering.
+(``average_precision``/``tpfp_default``/``get_cls_results``/``eval_map``)
+and ``recall.py:1-110`` (``eval_recalls`` with greedy one-to-one
+gt-proposal matching) — both pinned by ``tests/test_torch_oracle_eval.py``
+executing the reference's own code.
+
+Key reference semantics preserved exactly:
+- a detection's argmax-IoU gt is taken over the CONCATENATED
+  [gt, gt_ignore] stack; if the best match is an ignore box the detection
+  is neither TP nor FP even when it also overlaps a real gt above thr;
+- a second detection on an already-covered gt is a FP;
+- ``labels_ignore`` absent => ignore list is EMPTY for every class;
+- scale_ranges: gts/dets outside the area range are ignored, per-scale AP;
+- recall matching is greedy one-to-one (a proposal satisfies one gt).
 """
 
 from __future__ import annotations
@@ -21,132 +31,237 @@ def _iou_xyxy(dts: np.ndarray, gts: np.ndarray) -> np.ndarray:
     inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
     a1 = ((dts[:, 2] - dts[:, 0]) * (dts[:, 3] - dts[:, 1]))[:, None]
     a2 = ((gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1]))[None, :]
-    return inter / np.maximum(a1 + a2 - inter, 1e-10)
+    return inter / np.maximum(a1 + a2 - inter, np.finfo(np.float32).eps)
 
 
 def average_precision(recalls: np.ndarray, precisions: np.ndarray,
-                      mode: str = "area") -> float:
+                      mode: str = "area"):
+    """AP for single or multiple scales (reference ``average_precision``).
+
+    recalls/precisions: (num_dets,) or (num_scales, num_dets).
+    Returns float (1-D inputs) or (num_scales,) ndarray.
+    """
+    no_scale = False
+    if recalls.ndim == 1:
+        no_scale = True
+        recalls = recalls[None, :]
+        precisions = precisions[None, :]
+    num_scales = recalls.shape[0]
+    ap = np.zeros(num_scales, np.float32)
     if mode == "area":
-        mrec = np.concatenate([[0.0], recalls, [1.0]])
-        mpre = np.concatenate([[0.0], precisions, [0.0]])
-        for i in range(len(mpre) - 2, -1, -1):
-            mpre[i] = max(mpre[i], mpre[i + 1])
-        idx = np.where(mrec[1:] != mrec[:-1])[0]
-        return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
-    if mode == "11points":
-        ap = 0.0
-        for t in np.arange(0.0, 1.1, 0.1):
-            prec = precisions[recalls >= t]
-            ap += (prec.max() if prec.size else 0.0) / 11.0
-        return float(ap)
-    raise ValueError(mode)
+        zeros = np.zeros((num_scales, 1), recalls.dtype)
+        ones = np.ones((num_scales, 1), recalls.dtype)
+        mrec = np.hstack((zeros, recalls, ones))
+        mpre = np.hstack((zeros, precisions, zeros))
+        for i in range(mpre.shape[1] - 1, 0, -1):
+            mpre[:, i - 1] = np.maximum(mpre[:, i - 1], mpre[:, i])
+        for i in range(num_scales):
+            ind = np.where(mrec[i, 1:] != mrec[i, :-1])[0]
+            ap[i] = np.sum((mrec[i, ind + 1] - mrec[i, ind])
+                           * mpre[i, ind + 1])
+    elif mode == "11points":
+        for i in range(num_scales):
+            for thr in np.arange(0, 1 + 1e-3, 0.1):
+                precs = precisions[i, recalls[i, :] >= thr]
+                ap[i] += precs.max() if precs.size > 0 else 0.0
+        ap /= 11
+    else:
+        raise ValueError(mode)
+    return float(ap[0]) if no_scale else ap
 
 
-def _tpfp_single(det: np.ndarray, gt: np.ndarray, gt_ignore: np.ndarray,
-                 iou_thr: float):
-    """Greedy match one image's class detections. Returns (tp, fp) arrays."""
-    nd = len(det)
-    tp = np.zeros(nd)
-    fp = np.zeros(nd)
-    if len(gt) == 0 and len(gt_ignore) == 0:
-        fp[:] = 1
+def tpfp_default(det: np.ndarray, gt: np.ndarray, gt_ignore: np.ndarray,
+                 iou_thr: float = 0.5, area_ranges=None):
+    """TP/FP flags for one image's class detections (reference
+    ``tpfp_default``). Returns (num_scales, num_dets) tp and fp arrays."""
+    gt_ignore_inds = np.concatenate(
+        (np.zeros(len(gt), bool), np.ones(len(gt_ignore), bool)))
+    gt_all = np.vstack((gt.reshape(-1, 4), gt_ignore.reshape(-1, 4)))
+    nd, ng = len(det), len(gt_all)
+    if area_ranges is None:
+        area_ranges = [(None, None)]
+    ns = len(area_ranges)
+    tp = np.zeros((ns, nd), np.float32)
+    fp = np.zeros((ns, nd), np.float32)
+    if ng == 0:
+        if area_ranges == [(None, None)]:
+            fp[...] = 1
+        else:
+            det_areas = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1])
+            for i, (mn, mx) in enumerate(area_ranges):
+                fp[i, (det_areas >= mn) & (det_areas < mx)] = 1
         return tp, fp
-    ious = _iou_xyxy(det[:, :4], gt) if len(gt) else np.zeros((nd, 0))
-    ious_ig = _iou_xyxy(det[:, :4], gt_ignore) if len(gt_ignore) else \
-        np.zeros((nd, 0))
-    covered = np.zeros(len(gt), bool)
-    order = np.argsort(-det[:, 4], kind="mergesort")
-    for i in order:
-        # VOC protocol (mmdet tpfp_default): match the max-IoU GT; a second
-        # detection on an already-covered GT is a FP.
-        if ious.shape[1] and ious[i].max() >= iou_thr:
-            j = int(np.argmax(ious[i]))
-            if not covered[j]:
-                covered[j] = True
-                tp[i] = 1
+    ious = _iou_xyxy(det[:, :4], gt_all)
+    ious_max = ious.max(axis=1)
+    ious_argmax = ious.argmax(axis=1)
+    sort_inds = np.argsort(-det[:, -1])
+    for k, (mn, mx) in enumerate(area_ranges):
+        gt_covered = np.zeros(ng, bool)
+        if mn is None:
+            gt_area_ignore = np.zeros(ng, bool)
+        else:
+            gt_areas = (gt_all[:, 2] - gt_all[:, 0]) \
+                * (gt_all[:, 3] - gt_all[:, 1])
+            gt_area_ignore = (gt_areas < mn) | (gt_areas >= mx)
+        for i in sort_inds:
+            if ious_max[i] >= iou_thr:
+                j = ious_argmax[i]
+                if not (gt_ignore_inds[j] or gt_area_ignore[j]):
+                    if not gt_covered[j]:
+                        gt_covered[j] = True
+                        tp[k, i] = 1
+                    else:
+                        fp[k, i] = 1
+                # else: matched an ignored gt — neither tp nor fp
+            elif mn is None:
+                fp[k, i] = 1
             else:
-                fp[i] = 1
-            continue
-        # matched an ignore region: neither tp nor fp
-        if ious_ig.shape[1] and ious_ig[i].max() >= iou_thr:
-            continue
-        fp[i] = 1
+                b = det[i, :4]
+                area = (b[2] - b[0]) * (b[3] - b[1])
+                if mn <= area < mx:
+                    fp[k, i] = 1
     return tp, fp
 
 
-def eval_map(det_results: list, annotations: list, iou_thr: float = 0.5,
-             mode: str = "area", verbose: bool = False):
-    """Compute VOC mAP.
+def _get_cls_results(det_results, annotations, class_id):
+    """(reference ``get_cls_results``) — note ``labels_ignore`` absent
+    means NO ignore boxes for any class."""
+    cls_dets = [np.asarray(r[class_id], np.float32).reshape(-1, 5)
+                for r in det_results]
+    cls_gts, cls_ig = [], []
+    for ann in annotations:
+        labels = np.asarray(ann["labels"]).reshape(-1)
+        boxes = np.asarray(ann["bboxes"], np.float32).reshape(-1, 4)
+        cls_gts.append(boxes[labels == class_id])
+        if ann.get("labels_ignore", None) is not None:
+            ig_l = np.asarray(ann["labels_ignore"]).reshape(-1)
+            ig_b = np.asarray(ann["bboxes_ignore"],
+                              np.float32).reshape(-1, 4)
+            cls_ig.append(ig_b[ig_l == class_id])
+        else:
+            cls_ig.append(np.empty((0, 4), np.float32))
+    return cls_dets, cls_gts, cls_ig
+
+
+def eval_map(det_results: list, annotations: list, scale_ranges=None,
+             iou_thr: float = 0.5, mode: str | None = None,
+             dataset: str | None = None, verbose: bool = False):
+    """Compute VOC mAP (reference ``eval_map``).
 
     Args:
       det_results: per image, list of C arrays (n_i, 5) [x1,y1,x2,y2,score].
       annotations: per image dicts with ``bboxes`` (n, 4), ``labels`` (n,),
         optional ``bboxes_ignore``/``labels_ignore``.
+      scale_ranges: [(min1, max1), ...] in SIDE lengths (areas = side**2).
+      mode: 'area'/'11points'; default 'area' ('11points' when
+        ``dataset == 'voc07'`` — reference behavior).
 
-    Returns (mAP, per-class results list).
+    Returns (mAP, per-class results list). With scale_ranges, mAP is a list
+    per scale and per-class num_gts/ap are per-scale arrays.
     """
+    assert len(det_results) == len(annotations)
+    num_scales = len(scale_ranges) if scale_ranges is not None else 1
     num_classes = len(det_results[0])
+    area_ranges = ([(rg[0] ** 2, rg[1] ** 2) for rg in scale_ranges]
+                   if scale_ranges is not None else None)
+    if mode is None:
+        mode = "11points" if dataset == "voc07" else "area"
+
     eval_results = []
     for c in range(num_classes):
-        tps, fps, scores = [], [], []
-        num_gts = 0
-        for dets, ann in zip(det_results, annotations):
-            det = np.asarray(dets[c], np.float32).reshape(-1, 5)
-            mask = ann["labels"] == c
-            gt = np.asarray(ann["bboxes"], np.float32).reshape(-1, 4)[mask]
-            ig_labels = ann.get("labels_ignore")
-            if ig_labels is not None:
-                ig = np.asarray(ann.get("bboxes_ignore"),
-                                np.float32).reshape(-1, 4)[ig_labels == c]
+        cls_dets, cls_gts, cls_ig = _get_cls_results(
+            det_results, annotations, c)
+        tpfp = [tpfp_default(d, g, ig, iou_thr, area_ranges)
+                for d, g, ig in zip(cls_dets, cls_gts, cls_ig)]
+        tp, fp = tuple(zip(*tpfp))
+        num_gts = np.zeros(num_scales, int)
+        for bbox in cls_gts:
+            if area_ranges is None:
+                num_gts[0] += bbox.shape[0]
             else:
-                ig = np.asarray(ann.get("bboxes_ignore", np.zeros((0, 4))),
-                                np.float32).reshape(-1, 4)
-            num_gts += len(gt)
-            tp, fp = _tpfp_single(det, gt, ig, iou_thr)
-            tps.append(tp)
-            fps.append(fp)
-            scores.append(det[:, 4])
-        scores = np.concatenate(scores)
-        order = np.argsort(-scores, kind="mergesort")
-        tp = np.cumsum(np.concatenate(tps)[order])
-        fp = np.cumsum(np.concatenate(fps)[order])
-        recalls = tp / max(num_gts, 1e-10)
-        precisions = tp / np.maximum(tp + fp, 1e-10)
-        ap = average_precision(recalls, precisions, mode) if num_gts else 0.0
+                gt_areas = (bbox[:, 2] - bbox[:, 0]) \
+                    * (bbox[:, 3] - bbox[:, 1])
+                for k, (mn, mx) in enumerate(area_ranges):
+                    num_gts[k] += int(((gt_areas >= mn)
+                                       & (gt_areas < mx)).sum())
+        all_dets = np.vstack(cls_dets)
+        num_dets = all_dets.shape[0]
+        sort_inds = np.argsort(-all_dets[:, -1])
+        tp = np.cumsum(np.hstack(tp)[:, sort_inds], axis=1)
+        fp = np.cumsum(np.hstack(fp)[:, sort_inds], axis=1)
+        eps = np.finfo(np.float32).eps
+        recalls = tp / np.maximum(num_gts[:, None], eps)
+        precisions = tp / np.maximum(tp + fp, eps)
+        if scale_ranges is None:
+            recalls = recalls[0, :]
+            precisions = precisions[0, :]
+            num_gts = num_gts.item()
+        ap = average_precision(recalls, precisions, mode)
         eval_results.append(dict(
-            num_gts=num_gts, num_dets=len(scores), ap=ap,
-            recall=float(recalls[-1]) if len(recalls) else 0.0,
-            precision=float(precisions[-1]) if len(precisions) else 0.0))
-    valid = [r["ap"] for r in eval_results if r["num_gts"] > 0]
-    mean_ap = float(np.mean(valid)) if valid else 0.0
+            num_gts=num_gts, num_dets=num_dets, ap=ap,
+            recall=recalls, precision=precisions))
+    if scale_ranges is not None:
+        all_ap = np.vstack([r["ap"] for r in eval_results])
+        all_ng = np.vstack([r["num_gts"] for r in eval_results])
+        mean_ap = []
+        for i in range(num_scales):
+            if np.any(all_ng[:, i] > 0):
+                mean_ap.append(float(all_ap[all_ng[:, i] > 0, i].mean()))
+            else:
+                mean_ap.append(0.0)
+    else:
+        aps = [r["ap"] for r in eval_results if r["num_gts"] > 0]
+        mean_ap = float(np.mean(aps)) if aps else 0.0
     if verbose:
         for c, r in enumerate(eval_results):
+            rec = r["recall"]
+            last = float(np.atleast_2d(rec)[0, -1]) if np.size(rec) else 0.0
             print(f"class {c}: gts={r['num_gts']} dets={r['num_dets']} "
-                  f"recall={r['recall']:.3f} ap={r['ap']:.3f}")
-        print(f"mAP@{iou_thr}: {mean_ap:.4f}")
+                  f"recall={last:.3f} ap={np.round(r['ap'], 3)}")
+        print(f"mAP@{iou_thr}: {mean_ap}")
     return mean_ap, eval_results
 
 
 def eval_recalls(gts: list, proposals: list, proposal_nums=(100, 300, 1000),
                  iou_thrs=(0.5,)):
-    """Proposal recall matrix (reference ``recall.py`` semantics)."""
-    proposal_nums = np.asarray(proposal_nums)
-    iou_thrs = np.asarray(iou_thrs, float)
-    recalls = np.zeros((len(proposal_nums), len(iou_thrs)))
-    total_gt = sum(len(g) for g in gts)
+    """Proposal recall matrix (reference ``recall.py eval_recalls``):
+    proposals sorted by score when (k, 5), greedy ONE-TO-ONE gt↔proposal
+    matching (each proposal may satisfy only one gt)."""
+    proposal_nums = np.atleast_1d(np.asarray(proposal_nums))
+    iou_thrs = np.atleast_1d(np.asarray(iou_thrs, float))
+    all_ious = []
+    for gt, prop in zip(gts, proposals):
+        p = np.asarray(prop, np.float32)
+        if p.ndim == 2 and p.shape[1] == 5:
+            p = p[np.argsort(p[:, 4])[::-1]]
+        pn = min(p.shape[0], int(proposal_nums[-1]))
+        g = np.asarray(gt, np.float32).reshape(-1, 4) if gt is not None \
+            else np.zeros((0, 4), np.float32)
+        if len(g) == 0:
+            all_ious.append(np.zeros((0, p.shape[0]), np.float32))
+        else:
+            all_ious.append(_iou_xyxy(g, p[:pn, :4]))
+    total_gt = sum(i.shape[0] for i in all_ious)
+    recalls = np.zeros((proposal_nums.size, iou_thrs.size))
     if total_gt == 0:
         return recalls
-    for ti, thr in enumerate(iou_thrs):
-        for ni, n in enumerate(proposal_nums):
-            hit = 0
-            for gt, prop in zip(gts, proposals):
-                if len(gt) == 0:
-                    continue
-                p = np.asarray(prop, np.float32).reshape(-1, 5)
-                p = p[np.argsort(-p[:, 4])][:n, :4] if p.shape[1] == 5 \
-                    else p[:n, :4]
-                ious = _iou_xyxy(np.asarray(gt, np.float32), p)
-                if ious.size:
-                    hit += int((ious.max(axis=1) >= thr).sum())
-            recalls[ni, ti] = hit / total_gt
+    best = np.zeros((proposal_nums.size, total_gt), np.float32)
+    for k, pn in enumerate(proposal_nums):
+        pos = 0
+        for ious0 in all_ious:
+            ng = ious0.shape[0]
+            ious = ious0[:, :int(pn)].copy()
+            if ious.size:
+                for j in range(ng):
+                    # j-th best remaining (gt, proposal) pair; slots are
+                    # sequential (reference _recalls), not per-gt
+                    gt_max = ious.argmax(axis=1)
+                    max_ious = ious[np.arange(ng), gt_max]
+                    gi = max_ious.argmax()
+                    best[k, pos + j] = max_ious[gi]
+                    ious[gi, :] = -1
+                    ious[:, gt_max[gi]] = -1
+            pos += ng
+    for i, thr in enumerate(iou_thrs):
+        recalls[:, i] = (best >= thr).sum(axis=1) / float(total_gt)
     return recalls

@@ -225,9 +225,54 @@ def mask_iou(dt_masks: np.ndarray, gt_masks: np.ndarray,
     return inter / np.maximum(union, 1e-10)
 
 
+def roi_align_np(img: np.ndarray, box, out_h: int, out_w: int) -> np.ndarray:
+    """Aligned average RoIAlign of one (H, W) image at one float box —
+    mmcv ``roi_align`` semantics (aligned=True, sampling_ratio=0, 'avg'):
+    half-pixel offset, adaptive ceil sample grid per bin, border rule
+    zero outside [-1, size] and edge-clamped bilinear inside.
+    """
+    h, w = img.shape
+    x1, y1, x2, y2 = [float(v) for v in box]
+    sx, sy = x1 - 0.5, y1 - 0.5
+    rw, rh = x2 - x1, y2 - y1
+    gh = int(np.ceil(rh / out_h))
+    gw = int(np.ceil(rw / out_w))
+    count = max(gh * gw, 1)
+    if gh <= 0 or gw <= 0:
+        return np.zeros((out_h, out_w), np.float32)
+    bin_h, bin_w = rh / out_h, rw / out_w
+    ys = (sy + (np.arange(out_h)[:, None] * bin_h)
+          + (np.arange(gh)[None, :] + 0.5) * (bin_h / gh)).reshape(-1)
+    xs = (sx + (np.arange(out_w)[:, None] * bin_w)
+          + (np.arange(gw)[None, :] + 0.5) * (bin_w / gw)).reshape(-1)
+
+    def _axis(v, size):
+        inside = (v >= -1.0) & (v <= size)
+        vc = np.clip(v, 0.0, None)
+        lo = vc.astype(np.int64)
+        hi = np.minimum(lo + 1, size - 1)
+        lo = np.minimum(lo, size - 1)
+        frac = np.where(lo >= size - 1, 0.0, vc - lo)
+        return inside, lo, hi, frac
+
+    iy, ylo, yhi, fy = _axis(ys, h)
+    ix, xlo, xhi, fx = _axis(xs, w)
+    f = img.astype(np.float32)
+    val = ((1 - fy)[:, None] * (1 - fx)[None, :] * f[ylo][:, xlo]
+           + (1 - fy)[:, None] * fx[None, :] * f[ylo][:, xhi]
+           + fy[:, None] * (1 - fx)[None, :] * f[yhi][:, xlo]
+           + fy[:, None] * fx[None, :] * f[yhi][:, xhi])
+    val = val * (iy[:, None] & ix[None, :])
+    val = val.reshape(out_h, gh, out_w, gw)
+    return val.sum(axis=(1, 3)).astype(np.float32) / count
+
+
 def mask_target(gt_masks: BitmapMasks, proposals: np.ndarray,
                 assigned_gt: np.ndarray, mask_size: int = 28) -> np.ndarray:
-    """Crop each proposal's assigned GT mask and resize to (S, S).
+    """Crop each proposal's assigned GT mask and resize to (S, S) —
+    reference ``mmdet/core/mask/mask_target.py`` exactly: proposals clipped
+    to the image, aligned avg RoIAlign (sampling_ratio=0) on the float box,
+    binarize at 0.5.
 
     Args:
       proposals: (N, 4) xyxy; assigned_gt: (N,) GT index (< 0 → zero target).
@@ -240,12 +285,10 @@ def mask_target(gt_masks: BitmapMasks, proposals: np.ndarray,
         if gi < 0 or gi >= len(gt_masks):
             continue
         x1, y1, x2, y2 = proposals[i]
-        x1 = int(np.clip(np.floor(x1), 0, gt_masks.width - 1))
-        y1 = int(np.clip(np.floor(y1), 0, gt_masks.height - 1))
-        x2 = int(np.clip(np.ceil(x2), x1 + 1, gt_masks.width))
-        y2 = int(np.clip(np.ceil(y2), y1 + 1, gt_masks.height))
-        crop = gt_masks.masks[gi, y1:y2, x1:x2]
-        out[i] = cv2.resize(crop.astype(np.float32),
-                            (mask_size, mask_size),
-                            interpolation=cv2.INTER_LINEAR)
+        x1 = np.clip(x1, 0, gt_masks.width)
+        x2 = np.clip(x2, 0, gt_masks.width)
+        y1 = np.clip(y1, 0, gt_masks.height)
+        y2 = np.clip(y2, 0, gt_masks.height)
+        out[i] = roi_align_np(gt_masks.masks[gi], (x1, y1, x2, y2),
+                              mask_size, mask_size)
     return (out >= 0.5).astype(np.float32)

@@ -97,11 +97,16 @@ def format_sample(results: dict, canvas_hw=DEFAULT_CANVAS,
             masks = masks.to_bitmap()
         m = GT_MASK_CROP_SIZE
         crops = np.zeros((max_gt, m, m), np.uint8)
+        areas = np.zeros((max_gt,), np.float32)
         n = min(len(masks), max_gt)
         for i in range(n):
             crops[i] = (gt_mask_crop(masks.masks[i], gt_b[i], m)
                         >= 0.5).astype(np.uint8)
+            # full-instance pixel area (BitmapMasks.areas) — the MaskIoU
+            # head's area-ratio denominator (maskiou_head.py:147-170)
+            areas[i] = float(masks.masks[i].sum())
         out["gt_mask_crops"] = crops
+        out["gt_mask_areas"] = areas
     return out
 
 

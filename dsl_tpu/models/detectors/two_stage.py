@@ -587,7 +587,17 @@ def _mask_branch_loss(detector, variables, feats, samples, batch,
     pred_prob = jax.nn.sigmoid(jnp.take_along_axis(
         logits, cls[:, None, None, None], axis=-1)[..., 0])
     posf = pos.astype(jnp.float32)
-    iou_t = mask_iou_target(pred_prob, targets, posf)
+    k = batch["gt_bboxes"].shape[1]
+    gi = jnp.clip(assigned.reshape(-1), 0, k - 1)
+    crop_idx = batch_idx.reshape(-1) * k + gi
+    iou_t = mask_iou_target(
+        pred_prob, targets, posf,
+        gt_full_areas=batch["gt_mask_areas"].reshape(-1)[crop_idx],
+        crops=batch["gt_mask_crops"].reshape(
+            -1, *batch["gt_mask_crops"].shape[2:])[crop_idx],
+        gt_boxes=batch["gt_bboxes"].reshape(-1, 4)[crop_idx],
+        rois=rois.reshape(-1, 4),
+        img_shapes=batch["img_shapes"][batch_idx.reshape(-1)])
     iou_pred = detector.apply(variables, roi_feats, pred_prob,
                               method=detector.mask_iou_forward)
     loss_miou = mask_iou_loss(iou_pred, labels.reshape(-1), iou_t, posf,

@@ -42,7 +42,12 @@ def _batch(b=2, size=64, k=4):
     # instance 0: full box; instance 1: left half of its box
     crops[:, 0] = 1
     crops[:, 1, :, :GT_MASK_CROP_SIZE // 2] = 1
+    # full-instance pixel areas consistent with the crops (MaskIoU head)
+    areas = np.zeros((b, k), np.float32)
+    areas[:, 0] = 32 * 32
+    areas[:, 1] = 36 * 18
     return dict(
+        gt_mask_areas=jnp.asarray(areas),
         images=jnp.asarray(rng.rand(b, size, size, 3), jnp.float32),
         gt_bboxes=jnp.asarray(gt),
         gt_labels=jnp.zeros((b, k), jnp.int32),

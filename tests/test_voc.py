@@ -134,7 +134,7 @@ def test_eval_map_second_det_on_same_gt_is_fp():
     assert res[0]["num_gts"] == 1
     # the duplicate is a FP: final precision 1/2 (AP unaffected since the
     # FP ranks after full recall — VOC area-AP envelope semantics)
-    assert abs(res[0]["precision"] - 0.5) < 1e-6
+    assert abs(res[0]["precision"][-1] - 0.5) < 1e-6
     assert mean_ap == 1.0
 
 
