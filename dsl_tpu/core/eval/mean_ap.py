@@ -123,6 +123,63 @@ def tpfp_default(det: np.ndarray, gt: np.ndarray, gt_ignore: np.ndarray,
     return tp, fp
 
 
+def tpfp_imagenet(det: np.ndarray, gt: np.ndarray, gt_ignore: np.ndarray,
+                  default_iou_thr: float = 0.5, area_ranges=None):
+    """ImageNet-DET TP/FP (reference ``tpfp_imagenet``): per-gt adaptive
+    IoU threshold min(wh/((w+10)(h+10)), thr), IoU against gt−1, and a
+    det may claim the best still-uncovered gt (unlike VOC)."""
+    gt_ignore_inds = np.concatenate(
+        (np.zeros(len(gt), bool), np.ones(len(gt_ignore), bool)))
+    gt_all = np.vstack((gt.reshape(-1, 4), gt_ignore.reshape(-1, 4)))
+    nd, ng = len(det), len(gt_all)
+    if area_ranges is None:
+        area_ranges = [(None, None)]
+    ns = len(area_ranges)
+    tp = np.zeros((ns, nd), np.float32)
+    fp = np.zeros((ns, nd), np.float32)
+    if ng == 0:
+        if area_ranges == [(None, None)]:
+            fp[...] = 1
+        else:
+            det_areas = (det[:, 2] - det[:, 0]) * (det[:, 3] - det[:, 1])
+            for i, (mn, mx) in enumerate(area_ranges):
+                fp[i, (det_areas >= mn) & (det_areas < mx)] = 1
+        return tp, fp
+    ious = _iou_xyxy(det[:, :4], gt_all - 1)
+    gt_w = gt_all[:, 2] - gt_all[:, 0]
+    gt_h = gt_all[:, 3] - gt_all[:, 1]
+    iou_thrs = np.minimum((gt_w * gt_h) / ((gt_w + 10.0) * (gt_h + 10.0)),
+                          default_iou_thr)
+    sort_inds = np.argsort(-det[:, -1])
+    for k, (mn, mx) in enumerate(area_ranges):
+        gt_covered = np.zeros(ng, bool)
+        if mn is None:
+            gt_area_ignore = np.zeros(ng, bool)
+        else:
+            gt_areas = gt_w * gt_h
+            gt_area_ignore = (gt_areas < mn) | (gt_areas >= mx)
+        for i in sort_inds:
+            max_iou, matched = -1.0, -1
+            for j in range(ng):
+                if gt_covered[j]:
+                    continue
+                if ious[i, j] >= iou_thrs[j] and ious[i, j] > max_iou:
+                    max_iou = ious[i, j]
+                    matched = j
+            if matched >= 0:
+                gt_covered[matched] = True
+                if not (gt_ignore_inds[matched] or gt_area_ignore[matched]):
+                    tp[k, i] = 1
+            elif mn is None:
+                fp[k, i] = 1
+            else:
+                b = det[i, :4]
+                area = (b[2] - b[0]) * (b[3] - b[1])
+                if mn <= area < mx:
+                    fp[k, i] = 1
+    return tp, fp
+
+
 def _get_cls_results(det_results, annotations, class_id):
     """(reference ``get_cls_results``) — note ``labels_ignore`` absent
     means NO ignore boxes for any class."""
@@ -167,11 +224,12 @@ def eval_map(det_results: list, annotations: list, scale_ranges=None,
     if mode is None:
         mode = "11points" if dataset == "voc07" else "area"
 
+    tpfp_fn = tpfp_imagenet if dataset in ("det", "vid") else tpfp_default
     eval_results = []
     for c in range(num_classes):
         cls_dets, cls_gts, cls_ig = _get_cls_results(
             det_results, annotations, c)
-        tpfp = [tpfp_default(d, g, ig, iou_thr, area_ranges)
+        tpfp = [tpfp_fn(d, g, ig, iou_thr, area_ranges)
                 for d, g, ig in zip(cls_dets, cls_gts, cls_ig)]
         tp, fp = tuple(zip(*tpfp))
         num_gts = np.zeros(num_scales, int)

@@ -73,6 +73,49 @@ class BitmapMasks:
         padded[:, :self.height, :self.width] = self.masks
         return BitmapMasks(padded, h, w)
 
+    def translate(self, out_shape, offset, direction: str = "horizontal",
+                  fill_val: int = 0) -> "BitmapMasks":
+        """(reference ``structures.py BitmapMasks.translate``): warp each
+        mask by a pixel offset, nearest semantics for binary content."""
+        h, w = out_shape
+        if len(self) == 0:
+            return BitmapMasks([], h, w)
+        from dsl_tpu.data.pipelines.geometric import imtranslate
+
+        out = np.stack([
+            imtranslate(m, offset, direction, border_value=fill_val)
+            for m in self.masks.astype(np.uint8)])
+        return BitmapMasks(out.astype(np.uint8), h, w)
+
+    def shear(self, out_shape, magnitude, direction: str = "horizontal",
+              border_value: int = 0,
+              interpolation: str = "bilinear") -> "BitmapMasks":
+        """(reference ``BitmapMasks.shear``)."""
+        h, w = out_shape
+        if len(self) == 0:
+            return BitmapMasks([], h, w)
+        from dsl_tpu.data.pipelines.geometric import imshear
+
+        out = np.stack([
+            imshear(m, magnitude, direction, border_value=border_value,
+                    interpolation=interpolation)
+            for m in self.masks.astype(np.uint8)])
+        return BitmapMasks(out.astype(np.uint8), h, w)
+
+    def rotate(self, out_shape, angle, center=None, scale: float = 1.0,
+               fill_val: int = 0) -> "BitmapMasks":
+        """(reference ``BitmapMasks.rotate``)."""
+        h, w = out_shape
+        if len(self) == 0:
+            return BitmapMasks([], h, w)
+        from dsl_tpu.data.pipelines.geometric import imrotate
+
+        out = np.stack([
+            imrotate(m, angle, center=center, scale=scale,
+                     border_value=fill_val)
+            for m in self.masks.astype(np.uint8)])
+        return BitmapMasks(out.astype(np.uint8), h, w)
+
     def to_ndarray(self) -> np.ndarray:
         return self.masks
 

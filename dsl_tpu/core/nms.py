@@ -188,7 +188,8 @@ def multiclass_nms(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
                    score_thr: float = 0.05, iou_threshold: float = 0.5,
                    max_per_img: int = 100, pre_nms_top: int = 2000,
                    valid: jnp.ndarray | None = None, nms_type: str = "nms",
-                   sigma: float = 0.5, min_score: float = 1e-3):
+                   sigma: float = 0.5, min_score: float = 1e-3,
+                   score_factors: jnp.ndarray | None = None):
     """Multi-class NMS over per-point class scores, static shapes throughout.
 
     Parity with ``mmdet/core/post_processing/bbox_nms.py:7-96``: every
@@ -200,9 +201,12 @@ def multiclass_nms(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
 
     Args:
       multi_bboxes: (P, 4) class-agnostic boxes or (P, C, 4) per-class.
-      multi_scores: (P, C) scores (already sigmoid×centerness for FCOS; no
-        background column).
+      multi_scores: (P, C) raw class scores (no background column).
       valid: optional (P,) point validity mask.
+      score_factors: optional (P,) multiplier (centerness / objectness).
+        mmdet semantics: ``score_thr`` applies to the RAW scores, the
+        factor multiplies AFTER thresholding ("preserve more bboxes,
+        improve mAP by 1% for YOLOv3" — ``bbox_nms.py:55-62``).
 
     Returns:
       dets: (max_per_img, 5); labels: (max_per_img,); out_valid: (max_per_img,)
@@ -210,9 +214,10 @@ def multiclass_nms(multi_bboxes: jnp.ndarray, multi_scores: jnp.ndarray,
     p, c = multi_scores.shape
     if valid is None:
         valid = jnp.ones((p,), dtype=bool)
-    flat_scores = jnp.where(
-        valid[:, None] & (multi_scores > score_thr), multi_scores, NEG_INF
-    ).reshape(-1)                                            # (P*C,)
+    cand = valid[:, None] & (multi_scores > score_thr)
+    if score_factors is not None:
+        multi_scores = multi_scores * score_factors[:, None]
+    flat_scores = jnp.where(cand, multi_scores, NEG_INF).reshape(-1)  # (P*C,)
     k = min(pre_nms_top, p * c)
     top_scores, flat_idx = jax.lax.top_k(flat_scores, k)
     point_idx = flat_idx // c

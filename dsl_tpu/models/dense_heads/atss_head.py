@@ -210,11 +210,12 @@ def atss_get_bboxes(head: ATSSHead, cls_scores, bbox_preds, centernesses,
     cent = jnp.concatenate(cent_all, axis=1)
     if scale_factors is not None:
         boxes = boxes / scale_factors[:, None, :]
-    weighted = scores * cent[..., None]
 
-    def _single(bx, sc):
+    def _single(bx, sc, ct):
+        # mmdet: score_thr on RAW scores, centerness multiplies after
+        # (multiclass_nms score_factors — atss_head.py:495)
         return multiclass_nms(bx, sc, score_thr=score_thr,
                               iou_threshold=iou_threshold,
-                              max_per_img=max_per_img)
+                              max_per_img=max_per_img, score_factors=ct)
 
-    return jax.vmap(_single)(boxes, weighted)
+    return jax.vmap(_single)(boxes, scores, cent)

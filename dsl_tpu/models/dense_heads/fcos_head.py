@@ -421,12 +421,13 @@ def fcos_get_bboxes(head_cfg, cls_scores, bbox_preds, centernesses,
     if not with_nms:
         return boxes, scores, cent
 
-    weighted = scores * cent[..., None]
-
-    def _single(bx, sc, vd):
+    def _single(bx, sc, ct, vd):
+        # mmdet: score_thr on RAW scores, centerness multiplies after
+        # (multiclass_nms score_factors — fcos_head.py:540)
         return multiclass_nms(bx, sc, score_thr=score_thr,
                               iou_threshold=iou_threshold,
-                              max_per_img=max_per_img, valid=vd)
+                              max_per_img=max_per_img, valid=vd,
+                              score_factors=ct)
 
-    dets, labels, out_valid = jax.vmap(_single)(boxes, weighted, valid)
+    dets, labels, out_valid = jax.vmap(_single)(boxes, scores, cent, valid)
     return dets, labels, out_valid

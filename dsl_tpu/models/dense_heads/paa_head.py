@@ -34,7 +34,7 @@ class PAAHead(ATSSHead):
     training-time assignment, which lives in :func:`paa_loss`."""
 
     topk: int = 9
-    score_voting: bool = True     # accepted for config parity
+    score_voting: bool = True     # reference paa_head.py:608-674
 
 
 LOG2PI = 1.8378770664093453          # log(2*pi)
@@ -265,8 +265,36 @@ def paa_get_bboxes(head: PAAHead, cls_scores, bbox_preds, iou_preds,
         boxes = boxes / scale_factors[:, None, :]
 
     def _single(bx, sc):
-        return multiclass_nms(bx, sc, score_thr=score_thr,
-                              iou_threshold=iou_threshold,
-                              max_per_img=max_per_img)
+        dets, labels, valid = multiclass_nms(bx, sc, score_thr=score_thr,
+                                             iou_threshold=iou_threshold,
+                                             max_per_img=max_per_img)
+        if head.score_voting:
+            voted = paa_score_voting(dets, labels, valid, bx, sc, score_thr)
+            dets = jnp.concatenate([voted, dets[:, 4:5]], axis=-1)
+        return dets, labels, valid
 
     return jax.vmap(_single)(boxes, scores)
+
+
+def paa_score_voting(dets, labels, valid, mlvl_bboxes, mlvl_nms_scores,
+                     score_thr: float):
+    """PAA score voting (reference ``paa_head.py score_voting:608-674``):
+    each surviving detection's box becomes the score-and-IoU-weighted mean
+    of all SAME-CLASS candidate boxes (nms_score > score_thr) with
+    IoU > 0.01; weights ``exp(-(1-iou)^2/0.025) * score``. The detection
+    score is unchanged.
+
+    Dense static-shape form: (D, P) IoU x per-class candidate masks.
+    Args: dets (D, 5), labels (D,), valid (D,), mlvl_bboxes (P, 4),
+    mlvl_nms_scores (P, C). Returns voted boxes (D, 4).
+    """
+    ious = bbox_overlaps(dets[:, :4], mlvl_bboxes)          # (D, P)
+    cls_scores = mlvl_nms_scores.T[jnp.clip(labels, 0, None)]  # (D, P)
+    w = (jnp.exp(-(1.0 - ious) ** 2 / 0.025) * cls_scores
+         * (ious > 0.01) * (cls_scores > score_thr))
+    den = w.sum(axis=1, keepdims=True)
+    # exact division — weights can be ~1e-17 (exp(-(1-0.01)^2/0.025)) and a
+    # floor on the denominator would distort the vote; only guard den == 0
+    voted = (w @ mlvl_bboxes) / jnp.where(den > 0, den, 1.0)
+    keep = valid[:, None] & (den > 0)
+    return jnp.where(keep, voted, dets[:, :4])

@@ -201,7 +201,7 @@ def sabl_get_bboxes(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
     lvl_squares = head.make_square_generator().grid_anchors(featmap_sizes)
     b = cls_scores[0].shape[0]
 
-    boxes_all, scores_all = [], []
+    boxes_all, scores_all, conf_all = [], [], []
     for lvl in range(len(cls_scores)):
         scores = jax.nn.sigmoid(cls_scores[lvl].reshape(b, -1, nc))
         bcls = bucket_cls[lvl].reshape(b, -1, sn * 4)
@@ -218,8 +218,6 @@ def sabl_get_bboxes(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
             lambda s, c, o: bucket2bbox(s, c, o, head.resolved_num_buckets,
                                         head.resolved_scale_factor))(squares, bcls,
                                                             breg)
-        # bucketing-guided rescoring (reference sabl_retina_head get_bboxes)
-        scores = scores * conf[..., None]
         if img_shapes is not None:
             xlim = img_shapes[:, None, 1:2]
             ylim = img_shapes[:, None, 0:1]
@@ -230,14 +228,18 @@ def sabl_get_bboxes(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
                  jnp.clip(boxes[..., 3:4], 0, ylim)], axis=-1)
         boxes_all.append(boxes)
         scores_all.append(scores)
+        conf_all.append(conf)
     boxes = jnp.concatenate(boxes_all, axis=1)
     scores = jnp.concatenate(scores_all, axis=1)
+    confs = jnp.concatenate(conf_all, axis=1)
     if scale_factors is not None:
         boxes = boxes / scale_factors[:, None, :]
 
-    def _single(bx, sc):
+    def _single(bx, sc, cf):
+        # bucketing-guided rescoring via score_factors: score_thr applies
+        # to the RAW scores (reference sabl_retina_head.py:621)
         return multiclass_nms(bx, sc, score_thr=score_thr,
                               iou_threshold=iou_threshold,
-                              max_per_img=max_per_img)
+                              max_per_img=max_per_img, score_factors=cf)
 
-    return jax.vmap(_single)(boxes, scores)
+    return jax.vmap(_single)(boxes, scores, confs)

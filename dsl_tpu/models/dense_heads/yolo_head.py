@@ -289,22 +289,24 @@ def yolo_loss(head: YOLOV3Head, preds, batch, axis_name: str | None = None):
 
 def yolo_get_bboxes(head: YOLOV3Head, preds, img_shapes=None,
                     scale_factors=None, nms_pre=1000, score_thr=0.05,
-                    iou_threshold=0.45, max_per_img=100):
+                    iou_threshold=0.45, max_per_img=100,
+                    conf_thr: float = 0.005):
     nc = head.num_classes
     b = preds[0].shape[0]
-    boxes_all, scores_all = [], []
+    boxes_all, scores_all, conf_all = [], [], []
     for lvl, pred in enumerate(preds):
         boxes, obj, cls = _yolo_grid_boxes(pred, head.anchors[lvl],
                                            head.strides[lvl], nc)
         boxes = boxes.reshape(b, -1, 4)
-        scores = (jax.nn.sigmoid(obj)[..., None]
-                  * jax.nn.sigmoid(cls)).reshape(b, -1, nc)
+        scores = jax.nn.sigmoid(cls).reshape(b, -1, nc)
+        conf = jax.nn.sigmoid(obj).reshape(b, -1)
         k = min(nms_pre, scores.shape[1])
-        rank = jnp.max(scores, axis=-1)
-        _, top = jax.lax.top_k(rank, k)
+        # reference yolo_head.py:300-320: nms_pre ranks by OBJECTNESS alone
+        _, top = jax.lax.top_k(conf, k)
         take = lambda t: jnp.take_along_axis(
             t, top.reshape(b, k, *(1,) * (t.ndim - 2)), axis=1)
         boxes, scores = take(boxes), take(scores)
+        conf = jnp.take_along_axis(conf, top, axis=1)
         if img_shapes is not None:
             xlim = img_shapes[:, None, 1:2]
             ylim = img_shapes[:, None, 0:1]
@@ -315,14 +317,20 @@ def yolo_get_bboxes(head: YOLOV3Head, preds, img_shapes=None,
                  jnp.clip(boxes[..., 3:4], 0, ylim)], axis=-1)
         boxes_all.append(boxes)
         scores_all.append(scores)
+        conf_all.append(conf)
     boxes = jnp.concatenate(boxes_all, axis=1)
     scores = jnp.concatenate(scores_all, axis=1)
+    confs = jnp.concatenate(conf_all, axis=1)
     if scale_factors is not None:
         boxes = boxes / scale_factors[:, None, :]
 
-    def _single(bx, sc):
+    def _single(bx, sc, cf):
+        # reference yolo_head.py:383-402: conf_thr filters points by raw
+        # objectness; score_thr applies to RAW sigmoid(cls); objectness
+        # multiplies as score_factors inside multiclass_nms
         return multiclass_nms(bx, sc, score_thr=score_thr,
                               iou_threshold=iou_threshold,
-                              max_per_img=max_per_img)
+                              max_per_img=max_per_img,
+                              valid=cf >= conf_thr, score_factors=cf)
 
-    return jax.vmap(_single)(boxes, scores)
+    return jax.vmap(_single)(boxes, scores, confs)

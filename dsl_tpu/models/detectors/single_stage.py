@@ -549,7 +549,7 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         common.pop("nms_pre")
         return yolo_get_bboxes(head, outputs, nms_pre=tc.get("nms_pre", 1000),
-                               **common)
+                               conf_thr=tc.get("conf_thr", 0.005), **common)
     if type(head).__name__ == "CenterNetHead":
         from dsl_tpu.models.dense_heads.centernet_head import \
             centernet_get_bboxes

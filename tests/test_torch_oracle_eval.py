@@ -271,3 +271,19 @@ def test_average_precision_matches_reference(ref_mod):
             average_precision(rec, prec, mode),
             ref_mod.average_precision(rec, prec, mode),
             rtol=1e-6, atol=1e-8, err_msg=mode)
+
+
+@pytest.mark.parametrize("seed", [0, 6])
+def test_eval_map_imagenet_matches_reference(ref_mod, seed):
+    """dataset='det' -> tpfp_imagenet (adaptive per-gt IoU thr, gt-1
+    offset, best-uncovered-gt matching)."""
+    from dsl_tpu.core.eval.mean_ap import eval_map, tpfp_imagenet
+
+    dets, anns = _random_eval_case(seed)
+    ref_map, ref_res = ref_mod.eval_map(dets, anns, iou_thr=0.5,
+                                        dataset="det", nproc=1)
+    our_map, our_res = eval_map(dets, anns, iou_thr=0.5, dataset="det")
+    np.testing.assert_allclose(our_map, ref_map, rtol=1e-6, atol=1e-9)
+    for c, (r, o) in enumerate(zip(ref_res, our_res)):
+        np.testing.assert_allclose(o["ap"], r["ap"], rtol=1e-6, atol=1e-9,
+                                   err_msg=f"class {c}")

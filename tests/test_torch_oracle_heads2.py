@@ -1089,3 +1089,48 @@ def test_yolof_loss_matches_reference(ref_mod):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+def test_paa_score_voting_matches_reference(ref_mod):
+    """PAA score voting (``paa_head.py:608-674``): each post-NMS box becomes
+    the exp(-(1-iou)^2/0.025)*score weighted mean of same-class candidates
+    with IoU > 0.01. The reference re-groups outputs by class; we keep det
+    order — compare as (label, score)-sorted sets."""
+    import types as _types
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.paa_head import paa_score_voting
+
+    rng = np.random.RandomState(21)
+    c, p, d = 3, 40, 8
+    x1 = rng.uniform(0, 60, p)
+    y1 = rng.uniform(0, 60, p)
+    mlvl_boxes = np.stack([x1, y1, x1 + rng.uniform(5, 30, p),
+                           y1 + rng.uniform(5, 30, p)], 1).astype(np.float32)
+    mlvl_scores = rng.rand(p, c).astype(np.float32)
+    det_idx = rng.choice(p, d, replace=False)
+    det_scores = rng.rand(d).astype(np.float32)
+    det_bboxes = np.concatenate(
+        [mlvl_boxes[det_idx], det_scores[:, None]], 1)
+    det_labels = rng.randint(0, c, d).astype(np.int64)
+
+    ref_self = _types.SimpleNamespace(cls_out_channels=c)
+    ref_b, ref_l = ref_mod.PAAHead.score_voting(
+        ref_self, torch.from_numpy(det_bboxes),
+        torch.from_numpy(det_labels), torch.from_numpy(mlvl_boxes),
+        torch.from_numpy(mlvl_scores), 0.1)
+
+    voted = np.asarray(paa_score_voting(
+        jnp.asarray(det_bboxes), jnp.asarray(det_labels),
+        jnp.ones(d, bool), jnp.asarray(mlvl_boxes),
+        jnp.asarray(mlvl_scores), 0.1))
+    ours = np.concatenate([voted, det_bboxes[:, 4:5]], 1)
+
+    def _key(arr, labels):
+        order = np.lexsort((arr[:, 4], labels))
+        return arr[order], labels[order]
+
+    ro, rl = _key(ref_b.numpy(), ref_l.numpy())
+    oo, ol = _key(ours, det_labels)
+    np.testing.assert_array_equal(ol, rl)
+    np.testing.assert_allclose(oo, ro, rtol=1e-4, atol=1e-4)

@@ -197,6 +197,13 @@ def _load_reference_masks():
     # ---- mmcv stubs -------------------------------------------------------
     mmcv = _stub("mmcv")
     mmcv.jit = lambda **kw: (lambda f: f)
+    # geometric image ops (BitmapMasks.shear/rotate/translate): shared with
+    # our pipeline so the structures.py-level logic is what's compared
+    from dsl_tpu.data.pipelines import geometric as _G
+
+    mmcv.imshear = _G.imshear
+    mmcv.imtranslate = _G.imtranslate
+    mmcv.imrotate = _G.imrotate
     mmcv_cnn = _stub("mmcv.cnn")
     mmcv_cnn.Conv2d = nn.Conv2d
     mmcv_cnn.Linear = nn.Linear
