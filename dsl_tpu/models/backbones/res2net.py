@@ -115,6 +115,10 @@ class Res2Net(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.style != "pytorch":
+            raise NotImplementedError(
+                "Res2Net: only style='pytorch' (the reference's res2net "
+                f"configs all use it), got {self.style!r}")
         stage_blocks = ARCH[self.depth]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     kernel_init=nn.initializers.he_normal(), name="conv1")(x)

@@ -100,7 +100,8 @@ class CornerHead(nn.Module):
     push_weight: float = 0.25
     offset_weight: float = 1.0
     norm_cfg: dict | None = None
-    # accepted for config parity
+    # consumed by corner_loss (gaussian-focal alpha/gamma, AE pull/push,
+    # offset loss weights)
     loss_heatmap: dict | None = None
     loss_embedding: dict | None = None
     loss_offset: dict | None = None

@@ -97,8 +97,13 @@ class LabelStore:
         """Threshold + (optionally) fuse with previous labels via per-class
         NMS, then overwrite the file."""
         keep = det_scores >= infer_score_thre
-        boxes = np.asarray(det_boxes, np.float32)[keep].reshape(-1, 4)
-        scores = np.asarray(det_scores, np.float32)[keep]
+        # reference parse_det_results (unlabel_pred_hook.py:25-36): new
+        # detection boxes are INT-TRUNCATED before storage/fusion, and
+        # scores rounded to 6 decimals
+        boxes = np.trunc(
+            np.asarray(det_boxes, np.float32)[keep].reshape(-1, 4))
+        scores = np.round(np.asarray(det_scores, np.float32)[keep]
+                          .astype(np.float64), 6).astype(np.float32)
         cids = np.asarray(det_cids, np.int64)[keep]
 
         if fuse and not first_ignore and osp.exists(self.path(image_name)):
