@@ -201,3 +201,57 @@ def test_label_refresh_matches_reference(ref_mod, fuse, first_ignore,
     assert our_out["tags"] == ref_out["tags"]
     np.testing.assert_allclose(our_out["scores"], ref_out["scores"],
                                rtol=0, atol=2e-6)
+
+
+def test_adathres_matches_reference(ref_mod, tmp_path):
+    """``adathres`` (unlabel_pred_hook.py:295-367) vs our
+    ``compute_adathres``: two rounds — fresh (0.3 score gate) then gated by
+    the previous round's per-class thresholds; weights (mean-count /
+    score-sum)^gamma2, thresholds clip((score-sum / mean-count)^gamma1 *
+    base, ranges); new-in-round-2 classes always counted."""
+    from dsl_tpu.train.label_store import LabelStore, compute_adathres
+
+    rng = np.random.RandomState(3)
+    ref_dir = tmp_path / "ref_annos"
+    ref_dir.mkdir()
+    our_root = tmp_path / "our_annos"
+    store = LabelStore(str(our_root), ID2CAT, CAT2ID)
+    names = []
+    for i in range(6):
+        name = f"img{i}.jpg"
+        n = rng.randint(0, 5)
+        tags = [CLASSES[rng.randint(3)] for _ in range(n)]
+        if i == 5:
+            tags = ["cat"] * n   # a class that may be new in round 2
+        scores = rng.uniform(0.1, 0.9, n).round(4).tolist()
+        rects = rng.uniform(0, 50, (n, 4)).round(0).tolist()
+        data = dict(imageName="full/" + name, targetNum=n, rects=rects,
+                    tags=tags, masks=[[] for _ in range(n)], scores=scores)
+        with open(ref_dir / (name + ".json"), "w") as f:
+            json.dump(data, f)
+        with open(our_root / (name + ".json"), "w") as f:
+            json.dump(data, f)
+        names.append(name)
+
+    ref_file = str(tmp_path / "ref_adathres.json")
+    our_file = str(tmp_path / "our_adathres.json")
+    input_list = ["root/full/" + n for n in names]
+    for round_i in range(2):
+        ref_mod.adathres(0, True, ref_file, ID2CAT, CAT2ID, input_list,
+                         str(ref_dir),
+                         dict(ranges=[0.3, 0.35], gamma1=0.05, gamma2=0.6,
+                              base=0.3))
+        compute_adathres(store, names, our_file, ranges=(0.3, 0.35),
+                         gamma1=0.05, gamma2=0.6, base=0.3)
+        with open(ref_file) as f:
+            ref_out = json.load(f)
+        with open(our_file) as f:
+            our_out = json.load(f)
+        for key in ("cat", "thres"):
+            assert set(our_out[key]) == set(ref_out[key]), (round_i, key)
+            for t in ref_out[key]:
+                np.testing.assert_allclose(
+                    our_out[key][t], ref_out[key][t], rtol=1e-9,
+                    err_msg=f"round {round_i} {key} {t}")
+        assert {int(k) for k in our_out["id"]} == \
+            {int(k) for k in ref_out["id"]}
