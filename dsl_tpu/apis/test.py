@@ -147,6 +147,112 @@ def single_device_test(detector, variables, dataset, test_cfg=None,
     return metrics
 
 
+def _multiclass_nms_np(boxes, scores, factors, score_thr, iou_threshold,
+                       max_per_img):
+    """Host multiclass NMS with mmdet ``multiclass_nms`` semantics
+    (bbox_nms.py:7-96): candidates = raw score > thr; factors multiply
+    AFTER thresholding; class-offset greedy NMS; top max_per_img.
+
+    boxes (P, 4); scores (P, C); factors (P,) or None."""
+    from dsl_tpu.train.label_store import numpy_nms
+
+    p, c = scores.shape
+    cand = scores > score_thr
+    ranked = scores * factors[:, None] if factors is not None else scores
+    pi, ci = np.nonzero(cand)
+    if len(pi) == 0:
+        return (np.zeros((0, 5), np.float32), np.zeros((0,), np.int64))
+    bx = boxes[pi]
+    sc = ranked[pi, ci].astype(np.float32)
+    off = (bx.max() + 1.0) * ci[:, None].astype(np.float32)
+    keep = numpy_nms(bx + off, sc, iou_threshold)
+    keep = keep[:max_per_img]
+    dets = np.concatenate([bx[keep], sc[keep, None]], axis=1)
+    return dets, ci[keep].astype(np.int64)
+
+
+def tta_test_dense(detector, variables, dataset, test_cfg=None,
+                   img_scales=((1333, 800),), flip: bool = True,
+                   canvas_hw=DEFAULT_CANVAS, batch_size: int = 8,
+                   img_norm=None, evaluate: bool = True):
+    """Reference-EXACT dense-head TTA (``dense_test_mixins.aug_test_bboxes``
+    + ``merge_aug_bboxes``): each aug contributes its RAW nms_pre candidates
+    (``get_bboxes(..., with_nms=False)``) mapped back to original coords;
+    all candidates are concatenated and a SINGLE multiclass NMS with the
+    merged centerness factors produces the final detections — unlike
+    :func:`tta_test`, which NMSes per aug first (a cheaper approximation).
+
+    FCOS-family heads (with_nms=False support)."""
+    import jax as _jax
+
+    from dsl_tpu.models.dense_heads.fcos_head import fcos_get_bboxes
+    from dsl_tpu.data.formatting import select_canvas
+    from dsl_tpu.utils.precision import outputs_to_f32
+
+    head = detector.bbox_head
+    assert type(head).__name__ in ("FCOSHead", "NASFCOSHead"), \
+        "tta_test_dense: FCOS-family heads only"
+    tc = dict(test_cfg or detector.test_cfg or {})
+    nms_cfg = dict(tc.get("nms", {}) or {})
+    score_thr = tc.get("score_thr", 0.05)
+    iou_threshold = nms_cfg.get("iou_threshold", 0.6)
+    max_per_img = tc.get("max_per_img", 100)
+    nms_pre = tc.get("nms_pre", 1000)
+
+    @_jax.jit
+    def raw(variables, images, shapes):
+        outputs = outputs_to_f32(
+            detector.apply(variables, images, training=False))
+        cls, reg, cent = outputs
+        return fcos_get_bboxes(head, cls, reg, cent, img_shapes=shapes,
+                               scale_factors=None, nms_pre=nms_pre,
+                               with_nms=False)
+
+    n = len(dataset)
+    cand = [[] for _ in range(n)]        # per image: (boxes, scores, cent)
+    for scale in img_scales:
+        for flipped in ((False, True) if flip else (False,)):
+            for start in range(0, n, batch_size):
+                idxs = list(range(start, min(start + batch_size, n)))
+                preps = [_resize_test_image(dataset, i, scale, flip=flipped)
+                         for i in idxs]
+                canvas = select_canvas([p[0].shape[:2] for p in preps],
+                                       canvas_hw)
+                imgs = np.stack([normalize_pad(p[0], canvas, img_norm)
+                                 for p in preps])
+                shapes = np.stack([p[1] for p in preps])
+                b = len(idxs)
+                if b < batch_size:
+                    pad = batch_size - b
+                    imgs = np.concatenate(
+                        [imgs, np.zeros_like(imgs[:1]).repeat(pad, 0)])
+                    shapes = np.concatenate(
+                        [shapes, shapes[:1].repeat(pad, 0)])
+                boxes, scores, cent = (np.asarray(o) for o in raw(
+                    variables, jnp.asarray(imgs), jnp.asarray(shapes)))
+                for bi in range(b):
+                    bx = boxes[bi].copy()
+                    if flipped:
+                        # bbox_mapping_back: flip in the INPUT frame first
+                        iw = preps[bi][1][1]
+                        x1 = iw - bx[:, 2]
+                        x2 = iw - bx[:, 0]
+                        bx[:, 0], bx[:, 2] = x1, x2
+                    bx /= preps[bi][2]        # then rescale to original
+                    cand[idxs[bi]].append((bx, scores[bi], cent[bi]))
+
+    merged = []
+    for i in range(n):
+        bx = np.concatenate([c[0] for c in cand[i]])
+        sc = np.concatenate([c[1] for c in cand[i]])
+        ct = np.concatenate([c[2] for c in cand[i]])
+        merged.append(_multiclass_nms_np(bx, sc, ct, score_thr,
+                                         iou_threshold, max_per_img))
+    if not evaluate:
+        return merged
+    return dataset.evaluate(merged, metric="bbox", verbose=False)
+
+
 def merge_aug_detections(per_aug, iou_threshold: float = 0.5,
                          max_per_img: int = 100):
     """Merge one image's detections across TTA augmentations (reference

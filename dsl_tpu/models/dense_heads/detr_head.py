@@ -163,7 +163,7 @@ def detr_loss(head: DETRHead, outputs, batch, axis_name=None):
 
 
 def detr_get_bboxes(head: DETRHead, outputs, img_shapes=None,
-                    scale_factors=None, score_thr=0.05, max_per_img=100,
+                    scale_factors=None, score_thr=0.0, max_per_img=100,
                     **unused):
     """Last-layer softmax scores (background dropped), boxes denormalized;
     DETR has no NMS — top max_per_img by score."""

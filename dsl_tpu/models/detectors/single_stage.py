@@ -583,6 +583,9 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
         common.pop("nms_pre", None)
         common.pop("iou_threshold", None)
+        # the reference DETR keeps ALL top max_per_img queries (no score
+        # threshold in its test_cfg) — don't impose the generic 0.05
+        common["score_thr"] = tc.get("score_thr", 0.0)
         return detr_get_bboxes(head, outputs, **common)
     if type(head).__name__ == "FoveaHead":
         from dsl_tpu.models.dense_heads.fovea_head import fovea_get_bboxes

@@ -136,3 +136,65 @@ def test_tta_masks_end_to_end(tmp_path):
         for mask in masks:
             assert mask.shape == (60, 80)
             assert mask.dtype == bool or mask.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_tta_test_dense_exact_merge(tmp_path):
+    """Reference-exact dense TTA (raw-candidate merge then ONE multiclass
+    NMS): single-aug output must equal the plain predict path, multi-aug
+    merges stay in original coords."""
+    from dsl_tpu.apis.test import single_device_test, tta_test_dense
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for name in ("a.jpg", "b.jpg"):
+        cv2.imwrite(str(img_dir / name),
+                    rng.randint(0, 255, (60, 80, 3), np.uint8))
+    ann = dict(
+        images=[dict(id=1, file_name="a.jpg", width=80, height=60),
+                dict(id=2, file_name="b.jpg", width=80, height=60)],
+        categories=[dict(id=1, name="cat"), dict(id=2, name="dog")],
+        annotations=[
+            dict(id=1, image_id=1, category_id=1, bbox=[10, 10, 30, 30],
+                 area=900, iscrowd=0)])
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    ds = CocoDataset(ann_file=str(tmp_path / "ann.json"),
+                     img_prefix=str(img_dir), pipeline=[], test_mode=True)
+
+    det = build_detector(dict(
+        type="FCOS",
+        backbone=dict(type="ResNet", depth=18, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=[128, 256, 512], out_channels=32,
+                  start_level=0, num_outs=5),
+        bbox_head=dict(type="FCOSHead", num_classes=2, in_channels=32,
+                       feat_channels=32, stacked_convs=1),
+        test_cfg=dict(score_thr=0.01, nms=dict(iou_threshold=0.5),
+                      max_per_img=10)))
+    variables = init_detector_variables(
+        det, jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    # single aug: the merged-candidate path == the plain predict path
+    dense = tta_test_dense(det, variables, ds, img_scales=((96, 64),),
+                           flip=False, canvas_hw=(96, 96), batch_size=2,
+                           evaluate=False)
+    plain = single_device_test(det, variables, ds, canvas_hw=(96, 96),
+                               batch_size=2, img_scale=(96, 64),
+                               evaluate=False, boxes_only=True)
+    for (dd, dl), (pd, pl) in zip(dense, plain):
+        assert len(dd) == len(pd)
+        od = np.argsort(-dd[:, 4], kind="mergesort")
+        op = np.argsort(-pd[:, 4], kind="mergesort")
+        np.testing.assert_allclose(dd[od], pd[op], rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(dl[od], pl[op])
+
+    # multi-aug: merged dets stay in original coords, capped at max_per_img
+    merged = tta_test_dense(det, variables, ds,
+                            img_scales=((96, 64), (64, 48)), flip=True,
+                            canvas_hw=(96, 96), batch_size=2,
+                            evaluate=False)
+    for dets, labels in merged:
+        assert len(dets) <= 10 and len(dets) == len(labels)
+        if len(dets):
+            assert dets[:, [0, 2]].max() <= 80 + 1e-3
+            assert dets[:, [1, 3]].max() <= 60 + 1e-3
