@@ -39,6 +39,7 @@ class BasicBlock(nn.Module):
     style: str = "pytorch"
     norm_cfg: dict | None = None
     conv_cfg: dict | None = None
+    avg_down: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -52,9 +53,15 @@ class BasicBlock(nn.Module):
                       conv_cfg=self.conv_cfg)(out)
         out = make_norm(self.norm_cfg, name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
-            identity = conv1x1(self.planes, self.stride,
+            ds_stride = self.stride
+            if self.avg_down and self.stride != 1:
+                # V1d: avg-pool carries the stride, 1x1 conv at stride 1
+                identity = nn.avg_pool(identity, (self.stride, self.stride),
+                                       strides=(self.stride, self.stride))
+                ds_stride = 1
+            identity = conv1x1(self.planes, ds_stride,
                                name="downsample_conv",
-                               conv_cfg=self.conv_cfg)(x)
+                               conv_cfg=self.conv_cfg)(identity)
             identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -70,6 +77,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     expansion: int = 4
     conv_cfg: dict | None = None
+    avg_down: bool = False
     dcn: dict | None = None      # dict(type='DCN'|'DCNv2') on conv2
     plugins: tuple = ()          # ((position, cfg), ...) e.g. ContextBlock
 
@@ -121,8 +129,15 @@ class Bottleneck(nn.Module):
         out = make_norm(self.norm_cfg, name="bn3")(out)
         out = self._run_plugins(out, "after_conv3")
         if self.stride != 1 or x.shape[-1] != out_ch:
-            identity = conv1x1(out_ch, self.stride, name="downsample_conv",
-                               conv_cfg=self.conv_cfg)(x)
+            identity = x
+            ds_stride = self.stride
+            if self.avg_down and self.stride != 1:
+                # V1d: avg-pool carries the stride, 1x1 conv at stride 1
+                identity = nn.avg_pool(identity, (self.stride, self.stride),
+                                       strides=(self.stride, self.stride))
+                ds_stride = 1
+            identity = conv1x1(out_ch, ds_stride, name="downsample_conv",
+                               conv_cfg=self.conv_cfg)(identity)
             identity = make_norm(self.norm_cfg, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -174,6 +189,8 @@ class ResNet(nn.Module):
     dcn: dict | None = None
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
     plugins: Sequence[dict] | None = None   # mmdet backbone plugins
+    deep_stem: bool = False     # V1d: 3x 3x3 stem convs instead of the 7x7
+    avg_down: bool = False      # V1d: avg-pool downsample shortcuts
 
     @nn.compact
     def __call__(self, x):
@@ -181,10 +198,19 @@ class ResNet(nn.Module):
         block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
 
         from dsl_tpu.models.layers import make_conv
-        x = make_conv(self.conv_cfg, self.stem_channels, 7, stride=2,
-                      name="conv1")(x)
-        x = make_norm(self.norm_cfg, name="bn1")(x)
-        x = nn.relu(x)
+        if self.deep_stem:
+            # reference resnet.py _make_stem_layer deep_stem branch
+            for i, (ch, s) in enumerate([(self.stem_channels // 2, 2),
+                                         (self.stem_channels // 2, 1),
+                                         (self.stem_channels, 1)]):
+                x = make_conv(self.conv_cfg, ch, 3, stride=s,
+                              name=f"stem_conv{i}")(x)
+                x = nn.relu(make_norm(self.norm_cfg, name=f"stem_bn{i}")(x))
+        else:
+            x = make_conv(self.conv_cfg, self.stem_channels, 7, stride=2,
+                          name="conv1")(x)
+            x = make_norm(self.norm_cfg, name="bn1")(x)
+            x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
         outs = []
@@ -208,10 +234,20 @@ class ResNet(nn.Module):
                     style=self.style,
                     norm_cfg=self.norm_cfg,
                     conv_cfg=self.conv_cfg,
+                    avg_down=self.avg_down,
                     name=f"layer{i + 1}_{j}", **kwargs)(x)
             if i in self.out_indices:
                 outs.append(x)
         return tuple(outs)
+
+
+@BACKBONES.register(name="ResNetV1d")
+class ResNetV1d(ResNet):
+    """ResNet-V1d (``mmdet/models/backbones/resnet.py ResNetV1d``): deep
+    3x3 stem + avg-pool downsample shortcuts."""
+
+    deep_stem: bool = True
+    avg_down: bool = True
 
 
 @BACKBONES.register(name="ResNeXt")

@@ -49,6 +49,13 @@ class FCOS(SingleStageDetector):
     (``mmdet/models/detectors/fcos.py``)."""
 
 
+@DETECTORS.register(name="NASFCOS")
+class NASFCOS(FCOS):
+    """NAS-FCOS (``mmdet/models/detectors/nasfcos.py``): FCOS with the
+    searched NASFCOS_FPN neck / NASFCOSHead — reference configs use
+    ``type='NASFCOS'``."""
+
+
 @DETECTORS.register
 class RetinaNet(SingleStageDetector):
     """RetinaNet = SingleStageDetector with a RetinaHead

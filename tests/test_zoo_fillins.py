@@ -261,3 +261,21 @@ def test_retina_ghm_momentum_state_threading():
     np.testing.assert_allclose(
         np.asarray(out2["state_ghm_acc_sum"])[np.asarray(acc1) > 0],
         1.75 * np.asarray(acc1)[np.asarray(acc1) > 0], rtol=1e-5)
+
+
+def test_resnetv1d_and_reference_type_names():
+    """ResNetV1d (deep 3x3 stem + avg-down shortcuts) and the reference
+    config type names NASFCOS / HybridTaskCascade resolve."""
+    import jax
+    import jax.numpy as jnp
+
+    import dsl_tpu.models  # noqa: F401 — populate the registries
+    from dsl_tpu.registry import BACKBONES, DETECTORS
+
+    assert DETECTORS.get("NASFCOS") is not None
+    bk = BACKBONES.get("ResNetV1d")(depth=50, out_indices=(1, 2, 3))
+    v = bk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    assert "stem_conv0" in v["params"] and "conv1" not in v["params"]
+    # avg-down shortcut: downsample conv is stride-1 (1x1) after avg pool
+    outs = bk.apply(v, jnp.ones((1, 64, 64, 3)))
+    assert [o.shape[-1] for o in outs] == [512, 1024, 2048]
