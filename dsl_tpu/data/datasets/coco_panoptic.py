@@ -85,10 +85,23 @@ class CocoPanopticDataset(CocoDataset):
             masks.append(m.astype(np.uint8))
         bboxes = (np.asarray(bboxes, np.float32) if bboxes
                   else np.zeros((0, 4), np.float32))
+        # semantic-map info for LoadPanopticAnnotations: contiguous labels,
+        # things first then stuff (mmdet panoptic convention), 255 void
+        stuff2label = {cid: len(self.cat_ids) + i
+                       for i, cid in enumerate(self.stuff_ids)}
+        segid2label = {}
+        for seg in segments:
+            cid = seg["category_id"]
+            if cid in self.cat2label:
+                segid2label[seg["id"]] = self.cat2label[cid]
+            elif cid in stuff2label:
+                segid2label[seg["id"]] = stuff2label[cid]
         return dict(bboxes=bboxes,
                     labels=np.asarray(labels, np.int64),
                     bboxes_ignore=np.zeros((0, 4), np.float32),
-                    masks=masks)
+                    masks=masks,
+                    seg_id_map=seg_id_map,
+                    segid2label=segid2label)
 
     def evaluate(self, results, metric="PQ", verbose: bool = False,
                  **kwargs):

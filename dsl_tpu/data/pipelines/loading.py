@@ -131,3 +131,97 @@ class LoadAnnotations:
         if self.poly2mask or not polys or len(bitmaps) != len(polys):
             return BitmapMasks(bitmaps, h, w)
         return PolygonMasks(polys, h, w)
+
+
+@PIPELINES.register
+class LoadProposals:
+    """Load precomputed proposals (reference ``loading.py:495-538``):
+    validates (n, 4|5), strips scores, caps at ``num_max_proposals``,
+    registers 'proposals' as a bbox field. Used by the fast_rcnn /
+    ga_fast / crpn_fast configs."""
+
+    def __init__(self, num_max_proposals=None):
+        self.num_max_proposals = num_max_proposals
+
+    def __call__(self, results):
+        proposals = np.asarray(results["proposals"], np.float32)
+        if proposals.ndim != 2 or proposals.shape[1] not in (4, 5):
+            raise AssertionError(
+                "proposals should have shapes (n, 4) or (n, 5), "
+                f"but found {proposals.shape}")
+        proposals = proposals[:, :4]
+        if self.num_max_proposals is not None:
+            proposals = proposals[:self.num_max_proposals]
+        if len(proposals) == 0:
+            proposals = np.asarray([[0, 0, 0, 0]], np.float32)
+        results["proposals"] = proposals
+        results.setdefault("bbox_fields", []).append("proposals")
+        return results
+
+
+@PIPELINES.register
+class LoadMultiChannelImageFromFiles:
+    """Load and stack a list of image files as one multi-channel image
+    (reference ``loading.py``): ``filename`` is a list of paths."""
+
+    def __init__(self, to_float32=False, color_type="unchanged", **kw):
+        self.to_float32 = to_float32
+        self.color_type = color_type
+
+    def __call__(self, results):
+        prefix = results.get("img_prefix")
+        names = results["img_info"]["filename"]
+        flag = (cv2.IMREAD_UNCHANGED if self.color_type == "unchanged"
+                else cv2.IMREAD_COLOR)
+        imgs = []
+        for name in names:
+            path = osp.join(prefix, name) if prefix else name
+            im = cv2.imread(path, flag)
+            if im is None:
+                raise FileNotFoundError(path)
+            imgs.append(im)
+        img = np.stack(imgs, axis=-1)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results["filename"] = names
+        results["ori_filename"] = results["img_info"]["filename"]
+        results["img"] = img
+        results["img_shape"] = img.shape
+        results["ori_shape"] = img.shape
+        results.setdefault("img_fields", []).append("img")
+        return results
+
+
+@PIPELINES.register
+class LoadPanopticAnnotations(LoadAnnotations):
+    """Panoptic annotations (reference ``loading.py:393-492``): instance
+    masks for things (from the dataset's panoptic id map, already decoded
+    into ``ann_info['masks']`` as binary ndarrays) plus a semantic map over
+    things+stuff (contiguous labels, things first, 255 void) when the
+    dataset supplies ``ann_info['seg_id_map']``/``segments``/label maps."""
+
+    def __init__(self, with_bbox=True, with_label=True, with_mask=True,
+                 with_seg=True, **kw):
+        super().__init__(with_bbox=with_bbox, with_label=with_label,
+                         with_mask=with_mask, with_seg=with_seg, **kw)
+
+    def _load_masks(self, results, ann):
+        from dsl_tpu.core.masks import BitmapMasks
+
+        h = results["img_info"]["height"]
+        w = results["img_info"]["width"]
+        raw = ann.get("masks", [])
+        if raw and isinstance(raw[0], np.ndarray):
+            return BitmapMasks([m.astype(np.uint8) for m in raw], h, w)
+        return super()._load_masks(results, ann)
+
+    def _load_semantic_seg(self, results):
+        ann = results.get("ann_info", {})
+        seg_map = ann.get("seg_id_map")
+        if seg_map is None:
+            return super()._load_semantic_seg(results)
+        sem = np.full(seg_map.shape, 255, np.uint8)
+        seg2label = ann.get("segid2label", {})
+        for sid, label in seg2label.items():
+            sem[seg_map == sid] = label
+        return sem

@@ -397,3 +397,78 @@ class Collect:
                           "img_shape", "pad_shape", "scale_factor",
                           "scale_idx", "flip", "flip_direction")}
         return data
+
+
+@PIPELINES.register
+class ToTensor:
+    """Array-ify the given keys (reference ``formating.py ToTensor`` —
+    device arrays are produced at batch build time here, so this is a
+    contiguous-ndarray conversion)."""
+
+    def __init__(self, keys):
+        self.keys = keys
+
+    def __call__(self, results):
+        for k in self.keys:
+            results[k] = np.ascontiguousarray(results[k])
+        return results
+
+
+@PIPELINES.register
+class Transpose:
+    """(reference ``formating.py Transpose``)."""
+
+    def __init__(self, keys, order):
+        self.keys = keys
+        self.order = order
+
+    def __call__(self, results):
+        for k in self.keys:
+            results[k] = np.transpose(results[k], self.order)
+        return results
+
+
+@PIPELINES.register
+class ToDataContainer:
+    """(reference ``formating.py ToDataContainer``) — DataContainer has no
+    TPU analog (batches are fixed-shape arrays); the fields pass through
+    unchanged so reference configs keep building."""
+
+    def __init__(self, fields=(dict(key="img", stack=True),
+                               dict(key="gt_bboxes"),
+                               dict(key="gt_labels"))):
+        self.fields = fields
+
+    def __call__(self, results):
+        return results
+
+
+@PIPELINES.register
+class WrapFieldsToLists:
+    """(reference ``formating.py WrapFieldsToLists``): single-image
+    inference convenience — every field becomes a one-element list."""
+
+    def __call__(self, results):
+        return {k: [v] for k, v in results.items()}
+
+
+@PIPELINES.register
+class FilterAnnotations:
+    """Drop gt boxes smaller than ``min_gt_bbox_wh`` (reference
+    ``loading.py:540-565``); returns None when nothing survives (the
+    dataset retries another sample)."""
+
+    def __init__(self, min_gt_bbox_wh):
+        self.min_gt_bbox_wh = tuple(min_gt_bbox_wh)
+
+    def __call__(self, results):
+        gt = results["gt_bboxes"]
+        w = gt[:, 2] - gt[:, 0]
+        h = gt[:, 3] - gt[:, 1]
+        keep = (w > self.min_gt_bbox_wh[0]) & (h > self.min_gt_bbox_wh[1])
+        if not keep.any():
+            return None
+        for key in ("gt_bboxes", "gt_labels", "gt_masks", "gt_semantic_seg"):
+            if key in results:
+                results[key] = results[key][keep]
+        return results

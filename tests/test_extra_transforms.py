@@ -119,3 +119,36 @@ def test_class_balanced_oversamples_rare():
     assert len(cb) > len(ds)
     # image 0 (rare class) repeated more than the common ones
     assert cb.indices.count(0) >= cb.indices.count(1)
+
+
+def test_reference_pipeline_surface_fillins():
+    """LoadProposals / FilterAnnotations / ToTensor / Transpose /
+    ToDataContainer / WrapFieldsToLists resolve by reference config names
+    and follow reference semantics."""
+    import numpy as np
+
+    from dsl_tpu.data.pipelines.compose import Compose
+
+    props = np.asarray([[1, 2, 3, 4, 0.9], [5, 6, 7, 8, 0.1]], np.float32)
+    p = Compose([dict(type="LoadProposals", num_max_proposals=1)])
+    out = p(dict(proposals=props))
+    assert out["proposals"].shape == (1, 4)
+    assert "proposals" in out["bbox_fields"]
+
+    f = Compose([dict(type="FilterAnnotations", min_gt_bbox_wh=(4, 4))])
+    res = f(dict(gt_bboxes=np.asarray([[0, 0, 2, 2], [0, 0, 10, 10]],
+                                      np.float32),
+                 gt_labels=np.asarray([1, 2])))
+    assert len(res["gt_bboxes"]) == 1 and res["gt_labels"].tolist() == [2]
+    assert f(dict(gt_bboxes=np.asarray([[0., 0., 1., 1.]], np.float32),
+                  gt_labels=np.asarray([1]))) is None
+
+    t = Compose([dict(type="ToTensor", keys=["img"]),
+                 dict(type="Transpose", keys=["img"], order=(2, 0, 1)),
+                 dict(type="ToDataContainer")])
+    out = t(dict(img=np.zeros((4, 6, 3), np.float32)))
+    assert out["img"].shape == (3, 4, 6)
+
+    w = Compose([dict(type="WrapFieldsToLists")])
+    out = w(dict(a=1, b="x"))
+    assert out == dict(a=[1], b=["x"])

@@ -94,3 +94,44 @@ def test_coco_panoptic_dataset(tmp_path):
               dict(id=99, category_id=1)])]
     m2 = ds.evaluate(res2)
     assert m2["PQ"] < 1.0
+
+
+def test_load_panoptic_annotations_transform(tmp_path):
+    """LoadPanopticAnnotations: thing masks as BitmapMasks + the
+    things-first/stuff-after contiguous semantic map (255 void)."""
+    cv2 = pytest.importorskip("cv2")
+    from dsl_tpu.data.datasets.coco_panoptic import CocoPanopticDataset
+    from dsl_tpu.data.pipelines.compose import Compose
+
+    h = w = 32
+    idmap = np.zeros((h, w), np.uint32)
+    idmap[:, :16] = 1
+    idmap[:, 16:] = 2
+    png = np.stack([idmap % 256, idmap // 256, idmap // 65536],
+                   axis=-1).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "img1.png"), png[:, :, ::-1])
+    cv2.imwrite(str(tmp_path / "img1.jpg"),
+                np.zeros((h, w, 3), np.uint8))
+    ann = dict(
+        images=[dict(id=1, width=w, height=h, file_name="img1.jpg")],
+        annotations=[dict(image_id=1, file_name="img1.png",
+                          segments_info=[
+                              dict(id=1, category_id=1, iscrowd=0, area=512),
+                              dict(id=2, category_id=2, iscrowd=0, area=512),
+                          ])],
+        categories=[dict(id=1, name="thing", isthing=1),
+                    dict(id=2, name="stuff", isthing=0)])
+    ann_path = tmp_path / "pan.json"
+    ann_path.write_text(json.dumps(ann))
+    ds = CocoPanopticDataset(str(ann_path), pipeline=[],
+                             seg_prefix=str(tmp_path),
+                             img_prefix=str(tmp_path), test_mode=True)
+    pipe = Compose([dict(type="LoadImageFromFile"),
+                    dict(type="LoadPanopticAnnotations")])
+    results = pipe(dict(img_info=ds.data_infos[0],
+                        ann_info=ds.get_ann_info(0),
+                        img_prefix=str(tmp_path), seg_prefix=None))
+    assert len(results["gt_masks"]) == 1
+    sem = results["gt_semantic_seg"]
+    assert (sem[:, :16] == 0).all()      # thing -> label 0
+    assert (sem[:, 16:] == 1).all()      # stuff -> after things
