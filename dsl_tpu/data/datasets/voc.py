@@ -105,7 +105,9 @@ class XMLDataset(CustomDataset):
     def evaluate(self, results, metric="mAP", iou_thr=0.5,
                  verbose: bool = False):
         """``results``: per image (dets (N, 5), labels (N,)) tuples or
-        per-class lists. Returns AP50/mAP dict (VOC protocol)."""
+        per-class lists. Returns AP50/mAP dict (VOC protocol; the VOC2007
+        11-point AP when the img_prefix names VOC2007 — reference
+        ``voc.py:18-66``)."""
         from dsl_tpu.core.eval.mean_ap import eval_map
 
         num_classes = len(self.CLASSES)
@@ -120,8 +122,10 @@ class XMLDataset(CustomDataset):
             else:
                 per_class.append(r)
         annotations = [self.get_ann_info(i) for i in range(len(self))]
+        ds_name = "voc07" if "VOC2007" in (self.img_prefix or "") else None
         mean_ap, cls_results = eval_map(per_class, annotations,
-                                        iou_thr=iou_thr, verbose=verbose)
+                                        iou_thr=iou_thr, dataset=ds_name,
+                                        verbose=verbose)
         return {"mAP": mean_ap, "AP50": mean_ap if iou_thr == 0.5 else None}
 
 
