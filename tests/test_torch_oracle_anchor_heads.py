@@ -1061,3 +1061,156 @@ def test_fsaf_loss_matches_reference(ref_mod):
         np.testing.assert_allclose(
             ours[k], ref[k], rtol=5e-5, atol=1e-6,
             err_msg=f"{k}: ours={ours[k]} ref={ref[k]}")
+
+
+# ---------------------------------------------------------------------------
+# Predict-path oracles: get_bboxes (decode + nms_pre topk + multiclass NMS)
+# ---------------------------------------------------------------------------
+
+def _ref_predict_nms():
+    """The reference's own multiclass_nms wired to a faithful greedy
+    batched_nms (test_torch_oracle_postproc); also installs the
+    ``mmdet.core.export.get_k_for_topk`` helper the batched
+    ``_get_bboxes`` imports at call time."""
+    import sys as _sys
+    import os.path as _osp
+    import types as _types
+
+    _sys.path.insert(0, _osp.dirname(__file__))
+    from test_torch_oracle_postproc import _load_reference_postproc
+
+    def get_k_for_topk(k, size):
+        # mmdet core/export/onnx_helper.py (eager branch)
+        if k <= 0 or size <= 0:
+            return -1
+        return min(int(k), int(size))
+
+    export_mod = _types.ModuleType("mmdet.core.export")
+    export_mod.get_k_for_topk = get_k_for_topk
+    core_mod = _sys.modules.get("mmdet.core") or _types.ModuleType(
+        "mmdet.core")
+    mmdet_mod = _sys.modules.get("mmdet") or _types.ModuleType("mmdet")
+    core_mod.export = export_mod
+    mmdet_mod.core = core_mod
+    _sys.modules.setdefault("mmdet", mmdet_mod)
+    _sys.modules.setdefault("mmdet.core", core_mod)
+    _sys.modules["mmdet.core.export"] = export_mod
+    return _load_reference_postproc().multiclass_nms
+
+
+def _sorted_dets(dets, labels):
+    order = np.argsort(-dets[:, 4], kind="mergesort")
+    return dets[order], labels[order]
+
+
+def test_retina_get_bboxes_matches_reference(ref_mod):
+    """RetinaHead eval path: per-level sigmoid + nms_pre topk, delta2bbox
+    decode w/ clip, rescale, multiclass NMS (anchor_head.py:492-726)."""
+    rng = np.random.RandomState(8)
+    B = 2
+    cls = [rng.randn(B, NUM_CLASSES * 9, h, w).astype(np.float32)
+           for h, w in SIZES]
+    bbox = [rng.randn(B, 4 * 9, h, w).astype(np.float32) * 0.3
+            for h, w in SIZES]
+
+    head = ref_mod.RetinaHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32,
+        anchor_generator=dict(type="AnchorGenerator",
+                              octave_base_scale=4, scales_per_octave=3,
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[1.0] * 4),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=1.0))
+    type(head).get_bboxes.__globals__["multiclass_nms"] = _ref_predict_nms()
+    sf = np.asarray([1.25, 1.5, 1.25, 1.5], np.float32)
+    metas = [dict(img_shape=(*IMG_HW, 3), scale_factor=sf)
+             for _ in range(B)]
+    cfg = _Cfg(nms_pre=200, min_bbox_size=0, score_thr=0.3,
+               nms=_Cfg(type="nms", iou_threshold=0.5), max_per_img=20)
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.get_bboxes([t(c) for c in cls], [t(b) for b in bbox],
+                              metas, cfg=cfg, rescale=True)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.retina_head import (RetinaHead,
+                                                        retina_get_bboxes)
+
+    our_head = RetinaHead(num_classes=NUM_CLASSES, strides=STRIDES)
+    nhwc = lambda arrs: [jnp.asarray(a.transpose(0, 2, 3, 1)) for a in arrs]
+    dets, labels, valid = retina_get_bboxes(
+        our_head, nhwc(cls), nhwc(bbox),
+        img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B, jnp.float32),
+        scale_factors=jnp.asarray(np.tile(sf, (B, 1))),
+        nms_pre=200, score_thr=0.3, iou_threshold=0.5, max_per_img=20)
+    for bi in range(B):
+        rd, rl = ref[bi]
+        od, ol = _sorted_dets(np.asarray(dets[bi])[np.asarray(valid[bi])],
+                              np.asarray(labels[bi])[np.asarray(valid[bi])])
+        rd2, rl2 = _sorted_dets(rd.numpy(), rl.numpy())
+        assert len(od) == len(rd2), (bi, len(od), len(rd2))
+        np.testing.assert_allclose(od, rd2, rtol=1e-4, atol=1e-3,
+                                   err_msg=f"img {bi}")
+        np.testing.assert_array_equal(ol, rl2)
+
+
+def test_gfl_get_bboxes_matches_reference(ref_mod):
+    """GFL eval path: integral (softmax expectation) distance decode from
+    anchor CENTERS, stride scaling, sigmoid scores, multiclass NMS
+    (gfl_head.py get_bboxes/_get_bboxes)."""
+    rng = np.random.RandomState(9)
+    B = 2
+    REG_MAX = 8
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    dist = [rng.randn(B, 4 * (REG_MAX + 1), h, w).astype(np.float32)
+            for h, w in SIZES]
+
+    head = ref_mod.GFLHead(
+        num_classes=NUM_CLASSES, in_channels=32, stacked_convs=1,
+        feat_channels=32, reg_max=REG_MAX,
+        anchor_generator=dict(type="AnchorGenerator", ratios=[1.0],
+                              octave_base_scale=8, scales_per_octave=1,
+                              strides=list(STRIDES)),
+        loss_cls=dict(type="QualityFocalLoss", use_sigmoid=True, beta=2.0,
+                      loss_weight=1.0),
+        loss_dfl=dict(type="DistributionFocalLoss", loss_weight=0.25),
+        loss_bbox=dict(type="GIoULoss", loss_weight=2.0))
+    nms_impl = _ref_predict_nms()
+    type(head).get_bboxes.__globals__["multiclass_nms"] = nms_impl
+    type(head)._get_bboxes.__globals__["multiclass_nms"] = nms_impl
+    sf = np.asarray([2.0, 2.0, 2.0, 2.0], np.float32)
+    metas = [dict(img_shape=(*IMG_HW, 3), scale_factor=sf)
+             for _ in range(B)]
+    cfg = _Cfg(nms_pre=200, min_bbox_size=0, score_thr=0.25,
+               nms=_Cfg(type="nms", iou_threshold=0.6), max_per_img=15)
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.get_bboxes([t(c) for c in cls], [t(d) for d in dist],
+                              metas, cfg=cfg, rescale=True)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.gfl_head import GFLHead, gfl_get_bboxes
+
+    our_head = GFLHead(num_classes=NUM_CLASSES, strides=STRIDES,
+                       reg_max=REG_MAX)
+    nhwc = lambda arrs: [jnp.asarray(a.transpose(0, 2, 3, 1)) for a in arrs]
+    dets, labels, valid = gfl_get_bboxes(
+        our_head, nhwc(cls), nhwc(dist),
+        img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B, jnp.float32),
+        scale_factors=jnp.asarray(np.tile(sf, (B, 1))),
+        nms_pre=200, score_thr=0.25, iou_threshold=0.6, max_per_img=15)
+    for bi in range(B):
+        rd, rl = ref[bi]
+        od, ol = _sorted_dets(np.asarray(dets[bi])[np.asarray(valid[bi])],
+                              np.asarray(labels[bi])[np.asarray(valid[bi])])
+        rd2, rl2 = _sorted_dets(rd.numpy(), rl.numpy())
+        assert len(od) == len(rd2), (bi, len(od), len(rd2))
+        np.testing.assert_allclose(od, rd2, rtol=1e-4, atol=1e-3,
+                                   err_msg=f"img {bi}")
+        np.testing.assert_array_equal(ol, rl2)

@@ -407,3 +407,89 @@ def test_unsupported_loss_cfg_raises():
             num_classes=4,
             loss_centerness=dict(type="CrossEntropyLoss",
                                  use_sigmoid=False)))
+
+
+def test_fcos_get_bboxes_matches_reference(ref_mod):
+    """FCOS eval path (``fcos_head.py get_bboxes/_get_bboxes``): per-level
+    (score*centerness) nms_pre ranking, distance2bbox decode + clip,
+    rescale, and multiclass NMS with score_thr on RAW scores and
+    centerness as score_factors — executed against the reference's own
+    code (its multiclass_nms wired to a faithful greedy batched_nms)."""
+    import sys as _sys
+    import os.path as _osp
+    import types as _types
+
+    _sys.path.insert(0, _osp.dirname(__file__))
+    from test_torch_oracle_postproc import _load_reference_postproc
+
+    def get_k_for_topk(k, size):
+        if k <= 0 or size <= 0:
+            return -1
+        return min(int(k), int(size))
+
+    export_mod = _types.ModuleType("mmdet.core.export")
+    export_mod.get_k_for_topk = get_k_for_topk
+    _sys.modules["mmdet.core.export"] = export_mod
+    nms_impl = _load_reference_postproc().multiclass_nms
+
+    rng = np.random.RandomState(12)
+    B = 2
+    cls = [rng.randn(B, NUM_CLASSES, h, w).astype(np.float32)
+           for h, w in SIZES]
+    # eval-mode preds: relu'd and stride-scaled distances
+    bbox = [(rng.rand(B, 4, h, w) * 4.0 * s).astype(np.float32)
+            for (h, w), s in zip(SIZES, STRIDES)]
+    cent = [rng.randn(B, 1, h, w).astype(np.float32) for h, w in SIZES]
+
+    head = ref_mod.FCOSHead(
+        num_classes=NUM_CLASSES, in_channels=256, strides=STRIDES,
+        norm_on_bbox=True, centerness_on_reg=True, conv_bias=True,
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type="GIoULoss", loss_weight=1.0),
+        loss_centerness=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                             loss_weight=1.0))
+    type(head).get_bboxes.__globals__["multiclass_nms"] = nms_impl
+    sf = np.asarray([1.25, 1.5, 1.25, 1.5], np.float32)
+    metas = [dict(img_shape=(*IMG_HW, 3), scale_factor=sf)
+             for _ in range(B)]
+
+    class _C(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError as e:
+                raise AttributeError(k) from e
+
+    cfg = _C(nms_pre=100, min_bbox_size=0, score_thr=0.3,
+             nms=_C(type="nms", iou_threshold=0.6), max_per_img=20)
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.get_bboxes([t(c) for c in cls], [t(b) for b in bbox],
+                              [t(c) for c in cent], metas, cfg=cfg,
+                              rescale=True)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.fcos_head import (FCOSHead,
+                                                      fcos_get_bboxes)
+
+    our_head = FCOSHead(num_classes=NUM_CLASSES, strides=STRIDES,
+                        norm_on_bbox=True, centerness_on_reg=True)
+    nhwc = lambda arrs: [jnp.asarray(a.transpose(0, 2, 3, 1)) for a in arrs]
+    dets, labels, valid = fcos_get_bboxes(
+        our_head, nhwc(cls), nhwc(bbox), nhwc(cent),
+        img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B, jnp.float32),
+        scale_factors=jnp.asarray(np.tile(sf, (B, 1))),
+        nms_pre=100, score_thr=0.3, iou_threshold=0.6, max_per_img=20)
+    for bi in range(B):
+        rd, rl = ref[bi]
+        order_r = np.argsort(-rd.numpy()[:, 4], kind="mergesort")
+        m = np.asarray(valid[bi])
+        od = np.asarray(dets[bi])[m]
+        ol = np.asarray(labels[bi])[m]
+        order_o = np.argsort(-od[:, 4], kind="mergesort")
+        assert len(od) == len(rd), (bi, len(od), len(rd))
+        np.testing.assert_allclose(od[order_o], rd.numpy()[order_r],
+                                   rtol=1e-4, atol=1e-3,
+                                   err_msg=f"img {bi}")
+        np.testing.assert_array_equal(ol[order_o], rl.numpy()[order_r])
