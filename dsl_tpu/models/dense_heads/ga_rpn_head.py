@@ -20,7 +20,7 @@ from dsl_tpu.core import losses as L
 from dsl_tpu.core.assigners import (_max_iou_assign_single,
                                     approx_max_iou_assign)
 from dsl_tpu.core.boxes import bbox2delta, delta2bbox
-from dsl_tpu.core.nms import nms
+from dsl_tpu.core.nms import NEG_INF, nms
 from dsl_tpu.models.dense_heads.ga_retina_head import (
     FeatureAdaption, GARetinaHead, _guided_anchors, _loc_targets)
 from dsl_tpu.models.layers import bias_init_with_prob, normal_init
@@ -190,9 +190,11 @@ def ga_rpn_loss(head: GARPNHead, outputs, batch, axis_name=None):
 
 def ga_rpn_proposals(head: GARPNHead, outputs, img_shapes=None,
                      nms_pre: int = 1000, num_proposals: int = 1000,
-                     iou_threshold: float = 0.7):
-    """Guided anchors + loc filter -> decoded, NMS'd proposals
-    (``ga_rpn_head.py get_bboxes_single``)."""
+                     iou_threshold: float = 0.7, nms_post: int = 1000):
+    """Guided anchors + loc filter -> decoded proposals, NMS PER LEVEL
+    (capped at ``nms_post`` each), concat, top ``num_proposals`` by score
+    (``ga_rpn_head.py _get_bboxes_single:114-176``,
+    ``nms_across_levels=False`` default)."""
     cls_scores, bbox_preds, shape_preds, loc_preds = outputs
     featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]
     lvl_squares = head.make_square_generator().grid_anchors(featmap_sizes)
@@ -219,14 +221,24 @@ def ga_rpn_proposals(head: GARPNHead, outputs, img_shapes=None,
                  jnp.clip(boxes[..., 1:2], 0, ylim),
                  jnp.clip(boxes[..., 2:3], 0, xlim),
                  jnp.clip(boxes[..., 3:4], 0, ylim)], axis=-1)
-        boxes_all.append(boxes)
-        scores_all.append(scores)
+        # per-level NMS capped at nms_post (reference :161-164)
+        post = min(nms_post, boxes.shape[1])
+
+        def _lvl(bx, sc):
+            dets, _, valid = nms(bx, sc, iou_threshold=iou_threshold,
+                                 max_out=post)
+            return dets[:, :4], dets[:, 4], valid
+
+        lb, ls, lv = jax.vmap(_lvl)(boxes, scores)
+        boxes_all.append(lb)
+        scores_all.append(jnp.where(lv, ls, NEG_INF))
     boxes = jnp.concatenate(boxes_all, axis=1)
     scores = jnp.concatenate(scores_all, axis=1)
-
-    def _single(bx, sc):
-        dets, idx, valid = nms(bx, sc, iou_threshold=iou_threshold,
-                               max_out=num_proposals)
-        return dets[:, :4], dets[:, 4], valid
-
-    return jax.vmap(_single)(boxes, scores)
+    # concat + top num_proposals by score (no cross-level NMS)
+    k = min(num_proposals, scores.shape[1])
+    top_sc, top_idx = jax.lax.top_k(scores, k)
+    out_boxes = jnp.take_along_axis(
+        boxes, top_idx[..., None].repeat(4, -1), axis=1)
+    valid = top_sc > NEG_INF / 2
+    return (jnp.where(valid[..., None], out_boxes, 0.0),
+            jnp.where(valid, top_sc, 0.0), valid)

@@ -185,8 +185,11 @@ def rpn_loss(head: RPNHead, scores, deltas, batch,
 
 def rpn_proposals(head: RPNHead, scores, deltas, img_shapes=None,
                   nms_pre: int = 1000, nms_iou: float = 0.7,
-                  num_proposals: int = 1000):
-    """Fixed-shape proposal generation.
+                  num_proposals: int = 1000, min_bbox_size: float = 0.0):
+    """Fixed-shape proposal generation (reference ``rpn_head.py
+    _get_bboxes:165-230``): per-level sigmoid + nms_pre topk, decode+clip,
+    ``min_bbox_size`` filter, and NMS with LEVEL-ID offsets — proposals
+    from different FPN levels never suppress each other.
 
     Returns (proposals (B, num_proposals, 4), scores (B, num_proposals),
     valid (B, num_proposals)).
@@ -221,10 +224,20 @@ def rpn_proposals(head: RPNHead, scores, deltas, img_shapes=None,
         score_list.append(top_sc)
     boxes = jnp.concatenate(box_list, axis=1)
     sc = jnp.concatenate(score_list, axis=1)
+    # per-candidate FPN level ids (static): levels are independent in NMS
+    lvl_ids = jnp.concatenate([
+        jnp.full((bl.shape[1],), i, jnp.float32)
+        for i, bl in enumerate(box_list)])
 
     def _single(bx, s):
-        dets, idx, valid = nms(bx, s, nms_iou, max_out=num_proposals)
-        return dets[:, :4], dets[:, 4], valid
+        size_ok = ((bx[:, 2] - bx[:, 0] > min_bbox_size)
+                   & (bx[:, 3] - bx[:, 1] > min_bbox_size))
+        max_coord = jnp.max(jnp.where(size_ok[:, None], bx, 0.0)) + 1.0
+        shifted = bx + (lvl_ids * max_coord)[:, None]
+        dets, idx, valid = nms(shifted, s, nms_iou, max_out=num_proposals,
+                               valid=size_ok)
+        out_boxes = jnp.where(valid[:, None], bx[idx], 0.0)
+        return out_boxes, dets[:, 4], valid
 
     return jax.vmap(_single)(boxes, sc)
 

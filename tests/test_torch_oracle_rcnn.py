@@ -603,3 +603,70 @@ def test_rcnn_bbox_loss_matches_reference(ref_mod, loss_bbox_cfg,
             err_msg=f"{k}: ours={float(ours[k])} ref={ref[k]}")
     np.testing.assert_allclose(float(ours["acc"]), ref["acc"] / 100.0,
                                rtol=1e-5, atol=1e-6)
+
+
+def _pt_batched_nms_local(boxes, scores, idxs, nms_cfg):
+    import sys as _sys
+    import os.path as _osp
+
+    _sys.path.insert(0, _osp.dirname(__file__))
+    from test_torch_oracle_postproc import _pt_batched_nms
+
+    return _pt_batched_nms(boxes, scores, idxs, nms_cfg)
+
+
+def test_rpn_proposals_match_reference(ref_mod):
+    """RPN proposal generation (``rpn_head.py get_bboxes:79-230``):
+    per-level sigmoid + nms_pre sort-topk, decode + clip to img_shape,
+    min_bbox_size filter, NMS with LEVEL-ID separation, top max_per_img.
+    (Regression: we used to NMS across levels without the level ids.)"""
+    rng = np.random.RandomState(4)
+    B = 2
+    cls = [rng.randn(B, 3, h, w).astype(np.float32) for h, w in SIZES]
+    reg = [rng.randn(B, 12, h, w).astype(np.float32) * 0.4
+           for h, w in SIZES]
+
+    head = ref_mod.RPNHead(
+        in_channels=16, feat_channels=16,
+        anchor_generator=dict(type="AnchorGenerator", scales=[8],
+                              ratios=[0.5, 1.0, 2.0],
+                              strides=list(STRIDES)),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4, target_stds=[1.0] * 4),
+        loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                      loss_weight=1.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=1.0))
+    gb = type(head)._get_bboxes_single.__globals__
+    gb["batched_nms"] = _pt_batched_nms_local
+    metas = [dict(img_shape=(*IMG_HW, 3), scale_factor=1.0)
+             for _ in range(B)]
+    cfg = _Cfg(nms_pre=60, max_per_img=25, min_bbox_size=0,
+               nms=_Cfg(type="nms", iou_threshold=0.7))
+    t = torch.from_numpy
+    with torch.no_grad():
+        ref = head.get_bboxes([t(c) for c in cls], [t(r) for r in reg],
+                              metas, cfg=cfg)
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.dense_heads.rpn_head import RPNHead, rpn_proposals
+
+    our_head = RPNHead(in_channels=16, feat_channels=16, strides=STRIDES)
+    nhwc = lambda arrs: [jnp.asarray(a.transpose(0, 2, 3, 1)) for a in arrs]
+    boxes, scores, valid = rpn_proposals(
+        our_head, nhwc(cls), nhwc(reg),
+        img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B, jnp.float32),
+        nms_pre=60, nms_iou=0.7, num_proposals=25, min_bbox_size=0.0)
+    for bi in range(B):
+        rd = ref[bi].numpy() if not isinstance(ref[bi], tuple) \
+            else ref[bi][0].numpy()
+        m = np.asarray(valid[bi])
+        ob = np.asarray(boxes[bi])[m]
+        osc = np.asarray(scores[bi])[m]
+        assert len(ob) == len(rd), (bi, len(ob), len(rd))
+        order_o = np.argsort(-osc, kind="mergesort")
+        order_r = np.argsort(-rd[:, 4], kind="mergesort")
+        np.testing.assert_allclose(ob[order_o], rd[order_r, :4],
+                                   rtol=1e-4, atol=1e-3,
+                                   err_msg=f"img {bi}")
+        np.testing.assert_allclose(osc[order_o], rd[order_r, 4],
+                                   rtol=1e-5, atol=1e-6)
