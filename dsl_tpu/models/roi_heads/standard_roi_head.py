@@ -599,6 +599,25 @@ def roi_head_predict(bbox_head: Shared2FCBBoxHead, apply_fn, variables,
     cls_logits, reg = _apply_bbox_head(
         bbox_head, apply_fn, variables, feats, flat_rois,
         prop_valid.reshape(-1), strides, roi_feats)
+    return rcnn_decode_nms(bbox_head, cls_logits, reg, proposals, prop_valid,
+                           img_shapes=img_shapes,
+                           scale_factors=scale_factors, score_thr=score_thr,
+                           iou_threshold=iou_threshold,
+                           max_per_img=max_per_img, nms_cfg=nms_cfg)
+
+
+def rcnn_decode_nms(bbox_head, cls_logits, reg, proposals, prop_valid,
+                    img_shapes=None, scale_factors=None,
+                    score_thr: float = 0.05, iou_threshold: float = 0.5,
+                    max_per_img: int = 100, nms_cfg: dict | None = None):
+    """RoI bbox decode + NMS (reference ``BBoxHead.get_bboxes``): softmax
+    over C+1, per-class (or class-agnostic) delta decode from the
+    proposals, clip to img_shape, rescale, multiclass NMS.
+
+    cls_logits (B*P, C+1[, +C seesaw]); reg (B*P, 4C|4);
+    proposals (B, P, 4); prop_valid (B, P)."""
+    nc = bbox_head.num_classes
+    b, p = proposals.shape[:2]
     if dict(getattr(bbox_head, "loss_cls", None) or {}).get("type") \
             == "SeesawLoss":
         # split-head activation (``seesaw_loss.py get_activation:156-174``):

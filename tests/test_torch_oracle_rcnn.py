@@ -670,3 +670,71 @@ def test_rpn_proposals_match_reference(ref_mod):
                                    err_msg=f"img {bi}")
         np.testing.assert_allclose(osc[order_o], rd[order_r, 4],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_rcnn_bbox_decode_nms_matches_reference(ref_mod):
+    """RoI bbox predict (``bbox_head.py get_bboxes:309-380``): softmax over
+    C+1, per-class delta decode w/ target stds, clip, rescale, multiclass
+    NMS — vs our ``rcnn_decode_nms`` on identical logits/proposals."""
+    import sys as _sys
+    import os.path as _osp
+
+    _sys.path.insert(0, _osp.dirname(__file__))
+    from test_torch_oracle_postproc import _load_reference_postproc
+
+    nms_impl = _load_reference_postproc().multiclass_nms
+
+    rng = np.random.RandomState(6)
+    B, P = 2, 30
+    head = ref_mod.BBoxHead(
+        with_avg_pool=False, roi_feat_size=7, in_channels=8,
+        num_classes=NUM_CLASSES, reg_class_agnostic=False,
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder",
+                        target_means=[0.0] * 4,
+                        target_stds=[0.1, 0.1, 0.2, 0.2]))
+    type(head).get_bboxes.__globals__["multiclass_nms"] = nms_impl
+    cls_logits = rng.randn(B * P, NUM_CLASSES + 1).astype(np.float32)
+    reg = (rng.randn(B * P, NUM_CLASSES * 4) * 0.8).astype(np.float32)
+    x1 = rng.uniform(0, 50, (B, P))
+    y1 = rng.uniform(0, 40, (B, P))
+    proposals = np.stack(
+        [x1, y1, x1 + rng.uniform(8, 30, (B, P)),
+         y1 + rng.uniform(8, 25, (B, P))], -1).astype(np.float32)
+    sf = np.asarray([1.5, 1.25, 1.5, 1.25], np.float32)
+    cfg = _Cfg(score_thr=0.2, nms=_Cfg(type="nms", iou_threshold=0.5),
+               max_per_img=12)
+    t = torch.from_numpy
+    refs = []
+    with torch.no_grad():
+        for bi in range(B):
+            rois = torch.cat([torch.full((P, 1), bi),
+                              t(proposals[bi])], dim=1)
+            rd, rl = head.get_bboxes(
+                rois, t(cls_logits[bi * P:(bi + 1) * P]),
+                t(reg[bi * P:(bi + 1) * P]), (*IMG_HW, 3), sf,
+                rescale=True, cfg=cfg)
+            refs.append((rd.numpy(), rl.numpy()))
+
+    import jax.numpy as jnp
+    from dsl_tpu.models.roi_heads.standard_roi_head import (
+        Shared2FCBBoxHead, rcnn_decode_nms)
+
+    our_head = Shared2FCBBoxHead(num_classes=NUM_CLASSES,
+                                 target_stds=(0.1, 0.1, 0.2, 0.2))
+    dets, labels, valid = rcnn_decode_nms(
+        our_head, jnp.asarray(cls_logits), jnp.asarray(reg),
+        jnp.asarray(proposals), jnp.ones((B, P), bool),
+        img_shapes=jnp.asarray([[IMG_HW[0], IMG_HW[1]]] * B, jnp.float32),
+        scale_factors=jnp.asarray(np.tile(sf, (B, 1))),
+        score_thr=0.2, iou_threshold=0.5, max_per_img=12)
+    for bi in range(B):
+        rd, rl = refs[bi]
+        m = np.asarray(valid[bi])
+        od = np.asarray(dets[bi])[m]
+        ol = np.asarray(labels[bi])[m]
+        assert len(od) == len(rd), (bi, len(od), len(rd))
+        oo = np.argsort(-od[:, 4], kind="mergesort")
+        ro = np.argsort(-rd[:, 4], kind="mergesort")
+        np.testing.assert_allclose(od[oo], rd[ro], rtol=1e-4, atol=1e-3,
+                                   err_msg=f"img {bi}")
+        np.testing.assert_array_equal(ol[oo], rl[ro])
