@@ -223,61 +223,114 @@ def cascade_rcnn_loss(detector, variables, batch, rng_key=None,
     return _parse_losses(losses)
 
 
+def cascade_decode_nms(heads, stage_fn, proposals, prop_valid,
+                       img_shapes=None, scale_factors=None, test_cfg=None):
+    """Multi-stage cascade box decode + NMS (reference
+    ``cascade_roi_head.py simple_test:282-371``): each stage's RAW cls
+    logits accumulate and softmax applies ONCE to the stage mean
+    (softmax(mean logits) != mean(softmax) — the reference averages
+    ``ms_scores`` BEFORE ``get_bboxes`` activates them); intermediate
+    stages refine rois by the argmax class (``bbox_head.py
+    regress_by_class:454-483``, clipped to img_shape); the final stage
+    decodes per-class through ``get_bboxes`` semantics
+    (``rcnn_decode_nms``). SABL stages (``sabl_head.py
+    get_bboxes:472-509``) decode through the bucketing coder and pass
+    ONLY the last stage's bucketing confidence to multiclass NMS as a
+    ``score_factor`` (threshold the raw averaged score, THEN multiply).
+
+    ``stage_fn(stage, proposals[B,P,4]) -> (cls_logits (B*P, C+1[, +C]),
+    reg)`` is the roi-extract + head forward for one stage.
+    """
+    tc = dict(test_cfg or {})
+    rcnn = dict(tc.get("rcnn", tc) or {})
+    nms_cfg = dict(rcnn.get("nms", {}) or {})
+    score_thr = float(rcnn.get("score_thr", 0.05))
+    max_per_img = int(rcnn.get("max_per_img", 100))
+    iou_thr = float(nms_cfg.get("iou_threshold", 0.5))
+    b, p = proposals.shape[:2]
+    n_stages = len(heads)
+    logits_sum = None
+    reg = None
+    for stage, head in enumerate(heads):
+        cls_logits, reg = stage_fn(stage, proposals)
+        logits_sum = cls_logits if logits_sum is None \
+            else logits_sum + cls_logits
+        if stage < n_stages - 1:
+            nc = head.num_classes
+            labels = jnp.argmax(cls_logits[:, :nc], -1).reshape(b, p)
+            proposals = _decode_stage(head, proposals, reg, labels=labels)
+            if img_shapes is not None:
+                xlim = img_shapes[:, None, 1:2]
+                ylim = img_shapes[:, None, 0:1]
+                proposals = jnp.concatenate(
+                    [jnp.clip(proposals[..., 0:1], 0, xlim),
+                     jnp.clip(proposals[..., 1:2], 0, ylim),
+                     jnp.clip(proposals[..., 2:3], 0, xlim),
+                     jnp.clip(proposals[..., 3:4], 0, ylim)], axis=-1)
+    mean_logits = logits_sum / float(n_stages)
+    last = heads[-1]
+    if hasattr(last, "num_buckets"):
+        from dsl_tpu.core.bucket_coder import bucket2bbox
+
+        bcls, boff = reg
+        boxes, conf = bucket2bbox(proposals.reshape(-1, 4), bcls, boff,
+                                  last.num_buckets, last.scale_factor)
+        boxes = boxes.reshape(b, p, 4)
+        conf = conf.reshape(b, p)
+        if img_shapes is not None:
+            xlim = img_shapes[:, None, 1:2]
+            ylim = img_shapes[:, None, 0:1]
+            boxes = jnp.concatenate(
+                [jnp.clip(boxes[..., 0:1], 0, xlim),
+                 jnp.clip(boxes[..., 1:2], 0, ylim),
+                 jnp.clip(boxes[..., 2:3], 0, xlim),
+                 jnp.clip(boxes[..., 3:4], 0, ylim)], axis=-1)
+        if scale_factors is not None:
+            boxes = boxes / scale_factors[:, None, :]
+        nc = last.num_classes
+        scores = jax.nn.softmax(mean_logits, -1)[:, :nc].reshape(b, p, nc)
+
+        def _single(bx, sc, cf, vd):
+            return multiclass_nms(bx, sc, score_thr=score_thr,
+                                  iou_threshold=iou_thr,
+                                  max_per_img=max_per_img, valid=vd,
+                                  score_factors=cf)
+
+        return jax.vmap(_single)(boxes, scores, conf, prop_valid)
+    from dsl_tpu.models.roi_heads.standard_roi_head import rcnn_decode_nms
+
+    return rcnn_decode_nms(last, mean_logits, reg, proposals, prop_valid,
+                           img_shapes=img_shapes,
+                           scale_factors=scale_factors,
+                           score_thr=score_thr, iou_threshold=iou_thr,
+                           max_per_img=max_per_img, nms_cfg=nms_cfg)
+
+
 def cascade_rcnn_predict(detector, variables, images, img_shapes=None,
                          scale_factors=None, test_cfg=None,
                          num_proposals: int = 1000):
     tc = dict(test_cfg or detector.test_cfg or {})
-    rcnn = dict(tc.get("rcnn", {}) or {})
-    nms_cfg = dict(rcnn.get("nms", {}) or {})
     feats, (rpn_scores, rpn_deltas) = detector.apply(
         variables, images, training=False)
     proposals, _, prop_valid = rpn_proposals(
         detector.rpn_head, rpn_scores, rpn_deltas, img_shapes=img_shapes,
         nms_pre=num_proposals, num_proposals=num_proposals)
     strides = tuple(detector.rpn_head.strides)[:4]
-
     b, p = proposals.shape[:2]
-    score_sum = None
-    for stage, head in enumerate(detector.bbox_heads):
-        batch_idx = jnp.broadcast_to(
-            jnp.arange(b)[:, None], (b, p)).reshape(-1, 1)
-        flat = jnp.concatenate(
-            [batch_idx.astype(jnp.float32), proposals.reshape(-1, 4)], 1)
+    batch_idx = jnp.broadcast_to(
+        jnp.arange(b)[:, None], (b, p)).reshape(-1, 1).astype(jnp.float32)
+
+    def stage_fn(stage, props):
+        flat = jnp.concatenate([batch_idx, props.reshape(-1, 4)], 1)
         rfeats = extract_roi_feats(feats, flat, prop_valid.reshape(-1),
-                                   strides, head.roi_size)
-        cls_logits, reg = detector.apply(variables, rfeats, stage,
-                                         method=detector.roi_forward)
-        nc = head.num_classes
-        scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
-        if hasattr(head, "num_buckets"):
-            # bucketing-guided rescoring (sabl_head.py get_bboxes)
-            from dsl_tpu.core.bucket_coder import bucket2bbox
+                                   strides,
+                                   detector.bbox_heads[stage].roi_size)
+        return detector.apply(variables, rfeats, stage,
+                              method=detector.roi_forward)
 
-            _, conf = bucket2bbox(proposals.reshape(-1, 4), reg[0], reg[1],
-                                  head.num_buckets, head.scale_factor)
-            scores = scores * conf.reshape(b, p, 1)
-        score_sum = scores if score_sum is None else score_sum + scores
-        proposals = _decode_stage(head, proposals, reg)
-        if img_shapes is not None:
-            xlim = img_shapes[:, None, 1:2]
-            ylim = img_shapes[:, None, 0:1]
-            proposals = jnp.concatenate(
-                [jnp.clip(proposals[..., 0:1], 0, xlim),
-                 jnp.clip(proposals[..., 1:2], 0, ylim),
-                 jnp.clip(proposals[..., 2:3], 0, xlim),
-                 jnp.clip(proposals[..., 3:4], 0, ylim)], axis=-1)
-    scores = score_sum / len(detector.bbox_heads)
-    boxes = proposals
-    if scale_factors is not None:
-        boxes = boxes / scale_factors[:, None, :]
-
-    def _single(bx, sc, vd):
-        return multiclass_nms(bx, sc, score_thr=rcnn.get("score_thr", 0.05),
-                              iou_threshold=nms_cfg.get("iou_threshold", 0.5),
-                              max_per_img=rcnn.get("max_per_img", 100),
-                              valid=vd)
-
-    return jax.vmap(_single)(boxes, scores, prop_valid)
+    return cascade_decode_nms(detector.bbox_heads, stage_fn, proposals,
+                              prop_valid, img_shapes=img_shapes,
+                              scale_factors=scale_factors, test_cfg=tc)
 
 
 # ---------------------------------------------------------------------------
@@ -653,8 +706,6 @@ def scnet_predict(detector, variables, images, img_shapes=None,
     """Cascade predict with SCNet fusion + relayed-feature mask
     (``mask_rcnn_predict`` contract)."""
     tc = dict(test_cfg or detector.test_cfg or {})
-    rcnn = dict(tc.get("rcnn", {}) or {})
-    nms_cfg = dict(rcnn.get("nms", {}) or {})
     feats, (rpn_scores, rpn_deltas) = detector.apply(
         variables, images, training=False)
     _, semantic_feat = detector.apply(variables, feats,
@@ -666,34 +717,22 @@ def scnet_predict(detector, variables, images, img_shapes=None,
         nms_pre=num_proposals, num_proposals=num_proposals)
     strides = tuple(detector.rpn_head.strides)[:4]
     b, p = proposals.shape[:2]
-    score_sum = None
-    for stage, head in enumerate(detector.bbox_heads):
-        pidx = jnp.broadcast_to(
-            jnp.arange(b)[:, None], (b, p)).reshape(-1, 1)
-        flat = jnp.concatenate(
-            [pidx.astype(jnp.float32), proposals.reshape(-1, 4)], 1)
+    pidx = jnp.broadcast_to(
+        jnp.arange(b)[:, None], (b, p)).reshape(-1, 1).astype(jnp.float32)
+
+    def stage_fn(stage, props):
+        head = detector.bbox_heads[stage]
+        flat = jnp.concatenate([pidx, props.reshape(-1, 4)], 1)
         rfeats = extract_roi_feats(feats, flat, prop_valid.reshape(-1),
                                    strides, head.roi_size)
         rfeats = _scnet_fuse(rfeats, semantic_feat, glbctx, flat,
                              prop_valid.reshape(-1), head.roi_size)
-        cls_logits, reg = detector.apply(variables, rfeats, stage,
-                                         method=detector.roi_forward)
-        nc = head.num_classes
-        scores = jax.nn.softmax(cls_logits, -1)[:, :nc].reshape(b, p, nc)
-        score_sum = scores if score_sum is None else score_sum + scores
-        proposals = _decode_stage(head, proposals, reg)
-    scores = score_sum / len(detector.bbox_heads)
-    boxes = proposals
-    out_boxes = boxes if scale_factors is None \
-        else boxes / scale_factors[:, None, :]
+        return detector.apply(variables, rfeats, stage,
+                              method=detector.roi_forward)
 
-    def _single(bx, sc, vd):
-        return multiclass_nms(bx, sc, score_thr=rcnn.get("score_thr", 0.05),
-                              iou_threshold=nms_cfg.get("iou_threshold", 0.5),
-                              max_per_img=rcnn.get("max_per_img", 100),
-                              valid=vd)
-
-    dets, labels, valid = jax.vmap(_single)(out_boxes, scores, prop_valid)
+    dets, labels, valid = cascade_decode_nms(
+        detector.bbox_heads, stage_fn, proposals, prop_valid,
+        img_shapes=img_shapes, scale_factors=scale_factors, test_cfg=tc)
 
     mh = detector.mask_head
     n = dets.shape[1]
