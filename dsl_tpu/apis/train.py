@@ -104,7 +104,8 @@ def train_detector(cfg, work_dir: str, resume_from: str | None = None,
         optimizer_config=dict(cfg.get("optimizer_config", {}) or {}),
         lr_config=dict(cfg.get("lr_config", {}) or {}),
         steps_per_epoch=steps_per_epoch, frozen_mask=frozen,
-        total_epochs=dict(cfg.get("runner", {}) or {}).get("max_epochs", 12))
+        total_epochs=dict(cfg.get("runner", {}) or {}).get("max_epochs", 12),
+        momentum_config=dict(cfg.get("momentum_config", {}) or {}) or None)
     state = create_train_state(variables, tx,
                                ema_ratio=dict(cfg.get('ema_config', {})
                                               or {}).get('ratio', 0.99))

@@ -40,6 +40,7 @@ class BasicBlock(nn.Module):
     norm_cfg: dict | None = None
     conv_cfg: dict | None = None
     avg_down: bool = False
+    zero_init_residual: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -51,7 +52,9 @@ class BasicBlock(nn.Module):
         out = nn.relu(out)
         out = conv3x3(self.planes, 1, self.dilation, name="conv2",
                       conv_cfg=self.conv_cfg)(out)
-        out = make_norm(self.norm_cfg, name="bn2")(out)
+        # mmdet init_weights: zero_init_residual -> norm2.weight = 0
+        out = make_norm(self.norm_cfg, name="bn2",
+                        zero_init=self.zero_init_residual)(out)
         if self.stride != 1 or x.shape[-1] != self.planes:
             ds_stride = self.stride
             if self.avg_down and self.stride != 1:
@@ -78,6 +81,7 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     conv_cfg: dict | None = None
     avg_down: bool = False
+    zero_init_residual: bool = True
     dcn: dict | None = None      # dict(type='DCN'|'DCNv2') on conv2
     plugins: tuple = ()          # ((position, cfg), ...) e.g. ContextBlock
 
@@ -126,7 +130,9 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         out = self._run_plugins(out, "after_conv2")
         out = conv1x1(out_ch, 1, name="conv3", conv_cfg=self.conv_cfg)(out)
-        out = make_norm(self.norm_cfg, name="bn3")(out)
+        # mmdet init_weights: zero_init_residual -> norm3.weight = 0
+        out = make_norm(self.norm_cfg, name="bn3",
+                        zero_init=self.zero_init_residual)(out)
         out = self._run_plugins(out, "after_conv3")
         if self.stride != 1 or x.shape[-1] != out_ch:
             identity = x
@@ -182,6 +188,7 @@ class ResNet(nn.Module):
     norm_cfg: dict | None = None
     conv_cfg: dict | None = None
     pretrained: str | None = None
+    zero_init_residual: bool = True   # scratch configs set False
     stem_channels: int = 64
     base_channels: int = 64
     groups: int = 1
@@ -235,6 +242,7 @@ class ResNet(nn.Module):
                     norm_cfg=self.norm_cfg,
                     conv_cfg=self.conv_cfg,
                     avg_down=self.avg_down,
+                    zero_init_residual=self.zero_init_residual,
                     name=f"layer{i + 1}_{j}", **kwargs)(x)
             if i in self.out_indices:
                 outs.append(x)

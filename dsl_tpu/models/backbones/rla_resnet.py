@@ -70,6 +70,7 @@ class RLABottleneck(nn.Module):
     eca_size: int | None = None
     norm_cfg: dict | None = None
     expansion: int = 4
+    zero_init_last_bn: bool = True
 
     @nn.compact
     def __call__(self, x, h):
@@ -84,7 +85,11 @@ class RLABottleneck(nn.Module):
         out = make_norm(self.norm_cfg, name="bn2")(out)
         out = nn.relu(out)
         out = conv1x1(self.planes * self.expansion, 1, name="conv3")(out)
-        out = make_norm(self.norm_cfg, name="bn3")(out)
+        # reference init_weights zero-inits each block's last BN gamma
+        # (``resnet_rla.py:153-166`` zero_init_last_bn) so the residual
+        # branch starts as identity
+        out = make_norm(self.norm_cfg, name="bn3",
+                        zero_init=self.zero_init_last_bn)(out)
 
         if self.se:
             out = SELayer(name="se")(out)
@@ -146,6 +151,7 @@ class RLAResNet(nn.Module):
                 x, y, h = RLABottleneck(
                     planes=planes, stride=stride, has_downsample=has_ds,
                     se=self.SE, eca_size=eca[stage], norm_cfg=self.norm_cfg,
+                    zero_init_last_bn=self.zero_init_last_bn,
                     name=f"layer{stage + 1}_{blk}")(x, h)
                 inplanes = planes * 4
                 # RLA update (`resnet_rla.py:303-310`)

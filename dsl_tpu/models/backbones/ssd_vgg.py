@@ -40,6 +40,11 @@ class SSDVGG(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if tuple(self.out_feature_indices) != (22, 34):
+            # the tap points below are hardwired to conv4_3/fc7 (the only
+            # values any reference config uses) — reject other indices
+            raise NotImplementedError(
+                "SSDVGG taps conv4_3+fc7 (out_feature_indices=(22, 34))")
         outs = []
         ch = 64
         for stage, n in enumerate(VGG16_CFG):

@@ -183,6 +183,11 @@ def yolact_loss(head, outputs, batch, axis_name=None):
     (reference ``YOLACTHead.loss`` :137-258, ``loss_single_OHEM`` :260-303,
     ``YOLACTProtonet.loss`` :734-806, ``YOLACTSegmHead.loss`` :512-545)."""
     cls_scores, bbox_preds, coeff_preds, protos, segm_pred = outputs
+    if not head.use_ohem:
+        # the reference config always trains with OHEM (yolact_r50_1x8_coco
+        # ``use_ohem=True``); the sampling-based alternative is not built —
+        # reject rather than silently computing a different loss
+        raise NotImplementedError("YOLACTHead only supports use_ohem=True")
     nc = head.num_classes
     gen = head.make_anchor_generator()
     featmap_sizes = [tuple(c.shape[1:3]) for c in cls_scores]

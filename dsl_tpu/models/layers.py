@@ -26,11 +26,12 @@ class FrozenBatchNorm(nn.Module):
     """
 
     epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x):
         features = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (features,))
+        scale = self.param("scale", self.scale_init, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
         mean = self.variable("batch_stats", "mean",
                              lambda: jnp.zeros((features,), jnp.float32))
@@ -46,21 +47,26 @@ class FrozenBatchNorm(nn.Module):
         return x * inv32.astype(x.dtype) + shift32.astype(x.dtype)
 
 
-def make_norm(norm_cfg: dict | None, name: str | None = None) -> nn.Module:
+def make_norm(norm_cfg: dict | None, name: str | None = None,
+              zero_init: bool = False) -> nn.Module:
     """Build a norm layer from a ``dict(type=...)`` config.
 
     'BN' maps to FrozenBatchNorm (detection norm_eval semantics); 'GN' to
     GroupNorm; 'SyncBN' also maps to FrozenBatchNorm — cross-device stat sync
     is meaningless when stats are frozen, and XLA would handle a training-mode
-    psum-BN inside the jitted step anyway.
+    psum-BN inside the jitted step anyway. ``zero_init`` zero-inits the
+    affine scale (mmdet ``zero_init_residual``/``zero_init_last_bn``:
+    ``constant_init(norm3.weight, 0)`` on the block's last norm so every
+    residual branch starts as identity).
     """
     norm_cfg = norm_cfg or dict(type="BN")
     t = norm_cfg.get("type", "BN")
+    sinit = nn.initializers.zeros if zero_init else nn.initializers.ones
     if t in ("BN", "SyncBN"):
-        return FrozenBatchNorm(name=name)
+        return FrozenBatchNorm(name=name, scale_init=sinit)
     if t == "GN":
         return nn.GroupNorm(num_groups=norm_cfg.get("num_groups", 32),
-                            epsilon=1e-5, name=name)
+                            epsilon=1e-5, scale_init=sinit, name=name)
     raise ValueError(f"unknown norm type {t}")
 
 

@@ -28,6 +28,21 @@ def _upsample_nearest_2x(x: jnp.ndarray, target_hw) -> jnp.ndarray:
     return out[:, :th, :tw, :]
 
 
+def _upsample(x: jnp.ndarray, target_hw, upsample_cfg: dict | None):
+    """Top-down upsample honoring ``upsample_cfg`` (mmdet ``fpn.py:119-124``
+    passes it to ``F.interpolate(size=prev_shape, **upsample_cfg)``).
+    'nearest' (default) and 'bilinear' (align_corners=False — YOLACT's
+    ``neck.upsample_cfg=dict(mode='bilinear')``) are supported."""
+    mode = (upsample_cfg or {}).get("mode", "nearest")
+    if mode == "nearest":
+        return _upsample_nearest_2x(x, target_hw)
+    if mode == "bilinear":
+        import jax
+        b, _, _, c = x.shape
+        return jax.image.resize(x, (b, *target_hw, c), method="bilinear")
+    raise ValueError(f"unsupported FPN upsample mode {mode!r}")
+
+
 @NECKS.register
 class FPN(nn.Module):
     in_channels: Sequence[int] = (256, 512, 1024, 2048)
@@ -67,8 +82,8 @@ class FPN(nn.Module):
             laterals.append(lat)
         # top-down pathway
         for i in range(n_used - 1, 0, -1):
-            laterals[i - 1] = laterals[i - 1] + _upsample_nearest_2x(
-                laterals[i], laterals[i - 1].shape[1:3])
+            laterals[i - 1] = laterals[i - 1] + _upsample(
+                laterals[i], laterals[i - 1].shape[1:3], self.upsample_cfg)
         # output convs
         outs = []
         for i in range(n_used):

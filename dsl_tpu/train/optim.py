@@ -131,6 +131,39 @@ def build_lr_schedule(base_lr: float, warmup_iters: int = 500,
     return schedule
 
 
+def build_momentum_schedule(base_momentum: float,
+                            policy: str = "cyclic",
+                            target_ratio: Sequence[float] = (0.85 / 0.95, 1.0),
+                            step_ratio_up: float = 0.4,
+                            total_iters: int | None = None) -> Callable:
+    """mmcv ``CyclicMomentumUpdaterHook`` (``momentum_config`` in cfg).
+
+    Momentum runs INVERSE to the cyclic LR: linearly from ``base`` down to
+    ``base*target_ratio[0]`` over the first ``step_ratio_up`` of the run,
+    then back up to ``base*target_ratio[1]`` (mmcv defaults shown). No
+    reference config sets ``momentum_config`` (grep-verified), but the
+    reference runner registers it (``semi_epoch_based_runner.py:476-502``),
+    so the knob exists here too."""
+    if policy.lower() != "cyclic":
+        raise ValueError(f"unknown momentum policy {policy}")
+    if not total_iters:
+        raise ValueError("momentum policy 'cyclic' needs total_iters")
+    hi, end = float(target_ratio[0]), float(target_ratio[1])
+
+    def schedule(step):
+        prog = jnp.clip(jnp.asarray(step, jnp.float32) / int(total_iters),
+                        0.0, 1.0)
+        up = jnp.minimum(prog / step_ratio_up, 1.0)
+        down = jnp.clip((prog - step_ratio_up) / (1.0 - step_ratio_up),
+                        0.0, 1.0)
+        ratio = jnp.where(prog < step_ratio_up,
+                          1.0 + (hi - 1.0) * up,
+                          hi + (end - hi) * down)
+        return base_momentum * ratio
+
+    return schedule
+
+
 # -- torch-SGD with paramwise lr/decay multipliers --------------------------
 
 class SGDState(NamedTuple):
@@ -139,12 +172,15 @@ class SGDState(NamedTuple):
 
 
 def make_optimizer(params: Any, base_lr_schedule: Callable,
-                   momentum: float = 0.9, weight_decay: float = 1e-4,
+                   momentum: float | Callable = 0.9,
+                   weight_decay: float = 1e-4,
                    bias_lr_mult: float = 2.0, bias_decay_mult: float = 0.0,
                    grad_clip_norm: float | None = 35.0,
                    frozen_mask: Any = None):
     """Returns an optax-style GradientTransformation implementing mmcv's
-    SGD behavior. ``frozen_mask`` is a bool pytree (True = frozen)."""
+    SGD behavior. ``frozen_mask`` is a bool pytree (True = frozen).
+    ``momentum`` may be a per-step schedule (``build_momentum_schedule``)."""
+    momentum_fn = momentum if callable(momentum) else (lambda _: momentum)
 
     lr_mult = jax.tree_util.tree_map_with_path(
         lambda p, _: bias_lr_mult if is_bias_param(p) else 1.0, params)
@@ -168,8 +204,9 @@ def make_optimizer(params: Any, base_lr_schedule: Callable,
         grads = jax.tree_util.tree_map(
             lambda g, p, wm: g + weight_decay * wm * p, grads, params, wd_mult)
         # momentum buffer (torch: buf = mu*buf + grad)
+        mu = momentum_fn(state.count)
         new_buf = jax.tree_util.tree_map(
-            lambda b, g: momentum * b + g, state.momentum, grads)
+            lambda b, g: mu * b + g, state.momentum, grads)
         lr = base_lr_schedule(state.count)
         updates = jax.tree_util.tree_map(
             lambda b, lm, fz: jnp.where(fz, 0.0, -lr * lm * b),
@@ -244,8 +281,10 @@ def build_optimizer_from_cfg(params: Any, optimizer_cfg: dict,
                              lr_config: dict | None = None,
                              steps_per_epoch: int = 1,
                              frozen_mask: Any = None,
-                             total_epochs: int | None = None):
-    """Wire the three reference config blocks into make_optimizer."""
+                             total_epochs: int | None = None,
+                             momentum_config: dict | None = None):
+    """Wire the reference config blocks (optimizer / optimizer_config /
+    lr_config / momentum_config) into make_optimizer."""
     optimizer_cfg = dict(optimizer_cfg or {})
     opt_type = optimizer_cfg.get("type", "SGD")
     lr = optimizer_cfg.get("lr", 0.01)
@@ -283,9 +322,18 @@ def build_optimizer_from_cfg(params: Any, optimizer_cfg: dict,
             frozen_mask=frozen_mask), sched
     if opt_type != "SGD":
         raise NotImplementedError(f"optimizer {opt_type}")
+    momentum: float | Callable = optimizer_cfg.get("momentum", 0.9)
+    if momentum_config:
+        mc = dict(momentum_config)
+        momentum = build_momentum_schedule(
+            float(momentum),
+            policy=mc.get("policy", "cyclic"),
+            target_ratio=tuple(mc.get("target_ratio", (0.85 / 0.95, 1.0))),
+            step_ratio_up=mc.get("step_ratio_up", 0.4),
+            total_iters=total_iters)
     return make_optimizer(
         params, sched,
-        momentum=optimizer_cfg.get("momentum", 0.9),
+        momentum=momentum,
         weight_decay=optimizer_cfg.get("weight_decay", 1e-4),
         bias_lr_mult=pw.get("bias_lr_mult", 1.0),
         bias_decay_mult=pw.get("bias_decay_mult", 1.0),

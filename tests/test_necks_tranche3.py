@@ -70,3 +70,29 @@ def test_nasfcos_head_e2e():
         det, v, im, img_shapes=jnp.asarray([[64.0, 64.0]] * b),
         scale_factors=jnp.ones((b, 4))))(variables, batch["images"])
     assert dets.shape == (b, 10, 5)
+
+
+def test_fpn_bilinear_upsample_cfg_matches_torch_interpolate():
+    """FPN ``upsample_cfg=dict(mode='bilinear')`` (YOLACT's neck config,
+    ``configs/yolact/yolact_r50_1x8_coco.py:25``) — the top-down upsample
+    must match ``F.interpolate(..., mode='bilinear')`` (align_corners=False,
+    mmdet ``fpn.py:119-124``), which jax.image.resize('bilinear')
+    reproduces (both use half-pixel centers)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+    from dsl_tpu.models.necks.fpn import _upsample
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 5, 7, 3).astype(np.float32)
+    ours = np.asarray(_upsample(jnp.asarray(x), (10, 14),
+                                dict(mode="bilinear")))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2),
+                        size=(10, 14), mode="bilinear",
+                        align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert np.allclose(ours, ref, atol=1e-5)
+    # nearest stays the default and unchanged
+    near = np.asarray(_upsample(jnp.asarray(x), (10, 14), None))
+    assert near.shape == (2, 10, 14, 3)

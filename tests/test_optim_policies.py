@@ -72,6 +72,32 @@ def test_build_optimizer_adamw_from_detr_style_cfg():
     assert abs(float(p["head"]["w"][0])) < 0.2
 
 
+def test_cyclic_momentum_schedule_and_sgd_wiring():
+    from dsl_tpu.train.optim import build_momentum_schedule
+    m = build_momentum_schedule(0.95, total_iters=100)
+    assert np.isclose(float(m(0)), 0.95)             # base at start
+    assert np.isclose(float(m(40)), 0.85, rtol=1e-4)  # trough at 40%
+    assert np.isclose(float(m(100)), 0.95, rtol=1e-4)  # back to base
+    assert float(m(20)) < float(m(0))                # inverse to cyclic LR
+
+    # momentum_config threads through build_optimizer_from_cfg: the SGD
+    # momentum buffer at step 2 uses the scheduled mu(1), not the scalar
+    params = {"head": {"w": jnp.asarray([1.0])}}
+    opt, _ = build_optimizer_from_cfg(
+        params, optimizer_cfg=dict(type="SGD", lr=1.0, momentum=0.95,
+                                   weight_decay=0.0),
+        lr_config=dict(policy="cyclic", warmup_iters=0),
+        steps_per_epoch=10, total_epochs=10,
+        momentum_config=dict(policy="cyclic"))
+    st = opt.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, st = opt.update(g, st, params)
+    up, st = opt.update(g, st, params)
+    mu1 = float(build_momentum_schedule(0.95, total_iters=100)(1))
+    assert np.isclose(float(st.momentum["head"]["w"][0]), mu1 * 1.0 + 1.0,
+                      rtol=1e-6)
+
+
 def test_cyclic_schedule():
     s = build_lr_schedule(0.01, warmup_iters=0, policy="cyclic",
                           total_iters=100)
@@ -80,3 +106,22 @@ def test_cyclic_schedule():
     assert float(s(100)) < 1e-4                      # decayed to ~1e-4x
     assert float(s(20)) > float(s(0))                # ramping up
     assert float(s(80)) < float(s(40))               # ramping down
+
+
+def test_zero_init_residual_blocks_start_as_identity():
+    """mmdet ResNet init_weights ``zero_init_residual`` (default True;
+    scratch configs set False): the last norm of every residual block is
+    zero-init so each block starts as relu(identity)."""
+    import jax
+    import jax.numpy as jnp
+    from dsl_tpu.models.backbones.resnet import ResNet
+
+    x = jnp.ones((1, 32, 32, 3))
+    v = ResNet(depth=50, num_stages=2, out_indices=(0, 1),
+               strides=(1, 2)).init(jax.random.PRNGKey(0), x)
+    p = v["params"]
+    assert float(jnp.abs(p["layer1_0"]["bn3"]["scale"]).max()) == 0.0
+    assert float(jnp.abs(p["layer1_0"]["bn1"]["scale"]).min()) == 1.0
+    v2 = ResNet(depth=50, num_stages=2, out_indices=(0, 1), strides=(1, 2),
+                zero_init_residual=False).init(jax.random.PRNGKey(0), x)
+    assert float(jnp.abs(v2["params"]["layer1_0"]["bn3"]["scale"]).min()) == 1.0
