@@ -6,7 +6,8 @@ model = dict(
     backbone=dict(type='ResNet', depth=50, out_indices=(0, 1, 2, 3)),
     neck=dict(type='FPN', in_channels=[256, 512, 1024, 2048],
               out_channels=256, start_level=1, num_outs=5,
-              add_extra_convs='on_input'),
+              add_extra_convs='on_input',
+              upsample_cfg=dict(mode='bilinear')),
     bbox_head=dict(type='YOLACTHead', num_classes=80, in_channels=256,
                    feat_channels=256, num_head_convs=1, num_protos=32,
                    anchor_generator=dict(octave_base_scale=3,
