@@ -3,7 +3,11 @@ _base_ = ['../retinanet/retinanet_r50_fpn_1x_coco.py']
 model = dict(
     _delete_=True,
     type='YOLACT',
-    backbone=dict(type='ResNet', depth=50, out_indices=(0, 1, 2, 3)),
+    backbone=dict(type='ResNet', depth=50, out_indices=(0, 1, 2, 3),
+                  # reference yolact config: train stem + BN stats, and do
+                  # NOT zero-init the residual bn3
+                  frozen_stages=-1, norm_eval=False,
+                  zero_init_residual=False),
     neck=dict(type='FPN', in_channels=[256, 512, 1024, 2048],
               out_channels=256, start_level=1, num_outs=5,
               add_extra_convs='on_input',

@@ -150,17 +150,31 @@ def build_batch(samples: list[dict], source_weights=None,
 
 
 def _half_res_copy(sample: dict) -> dict:
-    """Half-resolution copy of a formatted sample (same canvas, top-left)."""
+    """Half-resolution copy of a formatted sample (same canvas, top-left).
+
+    Mirrors the reference SI-append block
+    (``semi_epoch_based_runner.py:186-204``) exactly:
+    - the WHOLE padded canvas is bilinearly resized to (H//2, W//2) and
+      placed top-left (``F.interpolate`` on the padded tensor, not just the
+      valid region — ``:196-199``);
+    - ``gt_bboxes`` are halved (``:201``);
+    - ``gt_bboxes_ignore`` are halved too (``:203-204``) — the half image's
+      ignore-region cls masking must track the shrunken content;
+    - ``img_shape`` is halved with int truncation (``:188-189``) and
+      ``scale_factor`` exactly (``:190``).
+    Oracled against the reference's own executed code in
+    ``tests/test_torch_oracle_si_append.py``.
+    """
     img = sample["images"]
     ch, cw = img.shape[:2]
-    h, w = int(sample["img_shapes"][0]), int(sample["img_shapes"][1])
-    small = cv2.resize(img[:h, :w], (max(w // 2, 1), max(h // 2, 1)),
+    small = cv2.resize(img, (max(cw // 2, 1), max(ch // 2, 1)),
                        interpolation=cv2.INTER_LINEAR)
     canvas = np.zeros_like(img)
     canvas[: small.shape[0], : small.shape[1]] = small
     out = dict(sample)
     out["images"] = canvas
     out["gt_bboxes"] = sample["gt_bboxes"] * 0.5
-    out["img_shapes"] = sample["img_shapes"] * 0.5
+    out["ignore_bboxes"] = sample["ignore_bboxes"] * 0.5
+    out["img_shapes"] = np.floor(sample["img_shapes"] * 0.5)
     out["scale_factors"] = sample["scale_factors"] * 0.5
     return out

@@ -135,12 +135,16 @@ def build_momentum_schedule(base_momentum: float,
                             policy: str = "cyclic",
                             target_ratio: Sequence[float] = (0.85 / 0.95, 1.0),
                             step_ratio_up: float = 0.4,
-                            total_iters: int | None = None) -> Callable:
+                            total_iters: int | None = None,
+                            anneal_strategy: str = "cos") -> Callable:
     """mmcv ``CyclicMomentumUpdaterHook`` (``momentum_config`` in cfg).
 
-    Momentum runs INVERSE to the cyclic LR: linearly from ``base`` down to
+    Momentum runs INVERSE to the cyclic LR: from ``base`` down to
     ``base*target_ratio[0]`` over the first ``step_ratio_up`` of the run,
-    then back up to ``base*target_ratio[1]`` (mmcv defaults shown). No
+    then back up to ``base*target_ratio[1]`` (mmcv defaults shown). Each
+    phase anneals with mmcv's default 'cos' strategy
+    (``annealing_cos(start, end, pct) = end + 0.5*(start-end)*(cos(pi*pct)+1)``);
+    ``anneal_strategy='linear'`` matches mmcv's ``annealing_linear``. No
     reference config sets ``momentum_config`` (grep-verified), but the
     reference runner registers it (``semi_epoch_based_runner.py:476-502``),
     so the knob exists here too."""
@@ -148,7 +152,14 @@ def build_momentum_schedule(base_momentum: float,
         raise ValueError(f"unknown momentum policy {policy}")
     if not total_iters:
         raise ValueError("momentum policy 'cyclic' needs total_iters")
+    if anneal_strategy not in ("cos", "linear"):
+        raise ValueError(f"unknown anneal_strategy {anneal_strategy}")
     hi, end = float(target_ratio[0]), float(target_ratio[1])
+
+    def _anneal(start, stop, pct):
+        if anneal_strategy == "cos":
+            return stop + 0.5 * (start - stop) * (jnp.cos(jnp.pi * pct) + 1.0)
+        return start + (stop - start) * pct
 
     def schedule(step):
         prog = jnp.clip(jnp.asarray(step, jnp.float32) / int(total_iters),
@@ -157,8 +168,8 @@ def build_momentum_schedule(base_momentum: float,
         down = jnp.clip((prog - step_ratio_up) / (1.0 - step_ratio_up),
                         0.0, 1.0)
         ratio = jnp.where(prog < step_ratio_up,
-                          1.0 + (hi - 1.0) * up,
-                          hi + (end - hi) * down)
+                          _anneal(1.0, hi, up),
+                          _anneal(hi, end, down))
         return base_momentum * ratio
 
     return schedule
@@ -308,6 +319,12 @@ def build_optimizer_from_cfg(params: Any, optimizer_cfg: dict,
     if optimizer_config and optimizer_config.get("grad_clip"):
         clip = optimizer_config["grad_clip"].get("max_norm", 35.0)
     if opt_type in ("AdamW", "Adam"):
+        if momentum_config:
+            # mmcv momentum hooks DO update Adam betas; that coupling isn't
+            # wired here — reject loudly rather than silently ignore.
+            raise NotImplementedError(
+                "momentum_config with Adam/AdamW (beta1 scheduling) is not "
+                "supported; use an SGD optimizer or drop momentum_config")
         custom = {k: v.get("lr_mult", 1.0) for k, v in
                   dict(pw.get("custom_keys", {}) or {}).items()}
         return make_adamw(
@@ -330,7 +347,8 @@ def build_optimizer_from_cfg(params: Any, optimizer_cfg: dict,
             policy=mc.get("policy", "cyclic"),
             target_ratio=tuple(mc.get("target_ratio", (0.85 / 0.95, 1.0))),
             step_ratio_up=mc.get("step_ratio_up", 0.4),
-            total_iters=total_iters)
+            total_iters=total_iters,
+            anneal_strategy=mc.get("anneal_strategy", "cos"))
     return make_optimizer(
         params, sched,
         momentum=momentum,

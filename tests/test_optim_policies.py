@@ -79,6 +79,23 @@ def test_cyclic_momentum_schedule_and_sgd_wiring():
     assert np.isclose(float(m(40)), 0.85, rtol=1e-4)  # trough at 40%
     assert np.isclose(float(m(100)), 0.95, rtol=1e-4)  # back to base
     assert float(m(20)) < float(m(0))                # inverse to cyclic LR
+    # mid-phase value: mmcv default anneal 'cos' — at 20% (halfway down the
+    # up-phase) ratio = annealing_cos(1, 0.85/0.95, 0.5) = mid of the two
+    mid = 0.95 * (0.85 / 0.95 + 0.5 * (1 - 0.85 / 0.95))
+    assert np.isclose(float(m(20)), mid, rtol=1e-5)
+    # linear strategy is also exposed (mmcv annealing_linear)
+    ml = build_momentum_schedule(0.95, total_iters=100,
+                                 anneal_strategy="linear")
+    assert np.isclose(float(ml(20)), 0.95 + (0.85 - 0.95) * 0.5, rtol=1e-5)
+    # momentum_config with Adam/AdamW must reject loudly (mmcv updates
+    # beta1; we don't wire that)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        build_optimizer_from_cfg(
+            {"w": jnp.asarray([1.0])},
+            optimizer_cfg=dict(type="AdamW", lr=1e-4),
+            steps_per_epoch=10, total_epochs=10,
+            momentum_config=dict(policy="cyclic"))
 
     # momentum_config threads through build_optimizer_from_cfg: the SGD
     # momentum buffer at step 2 uses the scheduled mu(1), not the scalar
