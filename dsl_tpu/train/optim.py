@@ -54,6 +54,13 @@ def frozen_backbone_mask(params: Any, frozen_stages: int,
         names = _path_names(path)
         if not names or names[0] != backbone_key:
             return False
+        if len(names) >= 2 and names[1] == "stage_bn3_2":
+            # reference ``_freeze_stages`` unconditionally sets
+            # requires_grad=False on ``stage_bns[3][2]`` (resnet_rla.py:360-362)
+            # — the RLA hidden-state BN after the last stage-4 block, whose
+            # output is discarded (zero grad; freezing also skips its weight
+            # decay, matching torch-SGD's p.grad-is-None skip).
+            return True
         if frozen_stages < 0 or len(names) < 2:
             return False
         n = names[1]

@@ -152,8 +152,12 @@ def _load_reference_detector():
     mmdet_core.merge_aug_proposals = None
     mmdet_core.multiclass_nms = None
     mmdet_core.reduce_mean = lambda t: t
-    mmdet_core.distance2bbox = None
-    mmdet_core.bbox_overlaps = None       # iou_loss import only (unused)
+    # real core helpers so FCOSHead.loss is runnable (train-step oracle)
+    for pkg in ("refdet.core", "refdet.core.bbox",
+                "refdet.core.bbox.iou_calculators"):
+        _stub(pkg)
+    iou_builder = _stub("refdet.core.bbox.iou_calculators.builder")
+    iou_builder.IOU_CALCULATORS = _Reg()
 
     from functools import partial
 
@@ -168,6 +172,14 @@ def _load_reference_detector():
     saved = {k: sys.modules.get(k) for k in set(new_mods)}
     sys.modules.update(new_mods)
     try:
+        iou2d = _load(
+            "refdet.core.bbox.iou_calculators.iou2d_calculator",
+            osp.join(REF_ROOT,
+                     "core/bbox/iou_calculators/iou2d_calculator.py"))
+        transforms = _load("refdet.core.bbox.transforms",
+                           osp.join(REF_ROOT, "core/bbox/transforms.py"))
+        mmdet_core.distance2bbox = transforms.distance2bbox
+        mmdet_core.bbox_overlaps = iou2d.bbox_overlaps
         _load("refdet.models.losses.utils",
               osp.join(REF_ROOT, "models/losses/utils.py"))
         _load("refdet.models.losses.focal_loss",
