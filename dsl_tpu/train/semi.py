@@ -40,7 +40,8 @@ class PseudoLabelRefresher:
                  first_score_thre: float = 0.1, use_ema: bool = True,
                  eval_flip: bool = False, mode: str = "iteration",
                  interval: int = 1, start_point: int = 8, preload: int = 6,
-                 refresh_batch: int = 8, compute_dtype=None):
+                 refresh_batch: int = 8, compute_dtype=None,
+                 refresh_per_iter: int | None = 1):
         self.detector = detector
         self.store = store
         self.image_root = image_root
@@ -61,6 +62,15 @@ class PseudoLabelRefresher:
         self.start_point = start_point
         self.preload = preload
         self.refresh_batch = refresh_batch
+        # Reference refresh RATE (unlabel_pred_hook.py:512-529): each
+        # iteration-mode event refreshes image_list[next(runner.ITER)] —
+        # exactly ONE image per train iteration, independent of how many
+        # unlabeled images the batch consumes. None = refresh
+        # consumed_per_iter images instead (fresher labels than the
+        # reference, at consumed/refresh_per_iter x the upload bytes).
+        self.refresh_per_iter = refresh_per_iter
+        # host->device bytes pushed by refresh uploads (bench accounting)
+        self.uploaded_bytes = 0
         # bf16 teacher inference: ~f32-range exponent, boxes within decode
         # tolerance (tests/test_refresher.py bf16 test); halves HBM traffic
         # on the refresh path
@@ -233,6 +243,7 @@ class PseudoLabelRefresher:
             results = []
             for vi, v in enumerate(variants):
                 # async dispatch: no host transfer here
+                self.uploaded_bytes += v.nbytes + shapes.nbytes + sfs.nbytes
                 results.append((vi, *predict(
                     variables, jnp.asarray(v), jnp.asarray(shapes),
                     jnp.asarray(sfs))))
@@ -288,8 +299,12 @@ class PseudoLabelRefresher:
             return None
         if self.interval <= 0 or (iter_in_epoch + 1) % self.interval != 0:
             return None
-        pos = (iter_in_epoch + self.preload) * consumed_per_iter
-        names = upcoming[pos: pos + consumed_per_iter]
+        # refresh_per_iter=1 is the reference schedule (one image per
+        # event); None keeps the refresh window locked to consumption.
+        n_ref = (consumed_per_iter if self.refresh_per_iter is None
+                 else self.refresh_per_iter)
+        pos = self.preload * consumed_per_iter + iter_in_epoch * n_ref
+        names = upcoming[pos: pos + n_ref]
         if not names:
             return None
         return self.dispatch_refresh(state, names)
