@@ -19,6 +19,7 @@ model = dict(
                                          ratios=[0.5, 1.0, 2.0],
                                          strides=[8, 16, 32, 64, 128])),
     segm_head=dict(type='YOLACTSegmHead', num_classes=80, in_channels=256),
-    mask_head=dict(type='YOLACTProtonet', num_protos=32, in_channels=256),
+    mask_head=dict(type='YOLACTProtonet', num_protos=32, in_channels=256,
+                   loss_mask_weight=6.125),
     test_cfg=dict(nms_pre=1000, score_thr=0.05, iou_thr=0.5,
                   nms=dict(iou_threshold=0.5), max_per_img=100))

@@ -144,8 +144,26 @@ def paa_loss(head: PAAHead, cls_scores, bbox_preds, iou_preds, batch,
     # per-anchor joint loss score vs its candidate gt (stop-grad)
     gt0 = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned0, 0)[..., None], axis=1)
+    # loss config dicts (reference paa config :43-51: FocalLoss w1,
+    # GIoULoss w1.3, sigmoid-CE w0.5) or fail loudly
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "FocalLoss") != "FocalLoss":
+        raise NotImplementedError(
+            f"PAA loss_cls {cls_cfg.get('type')!r} unsupported")
+    bbox_cfg = dict(head.loss_bbox or {})
+    if bbox_cfg.get("type", "GIoULoss") != "GIoULoss":
+        raise NotImplementedError(
+            f"PAA loss_bbox {bbox_cfg.get('type')!r} unsupported")
+    iou_cfg = dict(head.loss_centerness or {})
+    if iou_cfg.get("type", "CrossEntropyLoss") != "CrossEntropyLoss":
+        raise NotImplementedError(
+            f"PAA loss_centerness {iou_cfg.get('type')!r} unsupported")
+    cls_lw = float(cls_cfg.get("loss_weight", 1.0))
+    bbox_lw = float(bbox_cfg.get("loss_weight", 1.3))
+    iou_lw = float(iou_cfg.get("loss_weight", 0.5))
+
     cls_l = L.sigmoid_focal_loss(flat_cls, labels0, reduction="none").sum(-1)
-    reg_l = 1.3 * (1.0 - jax.vmap(
+    reg_l = bbox_lw * (1.0 - jax.vmap(
         lambda d, g: bbox_overlaps(d, g, mode="giou", is_aligned=True))(
         decoded, gt0))
     score = jax.lax.stop_gradient(cls_l + reg_l)             # (B, A)
@@ -198,17 +216,17 @@ def paa_loss(head: PAAHead, cls_scores, bbox_preds, iou_preds, batch,
         return jax.lax.psum(x, axis_name) if axis_name else x
 
     num_pos = _psum(pos_f.sum())
-    loss_cls = L.sigmoid_focal_loss(
+    loss_cls = cls_lw * L.sigmoid_focal_loss(
         flat_cls, labels, avg_factor=jnp.maximum(num_pos, float(b)))
 
     iou_t = jax.lax.stop_gradient(jax.vmap(
         lambda d, g: bbox_overlaps(d, g, is_aligned=True))(
         decoded, gt0)) * pos_f
     denom = jnp.maximum(_psum(iou_t.sum()), 1e-6)
-    loss_bbox = 1.3 * L.giou_loss(decoded, gt0,
-                                  weight=jnp.maximum(iou_t, EPS) * pos_f,
-                                  avg_factor=denom)
-    loss_iou = 0.5 * L.binary_cross_entropy(
+    loss_bbox = bbox_lw * L.giou_loss(decoded, gt0,
+                                      weight=jnp.maximum(iou_t, EPS) * pos_f,
+                                      avg_factor=denom)
+    loss_iou = iou_lw * L.binary_cross_entropy(
         flat_iou, iou_t, weight=pos_f, avg_factor=jnp.maximum(num_pos, 1.0))
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox, loss_iou=loss_iou)
 

@@ -51,6 +51,11 @@ class RepPointsHead(nn.Module):
     use_grid_points: bool = False   # 'bbox' representation: both stages
     # regress a box and the 9 points are a regular grid on it
     # (``reppoints_head.py gen_grid_from_reg:219-251``)
+    # mmdet-style loss dicts (reference reppoints config :35-42: FocalLoss
+    # w1, SmoothL1 beta.11 w.5 init / w1 refine); unsupported types raise.
+    loss_cls: dict | None = None
+    loss_bbox_init: dict | None = None
+    loss_bbox_refine: dict | None = None
 
     @nn.compact
     def __call__(self, feats, training: bool = False):
@@ -275,17 +280,32 @@ def reppoints_loss(head: RepPointsHead, outputs, batch,
     gt_r = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned_r, 0)[..., None], axis=1)
 
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "FocalLoss") != "FocalLoss":
+        raise NotImplementedError(
+            f"RepPoints loss_cls {cls_cfg.get('type')!r} unsupported")
+    init_cfg = dict(head.loss_bbox_init or {})
+    refine_cfg = dict(head.loss_bbox_refine or {})
+    for c in (init_cfg, refine_cfg):
+        if c.get("type", "SmoothL1Loss") != "SmoothL1Loss":
+            raise NotImplementedError(
+                f"RepPoints loss_bbox {c.get('type')!r} unsupported")
+
     # reference loss_single: smooth-L1 elementwise over the (pos, 4) block
     # averaged by num_pos (NOT num_pos*4) — bbox_weights are (N, 4) ones
     norm = (head.point_base_scale * pt_strides)[None, :, None]
-    loss_pts_init = 0.5 * L.smooth_l1_loss(
-        box_init / norm, gt_i / norm, beta=0.11,
-        weight=pos_i[..., None], avg_factor=num_pos_i)
-    loss_pts_refine = 1.0 * L.smooth_l1_loss(
-        box_refine / norm, gt_r / norm, beta=0.11,
-        weight=pos_r[..., None], avg_factor=num_pos_r)
-    loss_cls = L.sigmoid_focal_loss(flat_cls, labels_r,
-                                    avg_factor=num_pos_r)
+    loss_pts_init = float(init_cfg.get("loss_weight", 0.5)) * \
+        L.smooth_l1_loss(
+            box_init / norm, gt_i / norm,
+            beta=float(init_cfg.get("beta", 0.11)),
+            weight=pos_i[..., None], avg_factor=num_pos_i)
+    loss_pts_refine = float(refine_cfg.get("loss_weight", 1.0)) * \
+        L.smooth_l1_loss(
+            box_refine / norm, gt_r / norm,
+            beta=float(refine_cfg.get("beta", 0.11)),
+            weight=pos_r[..., None], avg_factor=num_pos_r)
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * L.sigmoid_focal_loss(
+        flat_cls, labels_r, avg_factor=num_pos_r)
     return dict(loss_cls=loss_cls, loss_pts_init=loss_pts_init,
                 loss_pts_refine=loss_pts_refine)
 

@@ -165,8 +165,23 @@ def sabl_loss(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
         num_pos = jax.lax.psum(num_pos, axis_name)
     num_pos = jnp.maximum(num_pos, 1.0)
 
-    loss_cls = L.sigmoid_focal_loss(flat_cls, labels, weight=weights,
-                                    avg_factor=num_pos)
+    # honor the loss config dicts (reference sabl config :28-37: FocalLoss
+    # w1, sigmoid-CE w1.5, SmoothL1 beta 1/9 w1.5) or fail loudly
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "FocalLoss") != "FocalLoss":
+        raise NotImplementedError(
+            f"SABL loss_cls {cls_cfg.get('type')!r} unsupported")
+    bcls_cfg = dict(head.loss_bbox_cls or {})
+    if bcls_cfg.get("type", "CrossEntropyLoss") != "CrossEntropyLoss":
+        raise NotImplementedError(
+            f"SABL loss_bbox_cls {bcls_cfg.get('type')!r} unsupported")
+    breg_cfg = dict(head.loss_bbox_reg or {})
+    if breg_cfg.get("type", "SmoothL1Loss") != "SmoothL1Loss":
+        raise NotImplementedError(
+            f"SABL loss_bbox_reg {breg_cfg.get('type')!r} unsupported")
+
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * L.sigmoid_focal_loss(
+        flat_cls, labels, weight=weights, avg_factor=num_pos)
 
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
@@ -182,12 +197,15 @@ def sabl_loss(head: SABLRetinaHead, cls_scores, bucket_cls, bucket_reg,
     off_w = off_w * pos_f[..., None]
     bcls_w = bcls_w * pos_f[..., None]
 
-    loss_bbox_cls = 1.5 * L.binary_cross_entropy(
-        flat_bcls, blabels, weight=bcls_w, reduction="mean",
-        avg_factor=num_pos * 4 * sn)
-    loss_bbox_reg = 1.5 * L.smooth_l1_loss(
-        flat_breg, offsets, beta=1.0 / 9.0, weight=off_w, reduction="mean",
-        avg_factor=num_pos * 4 * head.offset_topk)
+    loss_bbox_cls = float(bcls_cfg.get("loss_weight", 1.5)) * \
+        L.binary_cross_entropy(
+            flat_bcls, blabels, weight=bcls_w, reduction="mean",
+            avg_factor=num_pos * 4 * sn)
+    loss_bbox_reg = float(breg_cfg.get("loss_weight", 1.5)) * \
+        L.smooth_l1_loss(
+            flat_breg, offsets, beta=float(breg_cfg.get("beta", 1.0 / 9.0)),
+            weight=off_w, reduction="mean",
+            avg_factor=num_pos * 4 * head.offset_topk)
     return dict(loss_cls=loss_cls, loss_bbox_cls=loss_bbox_cls,
                 loss_bbox_reg=loss_bbox_reg)
 

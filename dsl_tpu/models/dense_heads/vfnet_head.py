@@ -69,6 +69,12 @@ class VFNetHead(nn.Module):
     loss_bbox_refine_weight: float = 2.0
     dcn_on_last_conv: bool = False   # DCNv2 on the towers' last conv
     # (``anchor_free_head.py _init_cls_convs``; vfnet *mdconv* configs)
+    # mmdet-style loss dicts (reference vfnet config :37-45: VarifocalLoss
+    # w1, GIoULoss w1.5 / refine w2.0) — when set, they override the scalar
+    # weight fields above; unsupported types raise in vfnet_loss.
+    loss_cls: dict | None = None
+    loss_bbox: dict | None = None
+    loss_bbox_refine: dict | None = None
 
     def make_anchor_generator(self) -> AnchorGenerator:
         return AnchorGenerator(strides=list(self.strides), ratios=(1.0,),
@@ -199,17 +205,32 @@ def vfnet_loss(head: VFNetHead, cls_scores, bbox_preds, bbox_refines, batch,
     iou_ref = jax.lax.stop_gradient(jax.vmap(
         lambda d, g: bbox_overlaps(d, g, is_aligned=True))(dec_ref, gt)) * pos
 
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "VarifocalLoss") != "VarifocalLoss":
+        raise NotImplementedError(
+            f"VFNet loss_cls {cls_cfg.get('type')!r} unsupported")
+    bbox_cfg = dict(head.loss_bbox or {})
+    refine_cfg = dict(head.loss_bbox_refine or {})
+    for c in (bbox_cfg, refine_cfg):
+        if c.get("type", "GIoULoss") != "GIoULoss":
+            raise NotImplementedError(
+                f"VFNet loss_bbox {c.get('type')!r} unsupported")
+    bbox_lw = float(bbox_cfg.get("loss_weight", head.loss_bbox_weight))
+    refine_lw = float(refine_cfg.get("loss_weight",
+                                     head.loss_bbox_refine_weight))
+
     denom_ini = jnp.maximum(_psum(iou_ini.sum()), 1e-6)
     denom_ref = jnp.maximum(_psum(iou_ref.sum()), 1e-6)
-    loss_bbox = head.loss_bbox_weight * L.giou_loss(
+    loss_bbox = bbox_lw * L.giou_loss(
         dec_ini, gt, weight=iou_ini, avg_factor=denom_ini)
-    loss_bbox_rf = head.loss_bbox_refine_weight * L.giou_loss(
+    loss_bbox_rf = refine_lw * L.giou_loss(
         dec_ref, gt, weight=iou_ref, avg_factor=denom_ref)
 
     # IoU-aware cls targets: refined IoU at the assigned class (ref :lossvfl)
     onehot = jax.nn.one_hot(jnp.clip(labels, 0, nc - 1), nc)
     cls_t = onehot * iou_ref[..., None] * pos[..., None]
-    loss_cls = L.varifocal_loss(flat_cls, cls_t, avg_factor=num_pos)
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * L.varifocal_loss(
+        flat_cls, cls_t, avg_factor=num_pos)
     return dict(loss_cls=loss_cls, loss_bbox=loss_bbox,
                 loss_bbox_rf=loss_bbox_rf)
 

@@ -96,6 +96,9 @@ class YOLACTProtonet(nn.Module):
     num_protos: int = 32
     in_channels: int = 256
     proto_channels: Sequence[int] = (256, 256, 256)
+    # reference yolact config :59 ``loss_mask_weight=6.125`` — scales the
+    # per-instance mask BCE (``YOLACTProtonet.loss:790``)
+    loss_mask_weight: float = 6.125
 
     @nn.compact
     def __call__(self, x):
@@ -178,10 +181,14 @@ def _crop_mask(mask, box, img_hw):
     return mask * inside
 
 
-def yolact_loss(head, outputs, batch, axis_name=None):
+def yolact_loss(head, outputs, batch, axis_name=None,
+                mask_weight: float = 6.125):
     """Box/cls OHEM loss + protonet mask loss + segm loss
     (reference ``YOLACTHead.loss`` :137-258, ``loss_single_OHEM`` :260-303,
-    ``YOLACTProtonet.loss`` :734-806, ``YOLACTSegmHead.loss`` :512-545)."""
+    ``YOLACTProtonet.loss`` :734-806, ``YOLACTSegmHead.loss`` :512-545).
+
+    ``mask_weight`` is the protonet's ``loss_mask_weight`` (config 6.125),
+    passed in by the dispatch from ``detector.proto_head``."""
     cls_scores, bbox_preds, coeff_preds, protos, segm_pred = outputs
     if not head.use_ohem:
         # the reference config always trains with OHEM (yolact_r50_1x8_coco
@@ -226,15 +233,28 @@ def yolact_loss(head, outputs, batch, axis_name=None):
                    1, a - 1)
     thresh = jnp.take_along_axis(sorted_neg, idx[:, None], axis=1)
     keep_neg = neg_mask & (neg_loss > thresh)
+    # honor loss dicts (reference yolact config :44-49: softmax-CE w1,
+    # SmoothL1 beta 1 w1.5) or fail loudly
+    cls_cfg = dict(head.loss_cls or {})
+    if cls_cfg.get("type", "CrossEntropyLoss") != "CrossEntropyLoss" or \
+            cls_cfg.get("use_sigmoid", False):
+        raise NotImplementedError(
+            f"YOLACT loss_cls {cls_cfg.get('type')!r} unsupported")
+    bbox_cfg = dict(head.loss_bbox or {})
+    if bbox_cfg.get("type", "SmoothL1Loss") != "SmoothL1Loss":
+        raise NotImplementedError(
+            f"YOLACT loss_bbox {bbox_cfg.get('type')!r} unsupported")
+
     cls_w = pos_f + keep_neg.astype(jnp.float32)
-    loss_cls = jnp.sum(ce * cls_w) / num_pos
+    loss_cls = float(cls_cfg.get("loss_weight", 1.0)) * \
+        jnp.sum(ce * cls_w) / num_pos
 
     gt = jnp.take_along_axis(
         batch["gt_bboxes"], jnp.maximum(assigned, 0)[..., None], axis=1)
     tgt = bbox2delta(anchors[None], gt, head.target_means, head.target_stds)
-    loss_bbox = 1.5 * L.smooth_l1_loss(flat_reg, tgt, beta=1.0,
-                                       weight=pos_f[..., None],
-                                       avg_factor=num_pos)
+    loss_bbox = float(bbox_cfg.get("loss_weight", 1.5)) * L.smooth_l1_loss(
+        flat_reg, tgt, beta=float(bbox_cfg.get("beta", 1.0)),
+        weight=pos_f[..., None], avg_factor=num_pos)
     losses = dict(loss_cls=loss_cls, loss_bbox=loss_bbox)
 
     img_hw = (batch["images"].shape[1], batch["images"].shape[2])
@@ -265,7 +285,7 @@ def yolact_loss(head, outputs, batch, axis_name=None):
     bh = jnp.maximum(sel_boxes[..., 3] - sel_boxes[..., 1], 1.0) / img_hw[0]
     per_inst = bce.mean(axis=(2, 3)) / bw / bh              # (B, N)
     total_sel = jnp.maximum(_psum(sel_valid.astype(jnp.float32).sum()), 1.0)
-    losses["loss_mask"] = jnp.sum(
+    losses["loss_mask"] = mask_weight * jnp.sum(
         per_inst * sel_valid.astype(jnp.float32)) / total_sel
 
     # ---- segm head loss: per-class union target ----

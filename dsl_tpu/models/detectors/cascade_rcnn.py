@@ -39,6 +39,12 @@ class CascadeRCNN(nn.Module):
     mask_head: nn.Module = None          # Cascade Mask R-CNN when set
     train_cfg: Any = None
     test_cfg: Any = None
+    # reference ``_base_/models/cascade_rcnn_r50_fpn.py`` roi_head
+    # ``stage_loss_weights=[1, 0.5, 0.25]`` + the per-stage assigner IoU
+    # ladder from train_cfg.rcnn — config-read (model-dict keys), defaults
+    # to the reference values.
+    stage_loss_weights: Sequence[float] = CASCADE_WEIGHTS
+    stage_ious: Sequence[float] = CASCADE_IOUS
 
     def extract_feat(self, images):
         return self.neck(self.backbone(images))
@@ -73,6 +79,17 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
     heads = tuple(heads)
     mask_cfg = cfg.pop("mask_head", None)
     mask_head = build_from_cfg(mask_cfg, MODELS) if mask_cfg else None
+    n_stages = len(heads)
+    common = dict(
+        stage_loss_weights=tuple(
+            cfg.pop("stage_loss_weights", CASCADE_WEIGHTS[:n_stages])),
+        stage_ious=tuple(cfg.pop("stage_ious", CASCADE_IOUS[:n_stages])),
+        test_cfg=cfg.pop("test_cfg", None),
+        train_cfg=cfg.pop("train_cfg", None))
+    if len(common["stage_loss_weights"]) != n_stages or \
+            len(common["stage_ious"]) != n_stages:
+        raise ValueError(
+            f"stage_loss_weights/stage_ious must have {n_stages} entries")
     if det_type == "SCNet":
         return SCNet(backbone=backbone, neck=neck, rpn_head=rpn,
                      bbox_heads=heads, mask_head=mask_head,
@@ -82,8 +99,7 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
                                                 MODELS),
                      relay_head=build_from_cfg(cfg.pop("relay_head"),
                                                MODELS),
-                     test_cfg=cfg.pop("test_cfg", None),
-                     train_cfg=cfg.pop("train_cfg", None))
+                     **common)
     if det_type == "HybridTaskCascade" or det_type == "HTC":
         mask_heads = tuple(build_from_cfg(dict(c), MODELS)
                            for c in cfg.pop("mask_heads"))
@@ -91,13 +107,9 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
         semantic = build_from_cfg(sem_cfg, MODELS) if sem_cfg else None
         return HTC(backbone=backbone, neck=neck, rpn_head=rpn,
                    bbox_heads=heads, mask_heads=mask_heads,
-                   semantic_head=semantic,
-                   test_cfg=cfg.pop("test_cfg", None),
-                   train_cfg=cfg.pop("train_cfg", None))
+                   semantic_head=semantic, **common)
     return CascadeRCNN(backbone=backbone, neck=neck, rpn_head=rpn,
-                      bbox_heads=heads, mask_head=mask_head,
-                      test_cfg=cfg.pop("test_cfg", None),
-                      train_cfg=cfg.pop("train_cfg", None))
+                      bbox_heads=heads, mask_head=mask_head, **common)
 
 
 def _decode_stage(head, proposals, reg, labels=None):
@@ -147,7 +159,7 @@ def _stage_rcnn_kw(detector, stage: int, num_samples: int | None):
     elif rc is not None:
         kw = parse_rcnn_train_cfg(tc)
     else:
-        iou = CASCADE_IOUS[stage]
+        iou = detector.stage_ious[stage]
         kw = dict(num_samples=512, pos_fraction=0.25,
                   add_gt_as_proposals=True, pos_iou_thr=iou,
                   neg_iou_thr=iou, min_pos_iou=iou,
@@ -203,8 +215,9 @@ def cascade_rcnn_loss(detector, variables, batch, rng_key=None,
 
             lm, _, _ = _mask_branch_loss(detector, variables, feats, samples,
                                          batch, num_samples=num_samples)
-            losses[f"s{stage}.loss_mask"] = lm * CASCADE_WEIGHTS[stage]
-        w = CASCADE_WEIGHTS[stage]
+            losses[f"s{stage}.loss_mask"] = (
+                lm * detector.stage_loss_weights[stage])
+        w = detector.stage_loss_weights[stage]
         for k, v in stage_losses.items():
             key = f"s{stage}.{k}"
             losses[key] = v * w if "loss" in k else v
@@ -427,7 +440,7 @@ def htc_loss(detector, variables, batch, rng_key=None,
 
     keys = jax.random.split(rng_key, len(detector.bbox_heads))
     for stage, head in enumerate(detector.bbox_heads):
-        w = CASCADE_WEIGHTS[stage]
+        w = detector.stage_loss_weights[stage]
 
         def roi_apply(v, rf, _stage=stage):
             return detector.apply(v, rf, _stage,
@@ -625,7 +638,7 @@ def scnet_loss(detector, variables, batch, rng_key=None,
     samples = None
     b = proposals.shape[0]
     for stage, head in enumerate(detector.bbox_heads):
-        w = CASCADE_WEIGHTS[stage]
+        w = detector.stage_loss_weights[stage]
         samples = sample_batch_rois(
             proposals, prop_valid, batch, keys[stage], head.num_classes,
             **_stage_rcnn_kw(detector, stage, num_samples))

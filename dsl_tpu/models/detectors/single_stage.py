@@ -248,6 +248,21 @@ def init_detector_variables(detector, rng, images):
 
     if isinstance(detector, TwoStageDetector):
         return init_two_stage_variables(detector, rng, images)
+    if type(detector).__name__ == "SparseRCNN":
+        from dsl_tpu.models.roi_heads.sparse_rcnn import (
+            init_sparse_rcnn_variables)
+
+        return init_sparse_rcnn_variables(detector, rng, images)
+    if type(detector).__name__ == "FastRCNN":
+        variables = {k: dict(v)
+                     for k, v in detector.init(rng, images).items()}
+        bh = detector.bbox_head
+        rf = jnp.zeros((1, bh.roi_size, bh.roi_size, bh.in_channels))
+        sv = detector.init(jax.random.fold_in(rng, 1), rf,
+                           method=detector.roi_forward)
+        for col, tree in sv.items():
+            variables.setdefault(col, {}).update(tree)
+        return variables
     if type(detector).__name__ in ("CascadeRCNN", "HTC",
                                    "HybridTaskCascade", "SCNet"):
         variables = {k: dict(v)
@@ -347,6 +362,24 @@ def detector_loss(detector, variables, batch, cur_iter=0,
 
     from dsl_tpu.models.detectors.two_stage import (
         TwoStageDetector, two_stage_loss)
+
+    det_name = type(detector).__name__
+    if det_name in ("CascadeRCNN", "HTC", "HybridTaskCascade", "SCNet",
+                    "SparseRCNN"):
+        import jax
+
+        rng = jax.random.fold_in(jax.random.PRNGKey(0),
+                                 jnp.asarray(cur_iter, jnp.uint32))
+        if det_name == "SparseRCNN":
+            from dsl_tpu.models.roi_heads.sparse_rcnn import sparse_rcnn_loss
+
+            return sparse_rcnn_loss(detector, variables, batch, rng_key=rng)
+        from dsl_tpu.models.detectors.cascade_rcnn import (
+            cascade_rcnn_loss, htc_loss, scnet_loss)
+
+        fn = {"CascadeRCNN": cascade_rcnn_loss, "HTC": htc_loss,
+              "HybridTaskCascade": htc_loss, "SCNet": scnet_loss}[det_name]
+        return fn(detector, variables, batch, rng_key=rng)
 
     if isinstance(detector, TwoStageDetector):
         import jax
@@ -474,7 +507,10 @@ def detector_loss(detector, variables, batch, cur_iter=0,
     elif type(head).__name__ == "YOLACTHead":
         from dsl_tpu.models.dense_heads.yolact_head import yolact_loss
 
-        losses = yolact_loss(head, outputs, batch, axis_name=axis_name)
+        losses = yolact_loss(
+            head, outputs, batch, axis_name=axis_name,
+            mask_weight=float(getattr(detector.proto_head,
+                                      "loss_mask_weight", 6.125)))
     elif type(head).__name__ == "CornerHead":
         from dsl_tpu.models.dense_heads.corner_head import corner_loss
 
@@ -504,6 +540,26 @@ def detector_predict(detector, variables, images, img_shapes=None,
 
     from dsl_tpu.models.detectors.two_stage import (
         TwoStageDetector, two_stage_predict)
+
+    det_name = type(detector).__name__
+    if det_name in ("CascadeRCNN", "HTC", "HybridTaskCascade", "SCNet",
+                    "SparseRCNN"):
+        if det_name == "SparseRCNN":
+            from dsl_tpu.models.roi_heads.sparse_rcnn import (
+                sparse_rcnn_predict)
+
+            return sparse_rcnn_predict(detector, variables, images,
+                                       img_shapes=img_shapes,
+                                       scale_factors=scale_factors,
+                                       test_cfg=test_cfg)
+        from dsl_tpu.models.detectors.cascade_rcnn import (
+            cascade_rcnn_predict, htc_predict, scnet_predict)
+
+        fn = {"CascadeRCNN": cascade_rcnn_predict, "HTC": htc_predict,
+              "HybridTaskCascade": htc_predict,
+              "SCNet": scnet_predict}[det_name]
+        return fn(detector, variables, images, img_shapes=img_shapes,
+                  scale_factors=scale_factors, test_cfg=test_cfg)
 
     if isinstance(detector, TwoStageDetector):
         if type(detector).__name__ == "GridRCNN":

@@ -97,6 +97,11 @@ class DIIHead(nn.Module):
     dynamic_feat_channels: int = 64
     target_means: Sequence[float] = (0.0, 0.0, 0.0, 0.0)
     target_stds: Sequence[float] = (0.5, 0.5, 1.0, 1.0)
+    # mmdet-style loss dicts (reference sparse config :60-67: FocalLoss w2,
+    # L1Loss w5, GIoULoss w2) — read by ``sparse_rcnn_loss``
+    loss_cls: dict | None = None
+    loss_bbox: dict | None = None
+    loss_iou: dict | None = None
 
     @nn.compact
     def __call__(self, roi_feats, proposal_feats):
@@ -212,12 +217,33 @@ def _stage_forward(detector, variables, feats, proposals, proposal_feats,
 
 
 def sparse_rcnn_loss(detector, variables, batch, rng_key=None,
-                     cost_cls: float = 2.0, cost_bbox: float = 5.0,
-                     cost_iou: float = 2.0, loss_cls_w: float = 2.0,
-                     loss_bbox_w: float = 5.0, loss_iou_w: float = 2.0,
+                     cost_cls=None, cost_bbox=None, cost_iou=None,
+                     loss_cls_w=None, loss_bbox_w=None, loss_iou_w=None,
                      axis_name=None):
     """Per-stage Hungarian set-prediction losses (reference
-    ``sparse_roi_head.py forward_train`` + DIIHead.loss)."""
+    ``sparse_roi_head.py forward_train`` + DIIHead.loss).
+
+    Weights default to the config-read values: assigner costs from
+    ``train_cfg['assigner']`` (reference sparse config :81-84, 2/5/2) and
+    loss weights from the first DIIHead's loss dicts (:60-67, 2/5/2)."""
+    tc = dict(detector.train_cfg or {})
+    assigner = dict(tc.get("assigner", {}) or {})
+    h0 = detector.bbox_heads[0]
+
+    def _w(given, cfg, key, default):
+        if given is not None:
+            return float(given)
+        return float(dict(cfg or {}).get(key, default))
+
+    cost_cls = _w(cost_cls, assigner.get("cls_cost"), "weight", 2.0)
+    cost_bbox = _w(cost_bbox, assigner.get("reg_cost"), "weight", 5.0)
+    cost_iou = _w(cost_iou, assigner.get("iou_cost"), "weight", 2.0)
+    loss_cls_w = _w(loss_cls_w, getattr(h0, "loss_cls", None),
+                    "loss_weight", 2.0)
+    loss_bbox_w = _w(loss_bbox_w, getattr(h0, "loss_bbox", None),
+                     "loss_weight", 5.0)
+    loss_iou_w = _w(loss_iou_w, getattr(h0, "loss_iou", None),
+                    "loss_weight", 2.0)
     feats = detector.apply(variables, batch["images"], training=True)
     b = batch["images"].shape[0]
     img_shapes = batch.get("img_shapes")
