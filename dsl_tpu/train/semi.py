@@ -76,6 +76,9 @@ class PseudoLabelRefresher:
         # on the refresh path
         self.compute_dtype = compute_dtype
         self._first_done = False
+        # first iteration-mode event = full epoch-manner refresh
+        # (reference iter_fuse_flag, unlabel_pred_hook.py:459-469)
+        self._iter_fuse_done = False
         # Reference semantics (unlabel_pred_hook.py:383): first_ignore starts
         # True unless first_fuse; while fuse_history and first_ignore, the
         # refresh writes only the new detections (old boxes ignored), then
@@ -299,6 +302,15 @@ class PseudoLabelRefresher:
             return None
         if self.interval <= 0 or (iter_in_epoch + 1) % self.interval != 0:
             return None
+        if not self._iter_fuse_done:
+            # The reference's FIRST iteration-mode event refreshes the
+            # ENTIRE unlabeled set — "the first fuse will be the same as
+            # epoch manner" (unlabel_pred_hook.py:459-469) — then switches
+            # to the per-iteration schedule. first_score_thre/first_ignore
+            # bookkeeping rides along in dispatch_refresh.
+            self._iter_fuse_done = True
+            return self.dispatch_refresh(
+                state, [i["filename"] for i in self.image_infos])
         # refresh_per_iter=1 is the reference schedule (one image per
         # event); None keeps the refresh window locked to consumption.
         n_ref = (consumed_per_iter if self.refresh_per_iter is None

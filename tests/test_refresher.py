@@ -72,11 +72,24 @@ def test_iteration_mode_preload_lookahead(env):
     r, calls = _make_refresher(img_dir, store, infos, mode="iteration",
                                start_point=1, interval=1, preload=1)
     upcoming = ["u0.jpg", "u1.jpg", "u2.jpg", "u3.jpg"]
-    # iter 0 with preload 1, 1 consumed/iter -> refreshes position 1
+    # FIRST iteration-mode event refreshes the ENTIRE unlabeled set —
+    # "the first fuse will be the same as epoch manner"
+    # (reference unlabel_pred_hook.py:459-469, iter_fuse_flag)
     r.after_train_iter(FakeState(), epoch=0, upcoming=upcoming,
                        iter_in_epoch=0, consumed_per_iter=1)
-    assert store.read("u1.jpg")["targetNum"] == 1
-    assert store.read("u0.jpg")["targetNum"] == 0
+    for name in ("u0.jpg", "u1.jpg", "u2.jpg"):
+        assert store.read(name)["targetNum"] == 1, name
+
+    # subsequent events use the look-ahead pointer (preload 1, 1/iter)
+    r2, _ = _make_refresher(img_dir, store, infos, mode="iteration",
+                            start_point=1, interval=1, preload=1)
+    r2._iter_fuse_done = True
+    store2_before = store.read("u0.jpg")["targetNum"]
+    r2.after_train_iter(FakeState(), epoch=0, upcoming=upcoming,
+                        iter_in_epoch=1, consumed_per_iter=1)
+    # iter 1 with preload 1, refresh_per_iter 1 -> position 2 only
+    assert store.read("u2.jpg")["targetNum"] == 1
+    assert store.read("u0.jpg")["targetNum"] == store2_before
 
 
 def test_iteration_mode_start_point_gates(env):
