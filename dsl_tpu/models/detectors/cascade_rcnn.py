@@ -47,7 +47,13 @@ class CascadeRCNN(nn.Module):
     stage_ious: Sequence[float] = CASCADE_IOUS
 
     def extract_feat(self, images):
-        return self.neck(self.backbone(images))
+        feats = self.backbone(images)
+        if type(self.neck).__name__ == "RFP":
+            # DetectoRS-HTC/Cascade: the RFP neck reruns its own backbone
+            # copy recursively and needs the input image (two_stage.py
+            # DetectoRS.extract_feat contract)
+            return self.neck((images,) + tuple(feats))
+        return self.neck(feats)
 
     def __call__(self, images, training: bool = False):
         feats = self.extract_feat(images)
@@ -100,7 +106,9 @@ def build_cascade_rcnn(cfg: dict) -> CascadeRCNN:
                      relay_head=build_from_cfg(cfg.pop("relay_head"),
                                                MODELS),
                      **common)
-    if det_type == "HybridTaskCascade" or det_type == "HTC":
+    if det_type in ("HybridTaskCascade", "HTC") or "mask_heads" in cfg:
+        # route by config shape too: DetectoRS-HTC keeps type='DetectoRS'
+        # but carries the HTC head lists (reference detectors_htc configs)
         mask_heads = tuple(build_from_cfg(dict(c), MODELS)
                            for c in cfg.pop("mask_heads"))
         sem_cfg = cfg.pop("semantic_head", None)

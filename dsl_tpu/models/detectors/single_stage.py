@@ -387,6 +387,10 @@ def detector_loss(detector, variables, batch, cur_iter=0,
         # roi sampling rng is deterministic per step (cur_iter may be traced)
         rng = jax.random.fold_in(jax.random.PRNGKey(0),
                                  jnp.asarray(cur_iter, jnp.uint32))
+        if det_name == "TridentFasterRCNN":
+            from dsl_tpu.models.detectors.two_stage import trident_loss
+
+            return trident_loss(detector, variables, batch, rng_key=rng)
         return two_stage_loss(detector, variables, batch, rng_key=rng)
 
     fwd_vars, images = to_compute(variables, batch["images"], compute_dtype)

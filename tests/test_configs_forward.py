@@ -90,7 +90,7 @@ FLAGSHIPS = {
     "ms_rcnn": ("ms_rcnn_r50_caffe_fpn_1x_coco.py", None, 64),
     "nas_fcos": ("nas_fcos_fcoshead_r50_caffe_fpn_gn-head_4x4_1x_coco.py",
                  None, 64),
-    "nas_fpn": ("retinanet_r50_nasfpn_crop640_50e_coco.py", None, 64),
+    "nas_fpn": ("retinanet_r50_nasfpn_crop640_50e_coco.py", None, 128),
     "paa": ("paa_r50_fpn_1x_coco.py", None, 64),
     "pafpn": ("faster_rcnn_r50_pafpn_1x_coco.py", None, 64),
     "pascal_voc": ("faster_rcnn_r50_fpn_1x_voc0712.py", None, 64),
@@ -143,6 +143,8 @@ def _make_batch(b, size, num_classes):
     crops = np.zeros((b, k, m, m), np.uint8)
     crops[:, 0] = 1
     crops[:, 1, :, :m // 2] = 1
+    box_area = ((gt[..., 2] - gt[..., 0]) * (gt[..., 3] - gt[..., 1]))
+    mask_areas = crops.mean((2, 3)).astype(np.float32) * box_area
     return dict(
         images=jnp.asarray(rng.rand(b, size, size, 3), jnp.float32),
         gt_bboxes=jnp.asarray(gt),
@@ -151,6 +153,7 @@ def _make_batch(b, size, num_classes):
         ignore_bboxes=jnp.zeros((b, 2, 4), jnp.float32),
         ignore_valid=jnp.zeros((b, 2), bool),
         gt_mask_crops=jnp.asarray(crops),
+        gt_mask_areas=jnp.asarray(mask_areas),
         img_shapes=jnp.asarray([[size, size]] * b, jnp.float32),
         scale_factors=jnp.ones((b, 4), jnp.float32),
     )
