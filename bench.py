@@ -105,10 +105,13 @@ def main():
     # - fresh-labels: refresh every consumed unlabeled image (4/iter at
     #   bs8 1:1) — fresher teachers than the reference at 4x the bytes;
     #   this was the (upload-bound) r3 headline mode.
-    loop_img_per_sec, upload_mb, infer_img_per_sec = _semi_loop_bench(
+    # NOTE: jstep donates the state buffers, so each loop returns the live
+    # state for the next caller (reusing the pre-donation tree is a
+    # use-after-free on device).
+    loop_img_per_sec, upload_mb, infer_img_per_sec, state = _semi_loop_bench(
         jax, jnp, det, jstep, state, batch, batch_size, iters=30,
         refresh_per_iter=1, refresh_batch=1)
-    loop4_img_per_sec, upload4_mb, _ = _semi_loop_bench(
+    loop4_img_per_sec, upload4_mb, _, state = _semi_loop_bench(
         jax, jnp, det, jstep, state, batch, batch_size, iters=30,
         refresh_per_iter=None, refresh_batch=4, skip_infer_bench=True)
 
@@ -201,7 +204,7 @@ def _semi_loop_bench(jax, jnp, det, jstep, state, batch, batch_size,
     upload_mb_per_iter = refresher.uploaded_bytes / iters / 1e6
 
     if skip_infer_bench:
-        return loop_img_per_sec, upload_mb_per_iter, float("nan")
+        return loop_img_per_sec, upload_mb_per_iter, float("nan"), state
 
     # ---- bare bf16 inference throughput on a bs8 jitted u8 predict ------
     big = PseudoLabelRefresher(
@@ -225,7 +228,7 @@ def _semi_loop_bench(jax, jnp, det, jstep, state, batch, batch_size,
     np.asarray(dets)                      # chain-forcing fetch
     dt = _time.perf_counter() - t0
     infer_img_per_sec = 8 * n_inf / dt
-    return loop_img_per_sec, upload_mb_per_iter, infer_img_per_sec
+    return loop_img_per_sec, upload_mb_per_iter, infer_img_per_sec, state
 
 
 if __name__ == "__main__":

@@ -159,7 +159,11 @@ class PseudoLabelRefresher:
         # donation. The jitted copy (one dispatch, fresh output buffers,
         # ~1 ms of HBM traffic) pins a teacher snapshot the worker can use
         # at any time.
-        variables = self._get_copy_fn()(variables)
+        copy_fn = self._get_copy_fn()
+        try:
+            variables = copy_fn(variables)
+        except Exception:       # transient relay INVALID_ARGUMENT on eager
+            variables = copy_fn(variables)      # dispatch storms — retry once
 
         fuse = self.fuse_history
         first_ignore = self._first_ignore
