@@ -113,6 +113,78 @@ FAMILIES = {
         test_cfg=dict(corner_topk=12, local_maximum_kernel=3,
                       distance_threshold=0.5, score_thr=0.02,
                       nms=dict(iou_threshold=0.5), max_per_img=10)),
+    "htc": dict(
+        type="HTC", backbone=R18, neck=FPN18, rpn_head=RPN32,
+        bbox_heads=[_shared2fc((0.1, 0.1, 0.2, 0.2)),
+                    _shared2fc((0.05, 0.05, 0.1, 0.1)),
+                    _shared2fc((0.033, 0.033, 0.067, 0.067))],
+        mask_heads=[
+            dict(type="HTCMaskHead", num_classes=4, in_channels=32,
+                 conv_out_channels=32, num_convs=1, roi_size=14,
+                 with_conv_res=False),
+            dict(type="HTCMaskHead", num_classes=4, in_channels=32,
+                 conv_out_channels=32, num_convs=1, roi_size=14),
+            dict(type="HTCMaskHead", num_classes=4, in_channels=32,
+                 conv_out_channels=32, num_convs=1, roi_size=14)],
+        semantic_head=dict(type="FusedSemanticHead", num_ins=5,
+                           fusion_level=1, num_convs=1, in_channels=32,
+                           conv_out_channels=32, num_classes=6,
+                           loss_weight=0.2),
+        test_cfg=TEST_RCNN),
+    "sparse_rcnn": dict(
+        type="SparseRCNN", backbone=R18,
+        neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=0, num_outs=4),
+        rpn_head=dict(type="EmbeddingRPNHead", num_proposals=16,
+                      proposal_feature_channel=32),
+        bbox_heads=[dict(type="DIIHead", num_classes=4, in_channels=32,
+                         roi_size=7, num_heads=2, feedforward_channels=64,
+                         num_cls_fcs=1, num_reg_fcs=1,
+                         dynamic_feat_channels=16) for _ in range(2)],
+        test_cfg=dict(max_per_img=10, score_thr=0.0)),
+    "yolact": dict(
+        type="YOLACT", backbone=R18,
+        neck=dict(type="FPN", in_channels=[64, 128, 256, 512],
+                  out_channels=32, start_level=1, num_outs=5,
+                  add_extra_convs="on_input",
+                  upsample_cfg=dict(mode="bilinear")),
+        bbox_head=dict(type="YOLACTHead", num_classes=4, in_channels=32,
+                       feat_channels=32, num_head_convs=1, num_protos=8),
+        segm_head=dict(type="YOLACTSegmHead", num_classes=4,
+                       in_channels=32),
+        mask_head=dict(type="YOLACTProtonet", num_protos=8, in_channels=32,
+                       proto_channels=(16, 16, 16)),
+        test_cfg=dict(nms_pre=100, score_thr=0.02, iou_thr=0.5,
+                      nms=dict(iou_threshold=0.5), max_per_img=10)),
+    "vfnet": dict(
+        type="VFNet", backbone=R18, neck=FPN18_P3,
+        bbox_head=dict(type="VFNetHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128]),
+        test_cfg=dict(score_thr=0.02, nms=dict(iou_threshold=0.5),
+                      max_per_img=10)),
+    "paa": dict(
+        type="PAA", backbone=R18, neck=FPN18_P3,
+        bbox_head=dict(type="PAAHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128], topk=4),
+        test_cfg=dict(score_thr=0.02, nms=dict(iou_threshold=0.5),
+                      max_per_img=10)),
+    "fcos_rla": dict(
+        type="FCOS",
+        backbone=dict(type="RLA_ResNet", layers=[1, 1, 1, 1],
+                      frozen_stages=1),
+        neck=dict(type="FPN", in_channels=[256, 512, 1024, 2048],
+                  out_channels=32, start_level=1,
+                  add_extra_convs="on_output", num_outs=5,
+                  relu_before_extra_convs=True),
+        bbox_head=dict(type="FCOSHead", num_classes=4, in_channels=32,
+                       stacked_convs=1, feat_channels=32,
+                       strides=[8, 16, 32, 64, 128], norm_on_bbox=True,
+                       centerness_on_reg=True, center_sampling=True,
+                       conv_bias=True),
+        test_cfg=dict(nms_pre=100, score_thr=0.02,
+                      nms=dict(iou_threshold=0.5), max_per_img=10)),
 }
 
 
