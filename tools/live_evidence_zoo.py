@@ -187,6 +187,222 @@ FAMILIES = {
                       nms=dict(iou_threshold=0.5), max_per_img=10)),
 }
 
+FPN18_P3_IN = dict(type="FPN", in_channels=[64, 128, 256, 512],
+                   out_channels=32, start_level=1,
+                   add_extra_convs="on_input", num_outs=5)
+DENSE_TEST = dict(nms_pre=100, score_thr=0.02,
+                  nms=dict(iou_threshold=0.5), max_per_img=10)
+TINY_HOURGLASS = dict(type="HourglassNet", downsample_times=3, num_stacks=2,
+                      stage_channels=[16, 16, 24, 24], feat_channel=16,
+                      stage_blocks=[1, 1, 1, 1])
+# HRNet-W8-ish: one module per stage, (8,16,32,64) branch widths
+TINY_HR_EXTRA = dict(
+    stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK",
+                num_blocks=(1,), num_channels=(16,)),
+    stage2=dict(num_modules=1, num_branches=2, block="BASIC",
+                num_blocks=(1, 1), num_channels=(8, 16)),
+    stage3=dict(num_modules=1, num_branches=3, block="BASIC",
+                num_blocks=(1, 1, 1), num_channels=(8, 16, 32)),
+    stage4=dict(num_modules=1, num_branches=4, block="BASIC",
+                num_blocks=(1, 1, 1, 1), num_channels=(8, 16, 32, 64)))
+
+# Tranche 2 (round 4): every remaining family whose op mix differs on-chip
+# (DCN offsets, CARAFE reassembly, corner/centripetal pools, grid/point
+# sampling, RFP recursion, trident branches, HRNet multi-resolution fusion).
+FAMILIES.update(
+    ssd=dict(
+        type="SSD",
+        backbone=dict(type="MobileNetV2", out_indices=(1, 2, 4, 6)),
+        neck=dict(type="FPN", in_channels=[24, 32, 96, 320],
+                  out_channels=32, start_level=0,
+                  add_extra_convs="on_output", num_outs=5),
+        bbox_head=dict(type="SSDHead", num_classes=4,
+                       strides=[4, 8, 16, 32, 64], anchor_scales=[4.0]),
+        test_cfg=dict(nms_pre=100, score_thr=0.02,
+                      nms=dict(iou_threshold=0.45), max_per_img=10)),
+    centernet=dict(
+        type="CenterNet",
+        backbone=dict(type="ResNet", depth=18, out_indices=(3,)),
+        neck=dict(type="CTResNetNeck", in_channel=512,
+                  num_deconv_filters=(64, 32, 32),
+                  num_deconv_kernels=(4, 4, 4), use_dcn=True),
+        bbox_head=dict(type="CenterNetHead", num_classes=4, in_channels=32,
+                       feat_channels=32),
+        test_cfg=dict(score_thr=0.02, max_per_img=10)),
+    centripetalnet=dict(
+        type="CentripetalNet", backbone=TINY_HOURGLASS,
+        bbox_head=dict(type="CentripetalHead", num_classes=4,
+                       in_channels=16, num_feat_levels=2,
+                       corner_emb_channels=0),
+        test_cfg=dict(corner_topk=12, local_maximum_kernel=3,
+                      distance_threshold=0.5, score_thr=0.02,
+                      nms=dict(iou_threshold=0.5), max_per_img=10)),
+    reppoints=dict(
+        type="RepPointsDetector", backbone=R18, neck=FPN18_P3_IN,
+        bbox_head=dict(type="RepPointsHead", num_classes=4, in_channels=32,
+                       feat_channels=32, point_feat_channels=32,
+                       stacked_convs=1, strides=[8, 16, 32, 64, 128]),
+        test_cfg=DENSE_TEST),
+    fsaf=dict(
+        type="FSAF", backbone=R18, neck=FPN18_P3_IN,
+        bbox_head=dict(type="FSAFHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128]),
+        test_cfg=DENSE_TEST),
+    foveabox=dict(
+        type="FOVEA", backbone=R18, neck=FPN18_P3_IN,
+        bbox_head=dict(type="FoveaHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128]),
+        test_cfg=DENSE_TEST),
+    free_anchor=dict(
+        type="RetinaNet", backbone=R18, neck=FPN18_P3_IN,
+        bbox_head=dict(type="FreeAnchorRetinaHead", num_classes=4,
+                       in_channels=32, feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128], pre_anchor_topk=8),
+        test_cfg=DENSE_TEST),
+    sabl=dict(
+        type="RetinaNet", backbone=R18, neck=FPN18_P3_IN,
+        bbox_head=dict(type="SABLRetinaHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1),
+        test_cfg=DENSE_TEST),
+    guided_anchoring=dict(
+        type="RetinaNet", backbone=R18, neck=FPN18_P3_IN,
+        bbox_head=dict(type="GARetinaHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1),
+        test_cfg=DENSE_TEST),
+    yolof=dict(
+        type="YOLOF",
+        backbone=dict(type="ResNet", depth=18, out_indices=(3,)),
+        neck=dict(type="DilatedEncoder", in_channels=512, out_channels=64,
+                  block_mid_channels=32, num_residual_blocks=2),
+        bbox_head=dict(type="YOLOFHead", num_classes=4, in_channels=64,
+                       strides=[32], anchor_scales=[1, 2, 4]),
+        test_cfg=dict(nms_pre=50, score_thr=0.02,
+                      nms=dict(iou_threshold=0.6), max_per_img=10)),
+    autoassign=dict(
+        type="AutoAssign", backbone=R18, neck=FPN18_P3,
+        bbox_head=dict(type="AutoAssignHead", num_classes=4, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       strides=[8, 16, 32, 64, 128]),
+        test_cfg=DENSE_TEST),
+    nas_fcos=dict(
+        type="FCOS",
+        backbone=dict(type="ResNet", depth=18, out_indices=(1, 2, 3)),
+        neck=dict(type="NASFCOS_FPN", in_channels=[128, 256, 512],
+                  out_channels=32, num_outs=5),
+        bbox_head=dict(type="NASFCOSHead", num_classes=4, in_channels=32,
+                       feat_channels=32),
+        test_cfg=DENSE_TEST),
+    grid_rcnn=dict(
+        type="GridRCNN", backbone=R18, neck=FPN18, rpn_head=RPN32,
+        bbox_head=dict(type="Shared2FCBBoxHead", num_classes=4,
+                       in_channels=32, roi_size=7, fc_channels=64,
+                       with_reg=False),
+        grid_head=dict(type="GridHead", grid_points=9, num_convs=2,
+                       roi_size=14, in_channels=32, point_feat_channels=8),
+        test_cfg=TEST_RCNN),
+    ms_rcnn=dict(
+        type="MaskScoringRCNN", backbone=R18, neck=FPN18, rpn_head=RPN32,
+        bbox_head=_shared2fc(),
+        mask_head=dict(type="FCNMaskHead", num_classes=4, in_channels=32,
+                       conv_out_channels=32, num_convs=1, roi_size=14),
+        mask_iou_head=dict(type="MaskIoUHead", num_classes=4,
+                           in_channels=32, conv_out_channels=32,
+                           num_convs=2, fc_out_channels=64),
+        test_cfg=TEST_RCNN),
+    point_rend=dict(
+        type="PointRend", backbone=R18, neck=FPN18, rpn_head=RPN32,
+        bbox_head=_shared2fc(),
+        mask_head=dict(type="CoarseMaskHead", num_classes=4, in_channels=32,
+                       roi_size=14, num_convs=0, num_fcs=2,
+                       fc_out_channels=64, downsample_factor=2),
+        point_head=dict(type="MaskPointHead", num_classes=4, num_fcs=3,
+                        in_channels=32, fc_channels=32),
+        test_cfg=dict(rcnn=dict(score_thr=0.02,
+                                nms=dict(iou_threshold=0.5), max_per_img=8),
+                      subdivision_steps=2, subdivision_num_points=32)),
+    scnet=dict(
+        type="SCNet", backbone=R18, neck=FPN18, rpn_head=RPN32,
+        bbox_heads=[dict(type="SCNetBBoxHead", num_classes=4,
+                         in_channels=32, roi_size=7, fc_channels=64,
+                         target_stds=s)
+                    for s in [(0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
+                              (0.033, 0.033, 0.067, 0.067)]],
+        mask_head=dict(type="SCNetMaskHead", num_classes=4, in_channels=32,
+                       conv_out_channels=32, num_convs=2, roi_size=14),
+        semantic_head=dict(type="FusedSemanticHead", num_ins=5,
+                           fusion_level=1, num_convs=1, in_channels=32,
+                           conv_out_channels=32, num_classes=6,
+                           loss_weight=0.2),
+        glbctx_head=dict(type="GlobalContextHead", num_convs=2,
+                         in_channels=32, conv_out_channels=32,
+                         num_classes=4, loss_weight=3.0, conv_to_res=True),
+        relay_head=dict(type="FeatureRelayHead", in_channels=64,
+                        out_conv_channels=32, roi_feat_size=7,
+                        scale_factor=2),
+        test_cfg=dict(rcnn=dict(score_thr=0.02,
+                                nms=dict(iou_threshold=0.5),
+                                max_per_img=8))),
+    detectors=dict(
+        type="DetectoRS",
+        backbone=dict(type="DetectoRSResNet", depth=50, stem_channels=8,
+                      rfp_inplanes=32),
+        neck=dict(type="RFP", in_channels=[256, 512, 1024, 2048],
+                  out_channels=32, num_outs=5, rfp_steps=2,
+                  aspp_out_channels=8,
+                  rfp_backbone=dict(type="DetectoRSResNet", depth=50,
+                                    stem_channels=8, rfp_inplanes=32)),
+        rpn_head=RPN32, bbox_head=_shared2fc(), test_cfg=TEST_RCNN),
+    tridentnet=dict(
+        type="TridentFasterRCNN",
+        backbone=dict(type="TridentResNet", depth=50, stem_channels=8,
+                      num_branch=3, test_branch_idx=1),
+        neck=dict(type="ChannelMapper", in_channels=[1024], out_channels=32,
+                  num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      strides=[16, 32, 64, 128, 256]),
+        bbox_head=_shared2fc(), test_cfg=TEST_RCNN),
+    double_heads=dict(
+        type="DoubleHeadRCNN", backbone=R18, neck=FPN18, rpn_head=RPN32,
+        bbox_head=dict(type="DoubleConvFCBBoxHead", num_classes=4,
+                       in_channels=32, roi_size=7, num_convs=1, num_fcs=2,
+                       conv_out_channels=32, fc_out_channels=64,
+                       reg_roi_scale_factor=1.3),
+        test_cfg=TEST_RCNN),
+    cascade_rpn=dict(
+        type="FasterRCNN", backbone=R18, neck=FPN18,
+        rpn_head=dict(type="CascadeRPNHead", in_channels=32,
+                      feat_channels=32, strides=[4, 8, 16, 32, 64],
+                      anchor_scale=8.0),
+        bbox_head=_shared2fc(), test_cfg=TEST_RCNN),
+    dcn=dict(
+        type="FasterRCNN",
+        backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3),
+                      dcn=dict(type="DCNv2"),
+                      stage_with_dcn=(False, True, True, True)),
+        neck=FPN18, rpn_head=RPN32, bbox_head=_shared2fc(),
+        test_cfg=TEST_RCNN),
+    hrnet=dict(
+        type="FasterRCNN",
+        backbone=dict(type="HRNet", extra=TINY_HR_EXTRA),
+        neck=dict(type="HRFPN", in_channels=[8, 16, 32, 64],
+                  out_channels=32, num_outs=5),
+        rpn_head=RPN32, bbox_head=_shared2fc(), test_cfg=TEST_RCNN),
+    carafe=dict(
+        type="FasterRCNN", backbone=R18,
+        neck=dict(type="FPN_CARAFE", in_channels=[64, 128, 256, 512],
+                  out_channels=32, num_outs=5),
+        rpn_head=RPN32, bbox_head=_shared2fc(), test_cfg=TEST_RCNN),
+    libra=dict(
+        type="FasterRCNN", backbone=R18,
+        neck=[dict(type="FPN", in_channels=[64, 128, 256, 512],
+                   out_channels=32, start_level=0, num_outs=5),
+              dict(type="BFP", in_channels=32, num_levels=5,
+                   refine_level=2)],
+        rpn_head=RPN32, bbox_head=_shared2fc(), test_cfg=TEST_RCNN),
+)
+
 
 def _batch(jnp, b=2, size=64, k=3):
     rng = np.random.RandomState(0)
@@ -198,7 +414,10 @@ def _batch(jnp, b=2, size=64, k=3):
     crops = np.zeros((b, k, 28, 28), np.uint8)
     crops[:, 0] = 1
     crops[:, 1, :, :14] = 1
+    box_area = (gt[..., 2] - gt[..., 0]) * (gt[..., 3] - gt[..., 1])
+    mask_areas = crops.mean((2, 3)).astype(np.float32) * box_area
     return dict(
+        gt_mask_areas=jnp.asarray(mask_areas),
         images=jnp.asarray(rng.rand(b, size, size, 3), jnp.float32),
         gt_bboxes=jnp.asarray(gt),
         gt_labels=jnp.asarray(np.tile([1, 0, 0], (b, 1)), jnp.int32),
