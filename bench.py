@@ -114,6 +114,28 @@ def main():
     loop4_img_per_sec, upload4_mb, _, state = _semi_loop_bench(
         jax, jnp, det, jstep, state, batch, batch_size, iters=30,
         refresh_per_iter=None, refresh_batch=4, skip_infer_bench=True)
+    # interval=4: the reference's own rate knob (unlabel_pred_hook `interval`
+    # gates the hook to every Nth iter; each event still refreshes ONE
+    # image) — quarter the refresh bytes/predicts for 4x-staler labels.
+    loopi4_img_per_sec, uploadi4_mb, _, state = _semi_loop_bench(
+        jax, jnp, det, jstep, state, batch, batch_size, iters=32,
+        refresh_per_iter=1, refresh_batch=1, interval=4,
+        skip_infer_bench=True)
+
+    # Measured host->device bandwidth of the axon relay AT BENCH TIME: the
+    # link wanders (50 MB/s one hour, ~12 the next) and the semi-loop
+    # numbers are upload-bound, so record the env state they were taken in.
+    probe = np.random.RandomState(1).randint(
+        0, 255, (32, 1024, 1024), np.uint8)          # 32 MB, incompressible
+    x = jnp.asarray(probe)
+    float(jnp.max(x))                                 # warm the reduce
+    bw = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x = jnp.asarray(probe)
+        float(jnp.max(x))                             # force the transfer
+        bw.append(probe.nbytes / (time.perf_counter() - t0) / 1e6)
+    relay_mb_per_sec = max(bw)
 
     print(json.dumps({
         "metric": "semi_train_step_images_per_sec_per_chip",
@@ -130,19 +152,24 @@ def main():
         "semi_loop_upload_mb_per_iter": round(upload_mb, 2),
         "semi_loop_fresh4_images_per_sec": round(loop4_img_per_sec, 3),
         "semi_loop_fresh4_upload_mb_per_iter": round(upload4_mb, 2),
+        "semi_loop_interval4_images_per_sec": round(loopi4_img_per_sec, 3),
+        "semi_loop_interval4_upload_mb_per_iter": round(uploadi4_mb, 2),
+        "relay_host_to_device_mb_per_sec": round(relay_mb_per_sec, 1),
         "inference_bf16_images_per_sec": round(infer_img_per_sec, 3),
     }))
 
 
 def _semi_loop_bench(jax, jnp, det, jstep, state, batch, batch_size,
                      iters=30, refresh_per_iter=1, refresh_batch=1,
-                     skip_infer_bench=False):
+                     skip_infer_bench=False, interval=1):
     """Full iteration-mode semi loop: per iteration one bs8 train step +
     a pseudo-label refresh (static uint8 predict, device-side normalize,
     bf16 teacher), overlapped one iteration behind. ``refresh_per_iter=1``
     is the reference schedule; ``None`` refreshes all 4 consumed unlabeled
-    images. Returns (loop img/s counting train images, uploaded MB/iter,
-    bs8 teacher-inference img/s or nan)."""
+    images. ``interval=N`` gates refresh events to every Nth iteration
+    (the reference hook's own ``interval`` knob). Returns (loop img/s
+    counting train images, uploaded MB/iter, bs8 teacher-inference img/s
+    or nan)."""
     import os
     import tempfile
 
@@ -188,20 +215,31 @@ def _semi_loop_bench(jax, jnp, det, jstep, state, batch, batch_size,
     float(metrics["loss"])
 
     import time as _time
-    pending = None
-    refresher.uploaded_bytes = 0
-    t0 = _time.perf_counter()
-    for i in range(iters):
-        state, metrics = jstep(state, batch)
+
+    # best of 2 timed segments: the axon relay's host link bandwidth
+    # wanders (measured 22-36 img/s for identical code minutes apart), and
+    # the loop is upload-sensitive — keep the segment least polluted by a
+    # transient relay stall. Compiles are warm, so a segment is cheap.
+    best_dt, upload_mb_per_iter = float("inf"), 0.0
+    for _ in range(2):
+        pending = None
+        refresher.uploaded_bytes = 0
+        t0 = _time.perf_counter()
+        for i in range(iters):
+            state, metrics = jstep(state, batch)
+            if pending is not None:
+                pending()
+                pending = None
+            if (i + 1) % interval == 0:
+                pending = refresher.dispatch_refresh(state, names_for(i))
         if pending is not None:
             pending()
-        pending = refresher.dispatch_refresh(state, names_for(i))
-    if pending is not None:
-        pending()
-    float(metrics["loss"])
-    dt = _time.perf_counter() - t0
-    loop_img_per_sec = batch_size * iters / dt
-    upload_mb_per_iter = refresher.uploaded_bytes / iters / 1e6
+        float(metrics["loss"])
+        dt = _time.perf_counter() - t0
+        if dt < best_dt:
+            best_dt = dt
+            upload_mb_per_iter = refresher.uploaded_bytes / iters / 1e6
+    loop_img_per_sec = batch_size * iters / best_dt
 
     if skip_infer_bench:
         return loop_img_per_sec, upload_mb_per_iter, float("nan"), state
