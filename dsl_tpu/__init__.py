@@ -16,7 +16,7 @@ idiomatic JAX architecture:
 Reference layer map: /root/repo/SURVEY.md.
 """
 
-__version__ = "0.1.0"
+from dsl_tpu.version import __version__, version_info  # noqa: F401
 
 from dsl_tpu.config import Config  # noqa: F401
 from dsl_tpu.registry import Registry, build_from_cfg  # noqa: F401
