@@ -69,7 +69,19 @@ def _unique_models():
             order.append(key)
         else:
             seen[key]["shared_by"] += 1
-    return [(k, seen[k]) for k in order]
+    # Diversity-first order: round-robin across config directories so a
+    # partial sweep still spans every family (alphabetical order would spend
+    # the first hour inside cascade_rcnn/ alone).
+    by_dir: dict[str, list] = {}
+    for k in order:
+        by_dir.setdefault(osp.basename(
+            osp.dirname(seen[k]["exemplar"])), []).append(k)
+    interleaved = []
+    buckets = [by_dir[d] for d in sorted(by_dir)]
+    while buckets:
+        buckets = [b for b in buckets if b]
+        interleaved.extend(b.pop(0) for b in buckets)
+    return [(k, seen[k]) for k in interleaved]
 
 
 def run_model(model_cfg: dict, size: int = 64):
