@@ -228,12 +228,24 @@ class ResNet(nn.Module):
                     (p.get("position", "after_conv3"), p["cfg"])
                     for p in (self.plugins or ())
                     if p.get("stages", (True,) * 4)[i])
-                kwargs = dict(groups=self.groups,
-                              base_width=self.base_width,
-                              dcn=(self.dcn if self.stage_with_dcn[i]
-                                   else None),
-                              plugins=stage_plugins) \
-                    if block_cls is Bottleneck else {}
+                if block_cls is Bottleneck:
+                    kwargs = dict(groups=self.groups,
+                                  base_width=self.base_width,
+                                  dcn=(self.dcn if self.stage_with_dcn[i]
+                                       else None),
+                                  plugins=stage_plugins)
+                else:
+                    # mmdet BasicBlock asserts dcn/plugins are None
+                    # (reference mmdet/models/backbones/resnet.py:31-33) —
+                    # reject loudly instead of silently computing plain convs
+                    if self.dcn is not None and self.stage_with_dcn[i]:
+                        raise NotImplementedError(
+                            "dcn on BasicBlock (depth<50) is not supported "
+                            "(mmdet parity: BasicBlock asserts dcn is None)")
+                    if stage_plugins:
+                        raise NotImplementedError(
+                            "plugins on BasicBlock are not supported")
+                    kwargs = {}
                 x = block_cls(
                     planes=planes,
                     stride=self.strides[i] if j == 0 else 1,

@@ -75,7 +75,10 @@ class NASFPN(nn.Module):
         for i in range(self.num_outs - len(outs)):
             y = nn.Conv(self.out_channels, (1, 1), name=f"extra{i}")(
                 outs[-1])
-            outs.append(nn.max_pool(y, (2, 2), strides=(2, 2)))
+            if y.shape[1] > 1 or y.shape[2] > 1:
+                y = nn.max_pool(y, (2, 2), strides=(2, 2))
+            outs.append(y)    # floor at 1x1 (tiny-input tests only; real
+            # inputs are >=2^num_levels so the pool always applies)
         p3, p4, p5, p6, p7 = outs
         hw = lambda t: t.shape[1:3]
         for s in range(self.stack_times):

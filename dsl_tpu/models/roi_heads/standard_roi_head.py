@@ -382,8 +382,20 @@ def sample_rois(key, proposals, prop_valid, gt_bboxes, gt_labels, gt_valid,
     priority = jnp.where(pos_take, r,
                          jnp.where(is_neg, 1e6 + r, jnp.inf))
     order = jnp.argsort(priority)[:num_samples]
-    return (cand[order], labels[order], assigned[order],
-            (pos_take | is_neg)[order], pos_take[order])
+    out = (cand[order], labels[order], assigned[order],
+           (pos_take | is_neg)[order], pos_take[order])
+    if cand.shape[0] < num_samples:
+        # fewer candidates than the sampler budget (the reference sampler
+        # simply returns fewer rois; the fixed-shape contract pads with
+        # invalid rows instead — valid=False excludes them from every loss)
+        pad = num_samples - cand.shape[0]
+        out = (jnp.concatenate([out[0], jnp.zeros((pad, 4), out[0].dtype)]),
+               jnp.concatenate([out[1], jnp.full((pad,), num_classes,
+                                                 out[1].dtype)]),
+               jnp.concatenate([out[2], jnp.full((pad,), -1, out[2].dtype)]),
+               jnp.concatenate([out[3], jnp.zeros((pad,), out[3].dtype)]),
+               jnp.concatenate([out[4], jnp.zeros((pad,), out[4].dtype)]))
+    return out
 
 
 def sample_batch_rois(proposals, prop_valid, batch, rng_key, num_classes,

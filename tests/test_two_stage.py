@@ -124,3 +124,27 @@ def test_two_stage_loss_ohem_path_jits():
         det, v, b, rng_key=jax.random.PRNGKey(0), num_proposals=32,
         num_samples=16, ohem=True))(variables, batch)
     assert np.isfinite(float(total))
+
+
+def test_sample_rois_pads_when_candidates_scarce():
+    """Fewer candidates than the sampler budget (e.g. GA-RPN's one square
+    anchor per location on a tiny image: 341 proposals < 512 samples) must
+    pad to the fixed shape with valid=False rows, not silently return a
+    shorter roi set (reference sampler just returns fewer;
+    mmdet/core/bbox/samplers/random_sampler.py)."""
+    from dsl_tpu.models.roi_heads.standard_roi_head import sample_rois
+
+    props = jnp.asarray([[0.0, 0.0, 10.0, 10.0], [2.0, 2.0, 12.0, 12.0],
+                         [20.0, 20.0, 30.0, 30.0]])
+    pvalid = jnp.ones((3,), bool)
+    gtb = jnp.asarray([[1.0, 1.0, 11.0, 11.0]])
+    gtl = jnp.zeros((1,), jnp.int32)
+    gtv = jnp.ones((1,), bool)
+    rois, labels, assigned, valid, is_pos = sample_rois(
+        jax.random.PRNGKey(0), props, pvalid, gtb, gtl, gtv,
+        num_classes=4, num_samples=16)
+    assert rois.shape == (16, 4) and labels.shape == (16,)
+    assert valid.shape == (16,) and is_pos.shape == (16,)
+    v = np.asarray(valid)
+    assert v.sum() <= 4 and not v[4:].any()       # pads are invalid
+    assert (np.asarray(labels)[~v] == 4).all()    # pads are background

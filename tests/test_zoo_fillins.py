@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 
 def test_retina_sepbn_head_shared_convs_separate_bn():
@@ -211,6 +212,18 @@ def test_generalized_attention_plugin():
     assert "plugin0" not in variables["params"]["layer2_0"]
     outs = bb.apply(variables, imgs)
     assert outs[0].shape[-1] == 1024
+
+
+def test_basicblock_rejects_dcn_loudly():
+    """mmdet BasicBlock asserts dcn/plugins are None (reference
+    mmdet/models/backbones/resnet.py:31-33); a silent plain-conv fallback
+    would make every depth<50 dcn config compute the wrong thing."""
+    from dsl_tpu.models.backbones.resnet import ResNet
+
+    bb = ResNet(depth=18, dcn=dict(type="DCNv2"),
+                stage_with_dcn=(False, True, True, True))
+    with pytest.raises(NotImplementedError, match="BasicBlock"):
+        bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
 
 
 def test_resnext_dcn_grouped():

@@ -95,6 +95,11 @@ def main():
 
     platform = jax.devices()[0].platform
     record = dict(platform=platform, families={})
+    if os.path.exists(args.out):      # merge: successive runs accumulate
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("platform") == platform:
+            record["families"].update(prev.get("families", {}))
     for name in args.families.split(","):
         name = name.strip()
         if not name:

@@ -378,8 +378,10 @@ FAMILIES.update(
         bbox_head=_shared2fc(), test_cfg=TEST_RCNN),
     dcn=dict(
         type="FasterRCNN",
-        backbone=dict(type="ResNet", depth=18, out_indices=(0, 1, 2, 3),
-                      dcn=dict(type="DCNv2"),
+        # depth>=50: BasicBlock rejects dcn (mmdet parity), so use a thin
+        # Bottleneck R50 (base_channels=16 -> same [64,128,256,512] outs)
+        backbone=dict(type="ResNet", depth=50, base_channels=16,
+                      out_indices=(0, 1, 2, 3), dcn=dict(type="DCNv2"),
                       stage_with_dcn=(False, True, True, True)),
         neck=FPN18, rpn_head=RPN32, bbox_head=_shared2fc(),
         test_cfg=TEST_RCNN),
@@ -486,6 +488,11 @@ def main():
 
     platform = jax.devices()[0].platform
     record = dict(platform=platform, families={})
+    if os.path.exists(args.out):      # merge: successive runs accumulate
+        with open(args.out) as f:
+            prev = json.load(f)
+        if prev.get("platform") == platform:
+            record["families"].update(prev.get("families", {}))
     for name in args.families.split(","):
         name = name.strip()
         if not name:
