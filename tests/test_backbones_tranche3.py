@@ -50,3 +50,16 @@ def test_fpn_carafe_shapes():
     outs = neck.apply(variables, feats)
     assert len(outs) == 5
     assert outs[0].shape == (1, 16, 16, 16)
+
+
+def test_nas_fpn_tiny_input_floors_at_1x1():
+    """When the top pyramid level would pool below 1x1 (tiny inputs), the
+    extra-level downsample floors at 1x1 instead of emitting a zero-sized
+    map (only reachable in tiny-shape tests; real inputs always pool)."""
+    neck = NASFPN(in_channels=[32, 64, 128], out_channels=16, num_outs=5,
+                  stack_times=1)
+    feats = [jnp.zeros((1, 8 // (2 ** i), 8 // (2 ** i), c))
+             for i, c in enumerate([32, 64, 128])]
+    variables = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(variables, feats)
+    assert [o.shape[1] for o in outs] == [8, 4, 2, 1, 1]
