@@ -234,7 +234,14 @@ class DeformableDETRHead(nn.Module):
             enc_box = jax.nn.sigmoid(
                 nn.Dense(4, name="enc_reg_out")(reg) + base_logit)
             score = jnp.max(enc_cls, axis=-1)              # (B, S)
-            _, top = jax.lax.top_k(score, self.num_query)
+            # Tiny test inputs can have fewer encoder positions than
+            # num_query (real 800x1344 inputs always have thousands);
+            # clamp k and repeat proposals modularly to keep Q static.
+            k = min(self.num_query, score.shape[-1])
+            _, top = jax.lax.top_k(score, k)
+            if k < self.num_query:
+                top = jnp.tile(top, (1, -(-self.num_query // k))
+                               )[:, :self.num_query]
             ref = jax.lax.stop_gradient(jnp.take_along_axis(
                 enc_box, top[..., None], axis=1))          # (B, Q, 4)
             pe = _proposal_pos_embed(ref, c // 4)

@@ -267,7 +267,13 @@ def init_two_stage_variables(detector, rng, images):
         params.update(pk_vars["params"])
     mh = getattr(detector, "mask_head", None)
     if mh is not None:
-        mask_feats = jnp.zeros((1, mh.roi_size, mh.roi_size, mh.in_channels))
+        mc = mh.in_channels
+        if getattr(detector, "shared_head", None) is not None:
+            # MaskRCNNC4-style mask_forward re-enters the shared res5 head,
+            # so its input is the C4 roi feature (bh.in_channels), not the
+            # post-shared-head channels mh.in_channels describes.
+            mc = bh.in_channels
+        mask_feats = jnp.zeros((1, mh.roi_size, mh.roi_size, mc))
         mask_vars = detector.init(jax.random.fold_in(rng, 2), mask_feats,
                                   method=detector.mask_forward)
         params.update(mask_vars["params"])

@@ -67,3 +67,30 @@ def test_forward_loss_predict():
         det, v, im, img_shapes=jnp.asarray([[64.0, 64.0]] * b),
         scale_factors=jnp.ones((b, 4))))(variables, batch["images"])
     assert dets.shape == (b, 10, 5)
+
+def test_two_stage_more_queries_than_positions():
+    """Two-stage encoder proposals when num_query exceeds the encoder
+    position count (tiny inputs): top-k clamps and repeats proposals
+    modularly instead of crashing (deformable_detr_head.py two-stage
+    branch; hit by the 64x64 unique-model sweep on the twostage_refine
+    config whose num_query=300 > 85 positions)."""
+    cfg = _cfg()
+    cfg["bbox_head"].update(num_query=120, as_two_stage=True,
+                            with_box_refine=True)
+    det = build_detector(cfg)
+    b = 1
+    rng = np.random.RandomState(1)
+    batch = dict(
+        images=jnp.asarray(rng.rand(b, 64, 64, 3), jnp.float32),
+        gt_bboxes=jnp.asarray([[[8., 8., 40., 40.]]]),
+        gt_labels=jnp.zeros((b, 1), jnp.int32),
+        gt_valid=jnp.ones((b, 1), bool),
+    )
+    variables = det.init(jax.random.PRNGKey(0), batch["images"])
+    total, logs = detector_loss(det, variables, batch)
+    assert np.isfinite(float(total)), logs
+    dets, labels, vmask = detector_predict(
+        det, variables, batch["images"],
+        img_shapes=jnp.asarray([[64.0, 64.0]] * b),
+        scale_factors=jnp.ones((b, 4)))
+    assert np.isfinite(np.asarray(dets)).all()
