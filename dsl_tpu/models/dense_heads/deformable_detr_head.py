@@ -233,7 +233,9 @@ class DeformableDETRHead(nn.Module):
                 reg = nn.relu(nn.Dense(c, name=f"enc_reg_fc{j}")(reg))
             enc_box = jax.nn.sigmoid(
                 nn.Dense(4, name="enc_reg_out")(reg) + base_logit)
-            score = jnp.max(enc_cls, axis=-1)              # (B, S)
+            # reference transformer.py:648-650 ranks proposals by the
+            # CLASS-0 logit alone (enc_outputs_class[..., 0]), not the max.
+            score = enc_cls[..., 0]                        # (B, S)
             # Tiny test inputs can have fewer encoder positions than
             # num_query (real 800x1344 inputs always have thousands);
             # clamp k and repeat proposals modularly to keep Q static.

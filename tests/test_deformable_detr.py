@@ -68,6 +68,34 @@ def test_forward_loss_predict():
         scale_factors=jnp.ones((b, 4))))(variables, batch["images"])
     assert dets.shape == (b, 10, 5)
 
+def test_two_stage_ranks_proposals_by_class0_logit():
+    """Two-stage proposal selection pins the reference's topk criterion:
+    ``enc_outputs_class[..., 0]`` ALONE (transformer.py:648-650), not the
+    max over classes.  Captures the full encoder cls map and asserts the
+    stage-0 (encoder) outputs are exactly the class-0-logit top-k gather."""
+    cfg = _cfg()
+    cfg["bbox_head"].update(num_query=8, as_two_stage=True)
+    det = build_detector(cfg)
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    variables = det.init(jax.random.PRNGKey(3), images)
+    outs, state = det.apply(
+        variables, images, capture_intermediates=True,
+        mutable=["intermediates"])
+    cls_out, box_out = outs
+    inter = state["intermediates"]["bbox_head"]
+    enc_cls = inter["enc_cls_branch"]["__call__"][0]     # (B, S, C)
+    assert enc_cls.shape[1] > 8, "need more positions than queries"
+    _, top = jax.lax.top_k(enc_cls[..., 0], 8)
+    expect = jnp.take_along_axis(enc_cls, top[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(cls_out[:, 0]),
+                               np.asarray(expect), rtol=1e-6)
+    # and NOT the max-ranking gather (they must differ for this input)
+    _, top_max = jax.lax.top_k(jnp.max(enc_cls, -1), 8)
+    assert not np.array_equal(np.asarray(top), np.asarray(top_max)), \
+        "degenerate input: class-0 and max rankings coincide"
+
+
 def test_two_stage_more_queries_than_positions():
     """Two-stage encoder proposals when num_query exceeds the encoder
     position count (tiny inputs): top-k clamps and repeats proposals
