@@ -52,6 +52,10 @@ def _lsa_device_single(cost: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
             masked = jnp.where(unscanned, spc, INF)
             m = jnp.min(masked)
             # scipy tie-break: among equal-cost rows prefer a FREE one
+            # (_lsap.c scans its `remaining` array the same way; only the
+            # order AMONG several free ties differs — scipy's swap-removal
+            # order vs first-index here — which picks between equally
+            # optimal assignments on exactly-tied float costs)
             is_min = masked == m
             free_min = is_min & (gt4row < 0)
             jstar = jnp.where(free_min.any(), jnp.argmax(free_min),
