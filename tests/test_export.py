@@ -47,3 +47,17 @@ def test_export_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(rel)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+    # int8 export: the quantized program serializes, reloads, and its
+    # StableHLO carries int8 convolutions (the TensorRT-int8 analog)
+    blob8, meta8, (predict8, _) = export_detector(cfg, batch=1,
+                                                  canvas=(64, 64), int8=True)
+    assert meta8["quantized"] == "int8-dynamic"
+    rel8 = jexport.deserialize(blob8)
+    assert "i8" in rel8.mlir_module()
+    live8 = predict8(imgs, shapes, sfs)
+    got8 = rel8.call(imgs, shapes, sfs)
+    for a, b in zip(jax.tree_util.tree_leaves(live8),
+                    jax.tree_util.tree_leaves(got8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -31,10 +31,14 @@ def parse_args():
     p.add_argument("--canvas", type=int, nargs=2, default=None)
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and compare outputs")
+    p.add_argument("--int8", action="store_true",
+                   help="rewrite every conv to dynamic-range int8 "
+                        "(utils/quantize.py; ~1.8x conv throughput on v5e)")
     return p.parse_args()
 
 
-def export_detector(cfg, variables=None, batch=1, canvas=(800, 1344)):
+def export_detector(cfg, variables=None, batch=1, canvas=(800, 1344),
+                    int8=False):
     """Returns (serialized_bytes, meta_dict, reference_outputs_fn)."""
     import jax
     import jax.numpy as jnp
@@ -57,6 +61,11 @@ def export_detector(cfg, variables=None, batch=1, canvas=(800, 1344)):
                                 scale_factors=scale_factors,
                                 test_cfg=test_cfg)
 
+    if int8:
+        from dsl_tpu.utils.quantize import quantize_convs
+
+        predict = quantize_convs(predict)
+
     args = (jnp.zeros((batch, *canvas, 3), jnp.float32),
             jnp.zeros((batch, 2), jnp.float32),
             jnp.ones((batch, 4), jnp.float32))
@@ -66,6 +75,7 @@ def export_detector(cfg, variables=None, batch=1, canvas=(800, 1344)):
                         scale_factors=[batch, 4]),
         model_type=cfg.model.get("type"),
         num_classes=cfg.model.get("bbox_head", {}).get("num_classes"),
+        quantized="int8-dynamic" if int8 else None,
         platforms=list(exported.platforms))
     return exported.serialize(), meta, (predict, args)
 
@@ -98,7 +108,7 @@ def main():
                          "batch_stats": loaded.get("batch_stats", {})}
 
     data, meta, (predict, ex_args) = export_detector(
-        cfg, variables, batch=args.batch, canvas=canvas)
+        cfg, variables, batch=args.batch, canvas=canvas, int8=args.int8)
     out = args.out or (osp.splitext(args.config)[0] + ".stablehlo")
     with open(out, "wb") as f:
         f.write(data)
