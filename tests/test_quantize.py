@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from dsl_tpu.utils.quantize import quantize_convs
+from dsl_tpu.utils.quantize import calibrate_convs, quantize_convs
 
 
 def _conv(x, w, **kw):
@@ -45,6 +45,36 @@ def test_conv_int8_close_to_f32(case):
     scale = float(jnp.abs(y32).max())
     err = float(jnp.abs(y8 - y32).max())
     assert err < 0.03 * scale, (err, scale)
+
+
+def test_calibrated_scales_match_dynamic_on_calib_batch():
+    """TensorRT-style static calibration: scales recorded on a batch give
+    the same quantization as the dynamic reduction on that batch, and the
+    static program carries no activation-range reduction (the scale is a
+    baked constant, so quant/dequant stay fusable elementwise ops)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 14, 14, 16), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 16, 24) * 0.2, jnp.float32)
+    f = lambda x, w: _conv(x, w)
+
+    scales = calibrate_convs(f, (x, w))
+    assert len(scales) == 1
+    np.testing.assert_allclose(scales[0],
+                               float(jnp.abs(x).max()) / 127.0, rtol=1e-6)
+
+    y_dyn = quantize_convs(f)(x, w)
+    y_cal = jax.jit(quantize_convs(f, act_scales=scales))(x, w)
+    np.testing.assert_allclose(np.asarray(y_cal), np.asarray(y_dyn),
+                               rtol=1e-5, atol=1e-5)
+
+    # multi-batch merge takes the elementwise max of the observed ranges
+    x2 = x * 3.0
+    merged = calibrate_convs(f, (x, w), (x2, w))
+    np.testing.assert_allclose(merged[0], scales[0] * 3.0, rtol=1e-6)
+
+    # an out-of-range activation saturates (clips) instead of rescaling
+    y_sat = quantize_convs(f, act_scales=scales)(x2, w)
+    assert np.isfinite(np.asarray(y_sat)).all()
 
 
 def test_rewritten_program_contains_int8_conv():

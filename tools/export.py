@@ -33,7 +33,8 @@ def parse_args():
                    help="reload the artifact and compare outputs")
     p.add_argument("--int8", action="store_true",
                    help="rewrite every conv to dynamic-range int8 "
-                        "(utils/quantize.py; ~1.8x conv throughput on v5e)")
+                        "(utils/quantize.py; see docs/tutorials/export.md "
+                        "for measured v5e throughput tradeoffs)")
     return p.parse_args()
 
 

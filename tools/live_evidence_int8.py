@@ -26,7 +26,7 @@ def main():
 
     from __graft_entry__ import _flagship_detector
     from dsl_tpu.models.detectors.single_stage import detector_predict
-    from dsl_tpu.utils.quantize import quantize_convs
+    from dsl_tpu.utils.quantize import calibrate_convs, quantize_convs
 
     h, w, bs = 800, 1344, 8
     det = _flagship_detector()
@@ -55,10 +55,17 @@ def main():
     out = {}
 
     def bench(fn, name, iters=30):
-        t0 = time.perf_counter()
-        dets, labels, valid = fn(imgs, shapes, sfs)
-        np.asarray(dets)
-        out[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
+        for attempt in range(3):       # relay compiles can die transiently
+            try:
+                t0 = time.perf_counter()
+                dets, labels, valid = fn(imgs, shapes, sfs)
+                np.asarray(dets)
+                out[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
+                break
+            except Exception as e:     # noqa: BLE001
+                if attempt == 2:
+                    out[f"{name}_error"] = str(e)[:200]
+                    return None, None, None
         t0 = time.perf_counter()
         for _ in range(iters):
             dets, labels, valid = fn(imgs, shapes, sfs)
@@ -68,13 +75,31 @@ def main():
         return dets, labels, valid
 
     d16, l16, v16 = bench(p_bf16, "bf16")
-    d8, l8, v8 = bench(p_int8, "int8")
-    out["int8_vs_bf16_speedup"] = round(
-        out["int8_img_per_sec"] / out["bf16_img_per_sec"], 3)
+    d8, l8, v8 = bench(p_int8, "int8_dynamic")
+    if "int8_dynamic_img_per_sec" in out:
+        out["int8_dynamic_vs_bf16"] = round(
+            out["int8_dynamic_img_per_sec"] / out["bf16_img_per_sec"], 3)
+
+    # calibrated static scales: the quantize/dequant become fusable
+    # elementwise ops (no per-conv range reduction) — the mode that should
+    # realize the MXU int8 speedup end to end
+    t0 = time.perf_counter()
+    scales = calibrate_convs(predict, (imgs, shapes, sfs))
+    out["calibrate_s"] = round(time.perf_counter() - t0, 1)
+    out["n_convs"] = len(scales)
+    p_cal = jax.jit(quantize_convs(predict, act_scales=scales))
+    dc, lc, vc = bench(p_cal, "int8_calibrated")
+    if "int8_calibrated_img_per_sec" in out:
+        out["int8_calibrated_vs_bf16"] = round(
+            out["int8_calibrated_img_per_sec"] / out["bf16_img_per_sec"], 3)
+    if dc is not None:
+        d8, v8 = dc, vc
 
     # agreement on the shared batch: random weights give near-prior
     # scores, so compare the raw det tensors where both mark valid
-    both = np.asarray(v16) & np.asarray(v8)
+    both = (np.asarray(v16) & np.asarray(v8)
+            if v16 is not None and v8 is not None
+            else np.zeros((), bool))
     if both.any():
         db, qb = np.asarray(d16)[both], np.asarray(d8)[both]
         out["n_shared_dets"] = int(both.sum())
