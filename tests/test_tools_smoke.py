@@ -193,6 +193,26 @@ def test_analyze_results_cli(tmp_path, monkeypatch):
     assert glob.glob(osp.join(show_dir, "**", "*"), recursive=True)
 
 
+def test_benchmark_cli(tmp_path, monkeypatch, capsys):
+    import importlib
+
+    cfg = _tiny_dataset_cfg(tmp_path)
+    cfg_path = tmp_path / "cfg.py"
+    cfg.dump(str(cfg_path))
+    mod = importlib.import_module("benchmark")
+    monkeypatch.setattr(sys, "argv", [
+        "benchmark.py", str(cfg_path), "--shape", "64", "64",
+        "--iters", "2", "--warmup", "1"])
+    mod.main()
+    assert "img/s" in capsys.readouterr().out
+    # int8 PTQ path: calibrate + quantized predict on the same tiny model
+    monkeypatch.setattr(sys, "argv", [
+        "benchmark.py", str(cfg_path), "--shape", "64", "64",
+        "--iters", "2", "--warmup", "1", "--int8"])
+    mod.main()
+    assert "img/s" in capsys.readouterr().out
+
+
 def test_get_flops_cli(tmp_path, monkeypatch, capsys):
     import importlib
 

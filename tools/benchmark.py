@@ -23,6 +23,10 @@ def main():
     p.add_argument("--shape", type=int, nargs=2, default=[800, 1344])
     p.add_argument("--iters", type=int, default=50)
     p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--int8", action="store_true",
+                   help="run the predict through the int8 PTQ transform "
+                        "(utils/quantize.py; see docs/tutorials/export.md "
+                        "for measured v5e tradeoffs)")
     args = p.parse_args()
 
     import jax
@@ -55,10 +59,19 @@ def main():
     shapes = jnp.asarray(np.tile([[h, w]], (b, 1)), jnp.float32)
     sfs = jnp.ones((b, 4), jnp.float32)
 
-    @jax.jit
-    def predict(v, im):
+    def _predict(v, im):
         return detector_predict(det, v, im, img_shapes=shapes,
                                 scale_factors=sfs, test_cfg=test_cfg)
+
+    if args.int8:
+        from dsl_tpu.utils.quantize import calibrate_convs, quantize_convs
+
+        fwd = lambda im: _predict(variables, im)
+        scales = calibrate_convs(fwd, (imgs,))
+        qfwd = jax.jit(quantize_convs(fwd, act_scales=scales))
+        predict = lambda v, im: qfwd(im)
+    else:
+        predict = jax.jit(_predict)
 
     dets, labels, valid = predict(variables, imgs)
     _ = np.asarray(dets)  # compile + force
