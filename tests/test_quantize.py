@@ -102,6 +102,25 @@ def test_non_conv_program_passthrough_and_scan_untouched():
                                np.asarray(fn(x, w)), rtol=1e-6)
 
 
+def test_int8_predict_composes_with_mesh_sharding():
+    """Serving at scale: the quantized program jits over a device mesh
+    with the batch sharded on the data axis, and matches the unsharded
+    result — the int8 transform must not break SPMD partitioning (the
+    per-tensor activation max becomes a cross-device reduction)."""
+    from dsl_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(8, 8, 8, 16), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 16, 8) * 0.3, jnp.float32)
+    qf = quantize_convs(lambda x: _conv(x, w))
+    want = np.asarray(qf(x))
+
+    mesh = make_mesh()
+    xs = jax.device_put(x, batch_sharding(mesh))
+    got = jax.jit(qf)(xs)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
 def test_detector_forward_int8_faithful():
     """Full FCOS forward through the transform: every tower/backbone conv
     runs int8; logits stay within int8 resolution of the f32 forward."""
