@@ -166,8 +166,7 @@ def _eval_jaxpr_quantized(jaxpr, consts, args, ctx: _QuantCtx):
 
 
 def _run(fn, args, ctx):
-    closed = jax.make_jaxpr(fn)(*args)
-    out_shape = jax.eval_shape(fn, *args)
+    closed, out_shape = jax.make_jaxpr(fn, return_shape=True)(*args)
     flat_in = jax.tree_util.tree_leaves(args)
     out_flat = _eval_jaxpr_quantized(closed.jaxpr, closed.consts, flat_in,
                                      ctx)

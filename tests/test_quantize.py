@@ -22,7 +22,8 @@ def _conv(x, w, **kw):
 
 @pytest.mark.parametrize("case", ["plain", "stride", "dilated", "grouped"])
 def test_conv_int8_close_to_f32(case):
-    rng = np.random.RandomState(hash(case) % 2**31)
+    rng = np.random.RandomState(
+        {"plain": 0, "stride": 1, "dilated": 2, "grouped": 3}[case])
     cin, cout = 16, 24
     kw = {}
     if case == "stride":

@@ -33,7 +33,7 @@ def main():
     import jax.numpy as jnp
 
     from dsl_tpu.models.detectors.single_stage import (
-        build_detector, detector_predict)
+        build_detector, detector_predict, init_detector_variables)
 
     if args.config:
         from dsl_tpu.config import Config
@@ -55,7 +55,21 @@ def main():
     h, w = args.shape
     b = args.batch_size
     imgs = jnp.asarray(np.random.rand(b, h, w, 3), jnp.float32)
-    variables = det.init(jax.random.PRNGKey(0), imgs[:1])
+    # init_detector_variables is THE way to init any detector (flax init
+    # only traces __call__ — RoI/mask/cascade subtrees need the merged
+    # side inits); init at a small size (param shapes are resolution-
+    # independent; a full-size init costs minutes through remote compile)
+    init_hw = (min(h, 256), min(w, 256))
+    variables = init_detector_variables(
+        det, jax.random.PRNGKey(0),
+        jnp.zeros((1, *init_hw, 3), jnp.float32))
+    if args.checkpoint:
+        from dsl_tpu.utils.checkpoint import load_checkpoint
+
+        loaded, _ = load_checkpoint(args.checkpoint, None)
+        if isinstance(loaded, dict) and "params" in loaded:
+            variables = {"params": loaded["params"],
+                         "batch_stats": loaded.get("batch_stats", {})}
     shapes = jnp.asarray(np.tile([[h, w]], (b, 1)), jnp.float32)
     sfs = jnp.ones((b, 4), jnp.float32)
 

@@ -55,56 +55,86 @@ def main():
     out = {}
 
     def bench(fn, name, iters=30):
-        for attempt in range(3):       # relay compiles can die transiently
+        # whole measurement under retry: relay compiles AND dispatch storms
+        # die transiently; a failure must not kill the remaining benches
+        for attempt in range(3):
             try:
                 t0 = time.perf_counter()
                 dets, labels, valid = fn(imgs, shapes, sfs)
                 np.asarray(dets)
                 out[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
-                break
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    dets, labels, valid = fn(imgs, shapes, sfs)
+                np.asarray(dets)     # chain-forcing fetch (relay: no
+                dt = time.perf_counter() - t0   # block_until_ready)
+                out[f"{name}_img_per_sec"] = round(bs * iters / dt, 2)
+                return dets, labels, valid
             except Exception as e:     # noqa: BLE001
                 if attempt == 2:
                     out[f"{name}_error"] = str(e)[:200]
-                    return None, None, None
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            dets, labels, valid = fn(imgs, shapes, sfs)
-        np.asarray(dets)          # chain-forcing fetch (relay: no
-        dt = time.perf_counter() - t0   # block_until_ready)
-        out[f"{name}_img_per_sec"] = round(bs * iters / dt, 2)
-        return dets, labels, valid
+        return None, None, None
+
+    def ratio(name):
+        a, b = out.get(f"{name}_img_per_sec"), out.get("bf16_img_per_sec")
+        if a and b:
+            out[f"{name}_vs_bf16"] = round(a / b, 3)
 
     d16, l16, v16 = bench(p_bf16, "bf16")
     d8, l8, v8 = bench(p_int8, "int8_dynamic")
-    if "int8_dynamic_img_per_sec" in out:
-        out["int8_dynamic_vs_bf16"] = round(
-            out["int8_dynamic_img_per_sec"] / out["bf16_img_per_sec"], 3)
+    ratio("int8_dynamic")
 
     # calibrated static scales: the quantize/dequant become fusable
     # elementwise ops (no per-conv range reduction) — the mode that should
     # realize the MXU int8 speedup end to end
-    t0 = time.perf_counter()
-    scales = calibrate_convs(predict, (imgs, shapes, sfs))
-    out["calibrate_s"] = round(time.perf_counter() - t0, 1)
-    out["n_convs"] = len(scales)
-    p_cal = jax.jit(quantize_convs(predict, act_scales=scales))
-    dc, lc, vc = bench(p_cal, "int8_calibrated")
-    if "int8_calibrated_img_per_sec" in out:
-        out["int8_calibrated_vs_bf16"] = round(
-            out["int8_calibrated_img_per_sec"] / out["bf16_img_per_sec"], 3)
-    if dc is not None:
-        d8, v8 = dc, vc
+    try:
+        t0 = time.perf_counter()
+        scales = calibrate_convs(predict, (imgs, shapes, sfs))
+        out["calibrate_s"] = round(time.perf_counter() - t0, 1)
+        out["n_convs"] = len(scales)
+        p_cal = jax.jit(quantize_convs(predict, act_scales=scales))
+        dc, lc, vc = bench(p_cal, "int8_calibrated")
+        ratio("int8_calibrated")
+        if dc is not None:
+            d8, l8, v8 = dc, lc, vc
+    except Exception as e:             # noqa: BLE001
+        out["calibrate_error"] = str(e)[:200]
 
-    # agreement on the shared batch: random weights give near-prior
-    # scores, so compare the raw det tensors where both mark valid
-    both = (np.asarray(v16) & np.asarray(v8)
-            if v16 is not None and v8 is not None
-            else np.zeros((), bool))
-    if both.any():
-        db, qb = np.asarray(d16)[both], np.asarray(d8)[both]
-        out["n_shared_dets"] = int(both.sum())
-        out["box_mad_px"] = float(np.abs(db[:, :4] - qb[:, :4]).mean())
-        out["score_mad"] = float(np.abs(db[:, 4] - qb[:, 4]).mean())
+    # agreement on the shared batch: greedy same-label best-IoU pairing —
+    # NMS may rank/threshold borderline boxes differently in the two
+    # precisions, so positional (row-by-row) differencing would compare
+    # unrelated detections
+    if v16 is not None and v8 is not None:
+        n_pairs, box_mad, score_mad = 0, 0.0, 0.0
+        for bi in range(bs):
+            a = np.asarray(d16[bi])[np.asarray(v16[bi])]
+            la = np.asarray(l16[bi])[np.asarray(v16[bi])]
+            c = np.asarray(d8[bi])[np.asarray(v8[bi])]
+            lc_ = np.asarray(l8[bi])[np.asarray(v8[bi])]
+            used = np.zeros(len(c), bool)
+            for i in range(len(a)):
+                best, bj = 0.0, -1
+                for j in range(len(c)):
+                    if used[j] or la[i] != lc_[j]:
+                        continue
+                    x1 = max(a[i, 0], c[j, 0]); y1 = max(a[i, 1], c[j, 1])
+                    x2 = min(a[i, 2], c[j, 2]); y2 = min(a[i, 3], c[j, 3])
+                    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+                    ua = ((a[i, 2] - a[i, 0]) * (a[i, 3] - a[i, 1])
+                          + (c[j, 2] - c[j, 0]) * (c[j, 3] - c[j, 1])
+                          - inter)
+                    iou = inter / max(ua, 1e-6)
+                    if iou > best:
+                        best, bj = iou, j
+                if bj >= 0 and best > 0.5:
+                    used[bj] = True
+                    n_pairs += 1
+                    box_mad += float(np.abs(a[i, :4] - c[bj, :4]).mean())
+                    score_mad += float(abs(a[i, 4] - c[bj, 4]))
+        if n_pairs:
+            out["n_matched_dets"] = n_pairs
+            out["box_mad_px"] = round(box_mad / n_pairs, 3)
+            out["score_mad"] = round(score_mad / n_pairs, 4)
     out["platform"] = jax.devices()[0].platform
     out["device"] = str(jax.devices()[0])
 
